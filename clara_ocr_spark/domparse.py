@@ -1,0 +1,234 @@
+"""HTML → block decomposition (the DOM analogue of Clara-OCR's raster stages).
+
+Reference mapping (cited per SURVEY.md; files under /root/reference/):
+
+* ``pbm2bm`` streaming PBM reader + connected-component labeling
+  (pbm2cl.c:824-1296) → :func:`parse_blocks`: per-document HTML parse into
+  text runs grouped into blocks.  A *block* is the analogue of a Clara
+  closure/symbol: the atomic unit that later stages classify and assemble.
+* zoning / ``blockfind`` (pgmblock.c:1108-1271) → block boundaries at
+  block-level elements plus explicit ``data-zone`` column markers; the
+  single-zone fallback (pgmblock.c:1131-1143) is ``zone=0``.
+* ``loadpgm`` charset/format sniffing (pgmblock.c:263-457) →
+  :func:`decode_html`: UTF-8 strict with Latin-1 fallback.
+* ``skel`` skeleton fingerprints (skel.c:765+) → tag-path n-gram
+  fingerprints in :func:`tag_path_ngrams`.
+
+EXTRACTION SPEC (the byte-exact semantics that the distributed pipeline
+must reproduce — the analogue of ``mk_page_output`` html.c:1986-2284):
+
+1. Decode ``html`` bytes as UTF-8 (strict); on failure decode Latin-1.
+2. Parse with the stdlib tolerant HTML parser, entities resolved.
+3. Content inside ``script/style/noscript/template/head/svg/iframe``
+   is dropped.
+4. A new block starts whenever a block-level tag (``BLOCK_TAGS``) opens
+   or closes, or a ``<br>`` occurs.  Text between boundaries accumulates
+   into the current block.
+5. Block text is whitespace-normalized: ``" ".join(raw.split())`` —
+   i.e. single-space word joins, no leading/trailing space (the
+   analogue of single-space word joining in html.c:2069-2083).
+6. The block's ``tag_path`` is the ``/``-joined stack of open element
+   tags at the moment its first text arrived (ids/classes excluded).
+7. The block's ``zone`` is the innermost enclosing ``data-zone=N``
+   integer, else 0.
+8. Blocks are emitted in document order (``pos`` = running index).
+   Final reading order is ``(zone, pos)`` — document order within a
+   zone, zones ascending (the ``cmpln`` total order, build.c:389-509,
+   with strict tie-breakers per SURVEY §7 hard-part 2).
+
+Classification and assembly semantics live in :mod:`.extract_rules`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+#: Tags whose opening/closing starts a new block (≈ Clara zone/line
+#: boundaries, pgmblock.c:1108).
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tr td th
+    blockquote pre article section header footer nav aside main figure
+    figcaption form fieldset hr address center""".split()
+)
+
+#: Subtrees whose text is never content (≈ non-ink regions).
+SKIP_TAGS = frozenset("script style noscript template head svg iframe".split())
+
+#: Void tags (never pushed on the stack).
+VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
+
+_PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]«»–—]")
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def decode_html(raw: bytes) -> str:
+    """UTF-8 strict, Latin-1 fallback (≈ loadpgm format sniffing,
+    pgmblock.c:263-457). Deterministic: Latin-1 never fails."""
+    try:
+        return raw.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return raw.decode("latin-1")
+
+
+@dataclass
+class Block:
+    """One segmented block (≈ sdesc symbol, common.h:722-764)."""
+
+    pos: int  # document order (≈ doc-order span)
+    zone: int  # column index (≈ sdesc.c zone, clara.c:3114)
+    tag_path: str  # '/'-joined open-tag stack (≈ skeleton shape)
+    depth: int  # stack depth when first text arrived
+    text: str  # whitespace-normalized block text
+    link_text_len: int  # chars contributed inside <a> (≈ ink typing)
+    n_runs: int  # number of raw text runs merged (≈ cldesc count)
+
+    @property
+    def text_len(self) -> int:
+        return len(self.text)
+
+
+class _BlockParser(HTMLParser):
+    """Streaming run accumulator (≈ pbm2cl.c single-scanline reader:
+    only the current block's raw runs are buffered)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: List[str] = []
+        self.zone_stack: List[int] = []
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.blocks: List[Block] = []
+        self._cur_runs: List[str] = []
+        self._cur_link_chars = 0
+        self._cur_path: Optional[str] = None
+        self._cur_depth = 0
+        self._cur_zone = 0
+        self._pos = 0
+
+    # -- block lifecycle ------------------------------------------------
+    def _flush(self) -> None:
+        if not self._cur_runs:
+            return
+        raw = "".join(self._cur_runs)
+        text = " ".join(raw.split())
+        if text:
+            self.blocks.append(
+                Block(
+                    pos=self._pos,
+                    zone=self._cur_zone,
+                    tag_path=self._cur_path or "",
+                    depth=self._cur_depth,
+                    text=text,
+                    link_text_len=min(self._cur_link_chars, len(raw)),
+                    n_runs=len(self._cur_runs),
+                )
+            )
+            self._pos += 1
+        self._cur_runs = []
+        self._cur_link_chars = 0
+        self._cur_path = None
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            if tag == "br":
+                self._flush()
+            return
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self.link_depth += 1
+        zone = dict(attrs).get("data-zone")
+        if zone is not None and str(zone).isdigit():
+            self.zone_stack.append(int(zone))
+        else:
+            self.zone_stack.append(self.zone_stack[-1] if self.zone_stack else 0)
+        self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        # tolerant unwinding: pop to the nearest matching open tag
+        if tag in self.stack:
+            while self.stack:
+                t = self.stack.pop()
+                self.zone_stack.pop()
+                if t in SKIP_TAGS and self.skip_depth > 0:
+                    self.skip_depth -= 1
+                if t == "a" and self.link_depth > 0:
+                    self.link_depth -= 1
+                if t == tag:
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_depth > 0 or not data:
+            return
+        if self._cur_path is None and data.strip():
+            self._cur_path = "/".join(self.stack)
+            self._cur_depth = len(self.stack)
+            self._cur_zone = self.zone_stack[-1] if self.zone_stack else 0
+        self._cur_runs.append(data)
+        if self.link_depth > 0:
+            self._cur_link_chars += len(data)
+
+    def close(self) -> None:  # final flush (EOF = block boundary)
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: bytes) -> List[Block]:
+    """Parse one document's raw bytes into its ordered block list."""
+    text = decode_html(html)
+    p = _BlockParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        # ≈ find_thing adaptive fallback (pbm2cl.c:717-808): salvage
+        # whatever blocks were produced before the parse error.
+        p._flush()
+    return p.blocks
+
+
+# -- feature extraction (≈ closure features, pbm2cl.c:608-709) -----------
+
+STOPWORDS = frozenset(
+    """the a an and or of to in is it for on with as at by this that from be
+    der die das und ist ein eine mit von zu im den des
+    o a os as um uma e de do da em para com que não é por
+    el la los las un una y de del en para con que no es por""".split()
+)
+
+
+def block_features(b: Block) -> Tuple[float, float, float, int, int]:
+    """(link_density, punct_ratio, stopword_ratio, n_words, n_tokens)."""
+    n = max(b.text_len, 1)
+    link_density = min(b.link_text_len / n, 1.0)
+    punct_ratio = len(_PUNCT_RE.findall(b.text)) / n
+    words = _WORD_RE.findall(b.text.lower())
+    n_words = len(words)
+    stop = sum(1 for w in words if w in STOPWORDS)
+    stopword_ratio = stop / n_words if n_words else 0.0
+    return link_density, punct_ratio, stopword_ratio, n_words, n_words
+
+
+def tag_path_ngrams(tag_path: str, n: int = 2) -> List[str]:
+    """Tag-path n-grams — the skeleton fingerprint analogue
+    (skel.c:765+, SA heuristics → structural shape stripped of text)."""
+    parts = tag_path.split("/") if tag_path else []
+    if not parts:
+        return []
+    if len(parts) < n:
+        return ["/".join(parts)]
+    return ["/".join(parts[i : i + n]) for i in range(len(parts) - n + 1)]

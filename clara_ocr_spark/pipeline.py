@@ -1,0 +1,30 @@
+"""End-to-end extraction pipeline (the Clara 15-step scheduler recast).
+
+``continue_ocr``'s cooperative state machine (clara.c:3824-4187)
+becomes a lazy DataFrame plan: segment → classify → assemble, with
+optional parquet checkpoints between stage groups standing in for the
+session/acts/patterns files (cml.c:399-644).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .stages.assemble import assemble
+from .stages.classify import classify
+from .stages.segment import segment
+
+
+def extract(
+    pages: DataFrame,
+    patterns: DataFrame | None = None,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extracted(url, text)."""
+    blocks = segment(pages)
+    labeled = classify(blocks, patterns)
+    return assemble(labeled, pages if keep_empty else None)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

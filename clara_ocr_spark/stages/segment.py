@@ -1,0 +1,105 @@
+"""Stage B — segmentation: pages → blocks (the only Python stage).
+
+≈ Clara step_4/step_5: ``blockfind`` zoning (pgmblock.c:1108-1271) +
+``pbm2bm`` connected-component isolation (pbm2cl.c:824-1296), recast as
+per-document DOM parsing.  Embarrassingly parallel per document, so it
+rides in ``mapInPandas`` (Arrow batch iterator — zero per-row Python at
+the Spark API level; per-document parsing happens inside the batch).
+
+Everything downstream of this stage is JVM-side column expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..domparse import block_features, parse_blocks
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("zone", IntegerType(), False),
+        StructField("pos", IntegerType(), False),
+        StructField("tag_path", StringType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("text", StringType(), False),
+        StructField("text_len", IntegerType(), False),
+        StructField("link_text_len", IntegerType(), False),
+        StructField("n_runs", IntegerType(), False),
+        StructField("link_density", DoubleType(), False),
+        StructField("punct_ratio", DoubleType(), False),
+        StructField("stopword_ratio", DoubleType(), False),
+        StructField("n_words", IntegerType(), False),
+    ]
+)
+
+
+def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+            for b in parse_blocks(html):
+                ld, pr, sr, nw, _ = block_features(b)
+                rows.append(
+                    (
+                        url,
+                        b.zone,
+                        b.pos,
+                        b.tag_path,
+                        b.depth,
+                        b.text,
+                        b.text_len,
+                        b.link_text_len,
+                        b.n_runs,
+                        ld,
+                        pr,
+                        sr,
+                        nw,
+                    )
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+
+def segment(pages: DataFrame) -> DataFrame:
+    """pages(url, html, …) → blocks, one row per segmented block.
+
+    Column-prunes to (url, html) before the Python boundary so the
+    Arrow transfer ships only what the parser needs (≈ the reference's
+    one-scanline-resident memory discipline, pbm2cl.c:36-64).
+    """
+    return pages.select("url", "html").mapInPandas(
+        _segment_batches, schema=BLOCKS_SCHEMA
+    )
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host key for skew-aware per-site stages (JVM-side regexp)."""
+    return df.withColumn(
+        "host", F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    )
+
+
+def with_fingerprint(blocks: DataFrame, n: int = 2) -> DataFrame:
+    """Tag-path n-gram fingerprint (≈ skeleton, skel.c:765+) — pure
+    JVM array expressions, no Python."""
+    parts = F.split(F.col("tag_path"), "/")
+    ngrams = F.when(
+        F.size(parts) < n, F.array(F.array_join(parts, "/"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(parts) - n),
+            lambda i: F.array_join(F.slice(parts, i + 1, n), "/"),
+        )
+    )
+    return blocks.withColumn("fingerprint", ngrams)

@@ -1,0 +1,145 @@
+"""Unit tests for the DOM parser + rule chain (single-node semantics).
+
+Mirrors the reference's own test style: oracle reimplementation +
+exhaustive case tables (clara-tests.c:3-96) and golden fixtures
+(book.c:982-984).
+"""
+
+from __future__ import annotations
+
+from clara_ocr_spark.domparse import (
+    Block,
+    block_features,
+    decode_html,
+    parse_blocks,
+    tag_path_ngrams,
+)
+from clara_ocr_spark.extract_rules import (
+    LABEL_BOILER,
+    LABEL_CONTENT,
+    LABEL_NOISE,
+    classify_block,
+    reference_extract,
+)
+
+
+def test_decode_utf8_and_latin1_fallback():
+    assert decode_html("café".encode("utf-8")) == "café"
+    assert decode_html("café".encode("latin-1")) == "café"
+
+
+def test_single_paragraph():
+    blocks = parse_blocks(b"<html><body><p>hello   world</p></body></html>")
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.text == "hello world"  # whitespace normalized
+    assert b.tag_path == "html/body/p"
+    assert b.zone == 0 and b.pos == 0
+
+
+def test_block_boundaries_and_order():
+    html = b"<body><p>one</p><div>two</div><h2>three</h2></body>"
+    blocks = parse_blocks(html)
+    assert [b.text for b in blocks] == ["one", "two", "three"]
+    assert [b.pos for b in blocks] == [0, 1, 2]
+
+
+def test_br_splits_blocks():
+    blocks = parse_blocks(b"<body><p>line one<br>line two</p></body>")
+    assert [b.text for b in blocks] == ["line one", "line two"]
+
+
+def test_inline_tags_do_not_split():
+    blocks = parse_blocks(b"<body><p>a <b>bold</b> and <i>italic</i> run</p></body>")
+    assert [b.text for b in blocks] == ["a bold and italic run"]
+
+
+def test_script_style_head_skipped():
+    html = b"<head><title>T</title><style>x{}</style></head><body><script>var a;</script><p>keep</p></body>"
+    blocks = parse_blocks(html)
+    assert [b.text for b in blocks] == ["keep"]
+
+
+def test_link_text_len():
+    blocks = parse_blocks(b'<body><p>pre <a href="/x">link text</a> post</p></body>')
+    (b,) = blocks
+    assert b.link_text_len == len("link text")
+    ld, *_ = block_features(b)
+    assert 0 < ld < 1
+
+
+def test_zone_markers():
+    html = (
+        b'<body><div data-zone="2"><p>second</p></div>'
+        b'<div data-zone="1"><p>first</p></div></body>'
+    )
+    blocks = parse_blocks(html)
+    assert [(b.zone, b.text) for b in blocks] == [(2, "second"), (1, "first")]
+
+
+def test_malformed_unclosed_tags_salvaged():
+    html = b"<body></div><main><p>alpha<p>beta</main>"
+    blocks = parse_blocks(html)
+    assert [b.text for b in blocks] == ["alpha", "beta"]
+
+
+def test_entities_resolved():
+    blocks = parse_blocks(b"<body><p>a &amp; b &copy; c</p></body>")
+    assert blocks[0].text == "a & b \xa9 c"
+
+
+def test_tag_path_ngrams():
+    assert tag_path_ngrams("html/body/div/p", 2) == ["html/body", "body/div", "div/p"]
+    assert tag_path_ngrams("p", 2) == ["p"]
+    assert tag_path_ngrams("", 2) == []
+
+
+# -- rule chain (case table, clara-tests.c style) -------------------------
+
+CASES = [
+    # tag_path, text_len, link_density, pattern, expected_label
+    ("html/body/nav/ul/li", 100, 0.9, None, LABEL_BOILER),
+    ("html/body/header/h1", 30, 0.0, None, LABEL_BOILER),
+    ("html/body/footer/p", 40, 0.0, None, LABEL_BOILER),
+    ("html/body/aside/ul/li", 80, 0.6, None, LABEL_BOILER),
+    ("html/body/main/p", 5, 0.0, None, LABEL_NOISE),
+    ("html/body/main/p", 200, 0.8, None, LABEL_BOILER),
+    ("html/body/main/p", 200, 0.1, None, LABEL_CONTENT),
+    ("html/body/div/p", 200, 0.1, "boilerplate", LABEL_BOILER),
+    ("html/body/nav/ul/li", 100, 0.9, "content", LABEL_CONTENT),
+]
+
+
+def test_classify_rule_chain():
+    for tag_path, tl, ld, pat, want in CASES:
+        label, score = classify_block(tag_path, tl, ld, pat)
+        assert label == want, (tag_path, tl, ld, pat)
+        assert 0 <= score <= 10
+        if pat is not None:
+            assert score == 10  # strong match, symbol.c:4149
+
+
+def test_reference_extract_golden():
+    html = (
+        b"<html><body><header><h1>Site</h1><nav><ul><li><a href='/'>home</a>"
+        b"</li></ul></nav></header><main><p>First paragraph of content here.</p>"
+        b"<p>Second paragraph, also long enough to keep.</p></main>"
+        b"<footer><p>copyright footer text here</p></footer></body></html>"
+    )
+    assert reference_extract(html) == (
+        "First paragraph of content here.\nSecond paragraph, also long enough to keep."
+    )
+
+
+def test_reference_extract_zone_order():
+    html = (
+        b'<body><div data-zone="2"><p>zone two paragraph content text</p></div>'
+        b'<div data-zone="1"><p>zone one paragraph content text</p></div></body>'
+    )
+    assert reference_extract(html) == (
+        "zone one paragraph content text\nzone two paragraph content text"
+    )
+
+
+def test_reference_extract_empty_doc():
+    assert reference_extract(b"<body><nav><a href='/'>only nav</a></nav></body>") == ""

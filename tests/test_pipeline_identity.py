@@ -1,0 +1,50 @@
+"""Byte-identity gate: Spark pipeline output == reference extractor
+output, per url, over the full synthetic corpus (all 5 templates,
+3 langs, Latin-1 docs, malformed docs, zoned docs).
+
+≈ the imre.pbm end-to-end regression fixture (book.c:982-984) at
+corpus scale — the authoritative invariant from BASELINE.json
+``input_hint``: *byte-identical extracted text per url*.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clara_ocr_spark.pipeline import extract, read_pages
+
+
+def test_byte_identity_vs_reference(spark, corpus_path):
+    pages = read_pages(spark, corpus_path)
+    got = extract(pages)  # keep_empty=True: every url present
+    joined = (
+        pages.select("url", F.col("text").alias("expected"))
+        .join(got.withColumnRenamed("text", "actual"), "url", "full")
+        .collect()
+    )
+    assert len(joined) == pages.count()
+    bad = [
+        r.url
+        for r in joined
+        if r.expected is None or r.actual is None or r.expected != r.actual
+    ]
+    assert bad == [], f"{len(bad)} urls mismatch, first: {bad[:3]}"
+
+
+def test_extract_deterministic_across_partitionings(spark, corpus_path):
+    """Reading order must be a total order — identical output no matter
+    how the data is partitioned (SURVEY §7 hard-part 2)."""
+    pages = read_pages(spark, corpus_path)
+    a = {r.url: r.text for r in extract(pages.repartition(1)).collect()}
+    b = {r.url: r.text for r in extract(pages.repartition(17)).collect()}
+    assert a == b
+
+
+def test_extract_covers_content(spark, corpus_path):
+    """Quality proxy (≈ selthresh bookfont-size metric): extraction is
+    non-trivial — most docs yield non-empty text."""
+    pages = read_pages(spark, corpus_path)
+    got = extract(pages)
+    n = got.count()
+    nonempty = got.filter(F.length("text") > 0).count()
+    assert nonempty / n > 0.95
