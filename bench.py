@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus the extraction pipeline on the
+synthetic page corpus, and print ONE JSON line::
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--extract-only --cores N`` runs just the extraction throughput at a
+given parallelism (used by ``--scaling``, which runs N and 4N cores in
+separate JVMs and reports scaling efficiency — the sandbox evidence
+for the BASELINE.json two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "broadcast_classify",
+    "argmax_per_group",
+    "range_filter",
+    "neighbor_gap",
+    "sessionize",
+    "latest_wins",
+    "topk_doubts",
+    "value_histogram",
+    "dedup_keep_first",
+    "token_stats",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "minhash_signatures",
+    "lsh_band_buckets",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "embedding_lsh_buckets",
+    "param_sweep",
+    "events_hourly",
+    "asof_attach",
+]
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def _force(df) -> None:
+    """Execute the full plan without driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def corpus_path() -> str:
+    from clara_ocr_spark.sources.corpus import ensure_corpus
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    return ensure_corpus(
+        os.path.join(base, f"pages_bench_{BENCH_DOCS}.parquet"), n=BENCH_DOCS
+    )
+
+
+def run_extraction(spark, path: str) -> float:
+    """Extraction wall-clock (warm corpus). Returns seconds."""
+    from clara_ocr_spark.pipeline import extract, read_pages
+
+    pages = read_pages(spark, path)
+    t0 = time.time()
+    _force(extract(pages))
+    return time.time() - t0
+
+
+def extract_only(cores: int) -> None:
+    from clara_ocr_spark.session import get_spark
+
+    path = corpus_path()
+    spark = get_spark(f"bench-extract-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    run_extraction(spark, path)  # warm-up: JIT, python workers, page cache
+    secs = run_extraction(spark, path)
+    spark.stop()
+    print(json.dumps({"cores": cores, "docs": BENCH_DOCS, "secs": secs}))
+
+
+def scaling(lo: int = 8, hi: int = 32) -> None:
+    """Same job, two parallelism levels, separate JVMs → efficiency."""
+    corpus_path()  # build the corpus once, outside the timed runs
+    res = {}
+    for cores in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-only",
+             "--cores", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    tlo = BENCH_DOCS / res[lo]["secs"]
+    thi = BENCH_DOCS / res[hi]["secs"]
+    eff = (thi / tlo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "docs": BENCH_DOCS,
+                f"docs_per_sec_local[{lo}]": round(tlo, 1),
+                f"docs_per_sec_local[{hi}]": round(thi, 1),
+                "speedup": round(thi / tlo, 3),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.extract_only:
+        extract_only(args.cores or 8)
+        return
+    if args.scaling:
+        scaling()
+        return
+
+    from clara_ocr_spark.queries import REGISTRY
+    from clara_ocr_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        df = fn(spark, sf_dir)
+        _force(df)  # warm-up run (scan cache, codegen)
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    path = corpus_path()
+    run_extraction(spark, path)  # warm-up
+    ext_secs = run_extraction(spark, path)
+    timings["extraction"] = round(ext_secs, 3)
+    docs_per_sec = round(BENCH_DOCS / ext_secs, 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_extraction_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extraction_docs": BENCH_DOCS,
+                "extraction_docs_per_sec": docs_per_sec,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1094 @@
+"""Operator catalog: one named query per SURVEY §2 operator analogue,
+each with a DuckDB oracle (the driver contract in __spark_entry__.py).
+
+Every Spark query here is written the way it should run at 100 TB:
+filters/projections pushed to the scan, small sides broadcast,
+aggregates expressed so partial (map-side) aggregation applies,
+windows keyed by the natural partition (user/doc), doubles rounded in
+BOTH systems so the order-insensitive value hash is stable.
+
+Portable hash used across Spark/DuckDB (verified identical):
+  Spark : cast(conv(substring(md5(x),1,15),16,10) as bigint)
+  DuckDB: ('0x'||substring(md5(x),1,15))::BIGINT
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+Entry = Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
+REGISTRY: Dict[str, Entry] = {}
+
+
+def q(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spark_hash60(col: F.Column) -> F.Column:
+    """Portable 60-bit hash (== DuckDB ('0x'||substring(md5,1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+H60_DUCK = "(('0x'||substring(md5({x}),1,15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------
+# §2.4 aggregations — stats counters / per-page metrics analogue
+# ---------------------------------------------------------------------
+@q(
+    "pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                as sum_qty,
+           round(sum(l_extendedprice), 2)           as sum_base,
+           round(avg(l_discount), 4)                as avg_disc,
+           count(*)                                 as n_rows
+    from lineitem
+    where l_shipdate <= timestamp '2024-10-01 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped groupBy-agg (≈ per-page stats counters,
+    html.c:2054-2057). Partial agg map-side; filter pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-10-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "top_sources_by_chars",
+    """
+    select source, count(*) as n_docs, sum(n_chars) as total_chars
+    from documents group by source order by total_chars desc, source limit 10
+    """,
+)
+def top_sources_by_chars(spark, sf_dir):
+    """Flagship shape: scan → agg → total-order sort → limit."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.desc("total_chars"), F.asc("source"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------
+# §2.2 filters / point lookups — list_cl / symbol_at analogues
+# ---------------------------------------------------------------------
+@q(
+    "range_filter",
+    """
+    select l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    from lineitem
+    where l_quantity between 10 and 20 and l_extendedprice < 5000
+    """,
+)
+def range_filter(spark, sf_dir):
+    """Spatial range query analogue (list_cl, symbol.c:4839):
+    predicates push to the parquet scan; projection prunes columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity").between(10, 20)) & (F.col("l_extendedprice") < 5000)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@q(
+    "point_lookup",
+    """
+    select o_orderkey, o_custkey, o_orderstatus, round(o_totalprice,2) as total
+    from orders where o_orderkey % 1000 = 0
+    """,
+)
+def point_lookup(spark, sf_dir):
+    """Point/selective lookup (≈ symbol_at, common.h:1799)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@q(
+    "interval_overlap",
+    """
+    select l_returnflag,
+           sum(case when least(cast(l_quantity as int) + 10, 30)
+                         - greatest(cast(l_quantity as int), 15) + 1 > 0
+                    then 1 else 0 end)  as n_overlapping,
+           sum(greatest(least(cast(l_quantity as int) + 10, 30)
+                         - greatest(cast(l_quantity as int), 15) + 1, 0)) as total_overlap
+    from lineitem group by l_returnflag
+    """,
+)
+def interval_overlap(spark, sf_dir):
+    """intersize/ldist interval algebra (clara.c:1246-1274) as pure
+    column arithmetic: overlap of [qty, qty+10] with [15, 30]."""
+    li = _t(spark, sf_dir, "lineitem")
+    qi = F.col("l_quantity").cast("int")
+    inter = F.least(qi + 10, F.lit(30)) - F.greatest(qi, F.lit(15)) + 1
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(inter > 0, 1).otherwise(0)).alias("n_overlapping"),
+        F.sum(F.greatest(inter, F.lit(0))).alias("total_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------
+# §2.3 joins — classify × pattern library (broadcast), neighbors
+# ---------------------------------------------------------------------
+@q(
+    "broadcast_classify",
+    """
+    select p.p_brand, count(*) as n_items, round(sum(l.l_extendedprice),2) as revenue
+    from lineitem l join part p on l.l_partkey = p.p_partkey
+    group by p.p_brand
+    """,
+)
+def broadcast_classify(spark, sf_dir):
+    """classify × pattern library (symbol.c:3878): big fact × small
+    broadcast dim, then aggregate — the canonical pattern-match join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "argmax_per_group",
+    """
+    with t as (
+      select p.p_brand, p.p_type, sum(l.l_quantity) as qty
+      from lineitem l join part p on l.l_partkey = p.p_partkey
+      group by p.p_brand, p.p_type)
+    select p_brand, p_type as best_type, round(qty,2) as qty
+    from (select *, row_number() over
+            (partition by p_brand order by qty desc, p_type) as rn from t)
+    where rn = 1
+    """,
+)
+def argmax_per_group(spark, sf_dir):
+    """Best-match election (≈ classify keep-best-by-quality,
+    symbol.c:4230 + max_by): deterministic tie-break on p_type."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    t = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("qty"), F.asc("p_type"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_type").alias("best_type"),
+            F.round("qty", 2).alias("qty"),
+        )
+    )
+
+
+@q(
+    "neighbor_gap",
+    """
+    select user_id, event_id,
+           cast(coalesce(date_diff('second',
+                lag(ts) over (partition by user_id order by ts, event_id), ts),
+                -1) as bigint) as gap_s
+    from events
+    """,
+)
+def neighbor_gap(spark, sf_dir):
+    """Nearest-neighbor-left (≈ lsymb, symbol.c:1301): lag over the
+    per-entity document-order window — no join, no extra shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("bigint")
+    return e.select(
+        "user_id", "event_id", F.coalesce(gap, F.lit(-1)).alias("gap_s")
+    )
+
+
+@q(
+    "sessionize",
+    """
+    with g as (
+      select user_id, ts, event_id,
+             case when date_diff('second',
+                    lag(ts) over (partition by user_id order by ts, event_id), ts)
+                    > 1800 or lag(ts) over (partition by user_id order by ts, event_id)
+                    is null then 1 else 0 end as new_s
+      from events)
+    select user_id, sum(new_s) as n_sessions, count(*) as n_events
+    from g group by user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Word/line building as sessionization (build.c:1020-1152):
+    gap > threshold starts a new segment; segment count per entity."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@q(
+    "latest_wins",
+    """
+    select user_id, event_id, event_type
+    from (select user_id, event_id, event_type,
+                 row_number() over (partition by user_id
+                                    order by ts desc, event_id desc) rn
+          from events) where rn = 1
+    """,
+)
+def latest_wins(spark, sf_dir):
+    """Preferred-symbol partition maintenance (common.h:612-631):
+    latest-wins dedup via row_number."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------
+# §2.5 ordering / top-k — doubt ranking analogue
+# ---------------------------------------------------------------------
+@q(
+    "topk_doubts",
+    """
+    select o_orderkey, round(o_totalprice,2) as total,
+           rank() over (order by o_totalprice desc, o_orderkey) as rnk
+    from orders order by rnk limit 100
+    """,
+)
+def topk_doubts(spark, sf_dir):
+    """step_14 doubt ranking (clara.c:3447-3487): rank by uncertainty
+    (here price), strict tie-break, cap at max_doubts (limit)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(100)
+    )
+
+
+@q(
+    "value_histogram",
+    """
+    select cast(floor(l_extendedprice / 1000) as bigint) as bucket, count(*) as n
+    from lineitem group by bucket
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Gray-level histogram (pgmblock.c:426-432): bucket + count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "baseline_slope",
+    """
+    select l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 3) as slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) as intercept,
+           count(*) as n
+    from lineitem group by l_returnflag
+    """,
+)
+def baseline_slope(spark, sf_dir):
+    """Per-line least-squares baseline fit (bl_geo, build.c:260-352)
+    as regression aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 3).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "distinct_classes",
+    """
+    select p_brand, count(distinct p_type) as n_types, count(*) as n_parts
+    from part group by p_brand
+    """,
+)
+def distinct_classes(spark, sf_dir):
+    """count_classes (clara.c:2423-2440): distinct patterns in use."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@q(
+    "zone_assign",
+    """
+    select case when value < 50 then 'low' when value < 200 then 'mid'
+                else 'high' end as zone,
+           event_type, count(*) as n
+    from events group by zone, event_type
+    """,
+)
+def zone_assign(spark, sf_dir):
+    """Zone assignment rule chain (clara.c:3114-3124) as F.when."""
+    e = _t(spark, sf_dir, "events")
+    zone = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    return e.groupBy(zone.alias("zone"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------
+# §2.6 dedup / set ops — new_mc analogue + training-data dedup
+# ---------------------------------------------------------------------
+@q(
+    "dedup_exact",
+    """
+    select lang, count(*) as n_docs, count(distinct md5(text)) as n_distinct
+    from documents group by lang
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup accounting (new_mc, symbol.c:1407-1427): docs vs
+    distinct content hashes per lang."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+@q(
+    "dedup_keep_first",
+    """
+    select source, count(*) as n_kept
+    from (select source,
+                 row_number() over (partition by md5(text) order by doc_id) rn
+          from documents) where rn = 1
+    group by source
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    """Exact dedup, keep lowest doc_id per content hash (the
+    deterministic survivor rule), counted per source."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Training-data pipeline ops: text analysis
+# ---------------------------------------------------------------------
+def _tokens(col: F.Column) -> F.Column:
+    """Whitespace tokens; empty text → empty array (both systems)."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+_TOK_DUCK = (
+    "case when length(trim({x})) = 0 then [] "
+    "else regexp_split_to_array(trim({x}), '\\s+') end"
+)
+
+
+@q(
+    "token_stats",
+    f"""
+    with t as (select lang, len({_TOK_DUCK.format(x='text')}) as n_tok
+               from documents)
+    select lang, count(*) as n_docs, sum(n_tok) as total_tokens,
+           round(avg(n_tok), 3) as avg_tokens
+    from t group by lang
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting per doc → per-lang stats (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text"))).alias("n_tok")
+    return (
+        d.select("lang", n_tok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 3).alias("avg_tokens"),
+        )
+    )
+
+
+_STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
+_STOP_DE = ["der", "die", "das", "und", "ist", "ein", "mit"]
+_STOP_ES = ["el", "la", "los", "y", "de", "en", "es"]
+
+
+def _duck_stop_score(words: str, stoplist) -> str:
+    lst = ", ".join(f"'{w}'" for w in stoplist)
+    return f"len(list_filter({words}, w -> list_contains([{lst}], w)))"
+
+
+@q(
+    "lang_id_confusion",
+    f"""
+    with t as (
+      select lang,
+             {_duck_stop_score('ws', _STOP_EN)} as s_en,
+             {_duck_stop_score('ws', _STOP_DE)} as s_de,
+             {_duck_stop_score('ws', _STOP_ES)} as s_es
+      from (select lang, {_TOK_DUCK.format(x='lower(text)')} as ws from documents))
+    select lang as true_lang,
+           case when s_en >= s_de and s_en >= s_es then 'en'
+                when s_de >= s_es then 'de' else 'es' end as pred_lang,
+           count(*) as n
+    from t group by true_lang, pred_lang
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Language-ID by stopword-hit argmax (n-gram heuristic family);
+    deterministic tie-break en > de > es. Output = confusion counts."""
+    d = _t(spark, sf_dir, "documents")
+    ws = _tokens(F.lower(F.col("text")))
+
+    def score(stoplist):
+        return F.size(
+            F.filter(ws, lambda w: w.isin(*stoplist))
+        )
+
+    t = d.select(
+        F.col("lang").alias("true_lang"),
+        score(_STOP_EN).alias("s_en"),
+        score(_STOP_DE).alias("s_de"),
+        score(_STOP_ES).alias("s_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return t.groupBy("true_lang", pred.alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "quality_scores",
+    f"""
+    with t as (
+      select source, n_chars, len({_TOK_DUCK.format(x='text')}) as n_tok
+      from documents)
+    select source, count(*) as n_docs,
+           round(avg(case when n_tok = 0 then 0.0
+                          else n_chars::double / n_tok end), 3) as avg_chars_per_tok,
+           sum(case when n_tok between 20 and 1000 then 1 else 0 end) as n_good_len
+    from t group by source
+    """,
+)
+def quality_scores(spark, sf_dir):
+    """Quality scoring: length/token-ratio heuristics per source
+    (≈ selthresh's self-supervised quality proxy)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    t = d.select("source", "n_chars", n_tok.alias("n_tok"))
+    cpt = F.when(F.col("n_tok") == 0, 0.0).otherwise(
+        F.col("n_chars").cast("double") / F.col("n_tok")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(cpt), 3).alias("avg_chars_per_tok"),
+        F.sum(
+            F.when(F.col("n_tok").between(20, 1000), 1).otherwise(0)
+        ).alias("n_good_len"),
+    )
+
+
+@q(
+    "doc_fingerprints",
+    f"""
+    with t as (
+      select source,
+             {H60_DUCK.format(x="array_to_string(list_slice(" + _TOK_DUCK.format(x='lower(text)') + ", 1, 8), ' ')")} as fp
+      from documents)
+    select source, count(*) as n_docs, count(distinct fp) as n_fingerprints
+    from t group by source
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: portable hash of the first 8 tokens
+    (template/prefix near-dup detector)."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(_tokens(F.lower(F.col("text"))), 1, 8), " ")
+    return d.select("source", spark_hash60(prefix).alias("fp")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Training-data pipeline ops: dedup (minhash / LSH / jaccard / simhash)
+# ---------------------------------------------------------------------
+_GRAMS_DUCK = """
+list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || coalesce(ws[i+1], ''))
+""".strip()
+
+
+def _grams(ws: F.Column) -> F.Column:
+    """Word 2-grams; single-token docs get one degenerate gram
+    (token + ' ') so the signature is still defined.
+
+    Built with zip_with + slice so ``ws`` appears O(1) times in the
+    expression tree — Catalyst inlines column references into lambda
+    bodies, so an element_at(ws, i)-per-gram formulation re-tokenizes
+    the document once per gram (measured 30× slower at sf0.1)."""
+    zipped = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
+        lambda a, b: F.concat(a, F.lit(" "), F.coalesce(b, F.lit(""))),
+    )
+    return F.slice(zipped, 1, F.greatest(F.size(ws) - 1, F.lit(1)))
+
+
+def _minhash_sig(grams: F.Column, n_seeds: int) -> F.Column:
+    """All minhash permutations in ONE fold over the gram array:
+    acc[s] = min(acc[s], md5(gram ∥ ':s')).  The gram array is the
+    aggregate input, evaluated once; lambda vars are bound values."""
+    init = F.array(*[F.lit("\x7f") for _ in range(n_seeds)])
+    return F.aggregate(
+        grams,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(g, F.lit(f":{s}"))) for s in range(n_seeds)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def _let(col: F.Column, fn) -> F.Column:
+    """Let-binding for Catalyst: evaluate ``col`` once and reference
+    the bound value many times inside ``fn`` (lambda variables are
+    bound values; plain column references get inlined per use)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+@q(
+    "minhash_signatures",
+    f"""
+    with t as (select doc_id, {_GRAMS_DUCK} as grams
+               from (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents))
+    select doc_id,
+           list_aggregate(list_transform(grams, g -> md5(g || ':0')), 'min')
+      || '|' || list_aggregate(list_transform(grams, g -> md5(g || ':1')), 'min')
+      || '|' || list_aggregate(list_transform(grams, g -> md5(g || ':2')), 'min')
+      || '|' || list_aggregate(list_transform(grams, g -> md5(g || ':3')), 'min')
+           as sig
+    from t
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures over word-2-gram shingles, 4 permutations
+    via md5 seed-suffix, lexicographic-min hex (portable across
+    engines). ≈ skeleton fingerprints as shape signatures.
+    One fold computes all 4 minima; output is one joined string so
+    the signature expression is evaluated exactly once per doc."""
+    d = _t(spark, sf_dir, "documents")
+    sig = _minhash_sig(_grams(_tokens(F.lower(F.col("text")))), 4)
+    return d.select("doc_id", F.array_join(sig, "|").alias("sig"))
+
+
+@q(
+    "lsh_band_buckets",
+    f"""
+    with t as (select doc_id, {_GRAMS_DUCK} as grams
+               from (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents)),
+    m as (select doc_id,
+            md5(list_aggregate(list_transform(grams, g -> md5(g || ':0')), 'min') ||
+                list_aggregate(list_transform(grams, g -> md5(g || ':1')), 'min')) as band0,
+            md5(list_aggregate(list_transform(grams, g -> md5(g || ':2')), 'min') ||
+                list_aggregate(list_transform(grams, g -> md5(g || ':3')), 'min')) as band1
+          from t),
+    b as (select band0 as bucket, 0 as band, doc_id from m
+          union all
+          select band1 as bucket, 1 as band, doc_id from m)
+    select band, bucket, count(*) as n_docs
+    from b group by band, bucket having count(*) > 1
+    """,
+)
+def lsh_band_buckets(spark, sf_dir):
+    """MinHash-LSH banding: 2 bands × 2 rows; bucket key = md5 of the
+    band's concatenated minhashes; emit candidate buckets (>1 doc).
+    At scale this is the shuffle-light near-dup candidate generator:
+    docs collide only within identical band signatures.
+
+    The signature fold is let-bound and exploded so it runs once per
+    doc; posexplode gives (band index, bucket) rows directly."""
+    d = _t(spark, sf_dir, "documents")
+    sig = _minhash_sig(_grams(_tokens(F.lower(F.col("text")))), 4)
+    bands = _let(
+        sig,
+        lambda s: F.array(
+            F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
+            F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
+        ),
+    )
+    b = d.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+    return (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    with d as (select doc_id,
+                      list_distinct(list_sort(regexp_split_to_array(trim(lower(text)), '\\s+'))) as ws
+               from documents where doc_id < 40)
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           round(len(list_intersect(a.ws, b.ws))::double
+                 / len(list_distinct(a.ws || b.ws)), 3) as jaccard
+    from d a join d b on a.doc_id < b.doc_id
+    where len(list_intersect(a.ws, b.ws))::double
+          / len(list_distinct(a.ws || b.ws)) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard on a bounded candidate set (the verify
+    stage after LSH): |A∩B| / |A∪B| on distinct-token sets."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            ).alias("ws"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.ws"), F.col("b.ws"))))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 3).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= 0.5)
+        .drop("_j")
+    )
+
+
+@q(
+    "simhash",
+    f"""
+    with t as (select doc_id,
+                 list_distinct({_TOK_DUCK.format(x='lower(text)')}) as ws
+               from documents)
+    select doc_id,
+           list_sum(list_transform(generate_series(0, 31), j ->
+             case when list_sum(list_transform(ws, w ->
+                    2 * cast((({H60_DUCK.format(x='w')}) >> j) & 1 as int) - 1)) > 0
+                  then (1::BIGINT << j) else 0 end))::BIGINT as simhash
+    from t
+    """,
+)
+def simhash(spark, sf_dir):
+    """32-bit SimHash over distinct tokens: bit j is the sign of the
+    ±1 vote sum across token-hash bits (portable hash both engines).
+
+    One md5 per token (pre-hashed array is the fold input), one fold
+    accumulating all 32 vote counters, let-bound final assembly —
+    a 32-separate-folds formulation re-hashes every token 32×."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.array_distinct(_tokens(F.lower(F.col("text"))))
+    hs = F.transform(ws, lambda w: spark_hash60(w))
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(32)])
+    # bit j of h == 1  ⇔  h % 2^(j+1) >= 2^j   (h is non-negative)
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h % (p * 2) >= p, 1).otherwise(-1),
+        ),
+    )
+    sim = _let(
+        votes,
+        lambda v: F.aggregate(
+            F.zip_with(
+                v, powers, lambda vote, p: F.when(vote > 0, p).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return d.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------
+# Training-data pipeline ops: similarity search over embeddings
+# ---------------------------------------------------------------------
+_COS_DUCK = """
+list_sum(list_transform(generate_series(1,64),
+         j -> cast(a.embedding[j] as double) * cast(b.embedding[j] as double)))
+/ (sqrt(list_sum(list_transform(generate_series(1,64),
+         j -> cast(a.embedding[j] as double)**2)))
+ * sqrt(list_sum(list_transform(generate_series(1,64),
+         j -> cast(b.embedding[j] as double)**2))))
+""".strip()
+
+
+@q(
+    "cosine_topk",
+    f"""
+    with p as (
+      select a.vec_id as q_id, b.vec_id as n_id, {_COS_DUCK} as cos
+      from embeddings a join embeddings b on a.vec_id != b.vec_id
+      where a.vec_id < 20)
+    select q_id, n_id, round(cos, 4) as cos
+    from (select *, row_number() over
+            (partition by q_id order by cos desc, n_id) rn from p)
+    where rn <= 3
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (bitwise-parity dot
+    product; fold order fixed elementwise). Query side broadcast —
+    at scale this is broadcast-queries × partitioned-corpus."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    p = (
+        qs.join(e, F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+@q(
+    "embedding_lsh_buckets",
+    f"""
+    with h as (
+      select vec_id,
+        list_sum(list_transform(generate_series(0, 7), i ->
+          case when list_sum(list_transform(generate_series(1, 64), j ->
+                 cast(embedding[j] as double) *
+                 ((({H60_DUCK.format(x="i || ':' || j")}) % 1000) / 1000.0 - 0.5)))
+               > 0 then (1 << i) else 0 end))::INT as bucket
+      from embeddings)
+    select bucket, count(*) as n_vecs from h group by bucket
+    """,
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH (the ANN scale path): 8 deterministic
+    hash-derived hyperplanes → 8 sign bits → 256 buckets. At 100 TB,
+    neighbor search only probes matching (or near) buckets."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def plane_dot(i):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda j: (
+                        spark_hash60(F.concat(F.lit(f"{i}:"), j.cast("string")))
+                        % 1000
+                    )
+                    / 1000.0
+                    - 0.5,
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0)
+    for i in range(8):
+        bucket = bucket + F.when(plane_dot(i) > 0, F.lit(1 << i)).otherwise(0)
+    return (
+        e.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Param sweep (selthresh analogue) + time-window metrics + set shapes
+# ---------------------------------------------------------------------
+@q(
+    "param_sweep",
+    f"""
+    with grid as (select unnest(generate_series(5, 50, 5)) as t),
+    d as (select len({_TOK_DUCK.format(x='text')}) as n_tok from documents)
+    select t, sum(case when n_tok >= t then 1 else 0 end) as n_docs_kept
+    from grid cross join d group by t
+    """,
+)
+def param_sweep(spark, sf_dir):
+    """selthresh threshold sweep (selthresh:361-430): param grid ×
+    corpus crossJoin → per-param quality metric."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+    grid = spark.range(5, 55, 5).select(F.col("id").cast("bigint").alias("t"))
+    return (
+        F.broadcast(grid)
+        .crossJoin(d)
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("n_tok") >= F.col("t"), 1).otherwise(0)).alias(
+                "n_docs_kept"
+            )
+        )
+    )
+
+
+@q(
+    "events_hourly",
+    """
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') as hour,
+           event_type, count(*) as n, round(sum(value), 2) as total_value
+    from events group by hour, event_type
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch equivalent of the streaming
+    hourly rollup; ≈ incremental daemon metrics, clara.pl:26-44)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    return e.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@q(
+    "anti_join_discard",
+    """
+    select c.c_nationkey as nationkey, count(*) as n_customers
+    from customer c where not exists
+      (select 1 from orders o where o.o_custkey = c.c_custkey)
+    group by c.c_nationkey
+    """,
+)
+def anti_join_discard(spark, sf_dir):
+    """Discard/anti shape (≈ rejection rules, symbol.c:1228-1253):
+    customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "asof_attach",
+    """
+    select event_id,
+           coalesce(cast(date_diff('second', last_click, ts) as bigint), -1)
+             as s_since_click
+    from (select event_id, ts, event_type,
+                 last_value(case when event_type = 'click' then ts end
+                            ignore nulls)
+                   over (partition by user_id order by ts, event_id
+                         rows between unbounded preceding and 1 preceding)
+                   as last_click
+          from events)
+    where event_type = 'error'
+    """,
+)
+def asof_attach(spark, sf_dir):
+    """As-of attachment (≈ accent→base attach via nearest preceding
+    qualifying symbol, build.c:160-236): for each error event, seconds
+    since the user's most recent prior click — window carry-forward,
+    no join."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    # materialize the window column BEFORE filtering: the window must
+    # see the click rows that the error-filter removes
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.col("last_click"))
+    ).cast("bigint")
+    return (
+        e.withColumn("last_click", last_click)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", F.coalesce(gap, F.lit(-1)).alias("s_since_click"))
+    )
+
+
+@q(
+    "rollup_metrics",
+    """
+    select coalesce(lang, '<all>') as lang, coalesce(source, '<all>') as source,
+           count(*) as n, sum(n_chars) as chars
+    from documents group by rollup(lang, source)
+    """,
+)
+def rollup_metrics(spark, sf_dir):
+    """Hierarchical metrics rollup (Catalyst-native grouping sets;
+    absent in the reference — SURVEY §2.4 notes we get it free)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n",
+            "chars",
+        )
+    )
+
+
+@q(
+    "pivot_by_type",
+    """
+    select user_id,
+           coalesce(cast(floor(avg(case when event_type='click'
+             then cast(round(value*100) as bigint) end)) as bigint), -1)
+             as click_cents,
+           coalesce(cast(floor(avg(case when event_type='purchase'
+             then cast(round(value*100) as bigint) end)) as bigint), -1)
+             as purchase_cents,
+           coalesce(cast(floor(avg(case when event_type='error'
+             then cast(round(value*100) as bigint) end)) as bigint), -1)
+             as error_cents
+    from events group by user_id
+    """,
+)
+def pivot_by_type(spark, sf_dir):
+    """Conditional-aggregate pivot (≈ acc_f per-char × flag means,
+    build.c:519-578). Integer-cents arithmetic: avg of identical ints
+    is the same IEEE division in both engines, floor is then exact —
+    no round-half boundary flakiness."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def avg_of(t):
+        return F.coalesce(
+            F.floor(F.avg(F.when(F.col("event_type") == t, cents))).cast("bigint"),
+            F.lit(-1),
+        ).alias(f"{t}_cents")
+
+    return e.groupBy("user_id").agg(
+        avg_of("click"), avg_of("purchase"), avg_of("error")
+    )
+
+
+def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def get_oracle_sql() -> Dict[str, str]:
+    return {
+        name: " ".join(sql.split())
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }
