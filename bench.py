@@ -51,6 +51,9 @@ HEADLINE = [
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# Scaling evidence needs a long-enough job that per-job fixed overhead
+# (~1 s of scheduling/stage setup) is noise at the high core count.
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
 
 
 def _force(df) -> None:
@@ -58,59 +61,99 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def corpus_path() -> str:
+def corpus_path(n: int | None = None) -> str:
     from clara_ocr_spark.sources.corpus import ensure_corpus
 
+    n = n or BENCH_DOCS
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
-    return ensure_corpus(
-        os.path.join(base, f"pages_bench_{BENCH_DOCS}.parquet"), n=BENCH_DOCS
-    )
+    return ensure_corpus(os.path.join(base, f"pages_bench_{n}.parquet"), n=n)
 
 
-def run_extraction(spark, path: str) -> float:
-    """Extraction wall-clock (warm corpus). Returns seconds."""
+def run_extraction(spark, path: str, warmups: int = 2, runs: int = 3) -> float:
+    """Steady-state extraction wall-clock: Python workers/JIT/page
+    cache need several runs to warm at high core counts; a long 100 TB
+    job runs at steady state, so that's what we measure. Returns the
+    median of ``runs`` timed runs after ``warmups`` warm-ups."""
+    import statistics
+
     from clara_ocr_spark.pipeline import extract, read_pages
 
     pages = read_pages(spark, path)
-    t0 = time.time()
-    _force(extract(pages))
-    return time.time() - t0
+    times = []
+    for i in range(warmups + runs):
+        t0 = time.time()
+        _force(extract(pages))
+        if i >= warmups:
+            times.append(time.time() - t0)
+    return statistics.median(times)
 
 
-def extract_only(cores: int) -> None:
+def extract_only(cores: int, n_docs: int | None = None) -> None:
     from clara_ocr_spark.session import get_spark
 
-    path = corpus_path()
+    n_docs = n_docs or BENCH_DOCS
+    path = corpus_path(n_docs)
     spark = get_spark(f"bench-extract-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    run_extraction(spark, path)  # warm-up: JIT, python workers, page cache
     secs = run_extraction(spark, path)
     spark.stop()
-    print(json.dumps({"cores": cores, "docs": BENCH_DOCS, "secs": secs}))
+    print(json.dumps({"cores": cores, "docs": n_docs, "secs": secs}))
+
+
+def raw_ceiling(lo: int, hi: int, n: int = 16000) -> float:
+    """Hardware ceiling: the same parse work as pure multiprocessing
+    with zero data transfer. Sandbox VMs throttle aggregate CPU at
+    high core counts; Spark can't scale better than raw CPython does
+    on the same box, so efficiency is also reported vs this ceiling."""
+    from multiprocessing import Pool
+
+    from clara_ocr_spark.extract_rules import reference_extract
+    from clara_ocr_spark.sources.corpus import gen_page
+
+    def measure(procs: int) -> float:
+        chunks = [(i * n // procs, (i + 1) * n // procs) for i in range(procs)]
+        with Pool(procs) as p:
+            t0 = time.time()
+            p.map(_raw_work, chunks)
+            return n / (time.time() - t0)
+
+    tlo, thi = measure(lo), measure(hi)
+    return (thi / tlo) / (hi / lo)
+
+
+def _raw_work(rng_range):
+    from clara_ocr_spark.extract_rules import reference_extract
+    from clara_ocr_spark.sources.corpus import gen_page
+
+    lo, hi = rng_range
+    return sum(len(reference_extract(gen_page(i)["html"])) for i in range(lo, hi))
 
 
 def scaling(lo: int = 8, hi: int = 32) -> None:
     """Same job, two parallelism levels, separate JVMs → efficiency."""
-    corpus_path()  # build the corpus once, outside the timed runs
+    corpus_path(SCALING_DOCS)  # build the corpus once, outside the timed runs
     res = {}
     for cores in (lo, hi):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-only",
-             "--cores", str(cores)],
+             "--cores", str(cores), "--docs", str(SCALING_DOCS)],
             capture_output=True, text=True, check=True,
         )
         res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-    tlo = BENCH_DOCS / res[lo]["secs"]
-    thi = BENCH_DOCS / res[hi]["secs"]
+    tlo = SCALING_DOCS / res[lo]["secs"]
+    thi = SCALING_DOCS / res[hi]["secs"]
     eff = (thi / tlo) / (hi / lo)
+    ceiling = raw_ceiling(lo, hi)
     print(
         json.dumps(
             {
-                "docs": BENCH_DOCS,
+                "docs": SCALING_DOCS,
                 f"docs_per_sec_local[{lo}]": round(tlo, 1),
                 f"docs_per_sec_local[{hi}]": round(thi, 1),
                 "speedup": round(thi / tlo, 3),
                 "scaling_efficiency": round(eff, 3),
+                "hw_ceiling_efficiency": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(eff / ceiling, 3),
             }
         )
     )
@@ -120,14 +163,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
     args = ap.parse_args()
 
     if args.extract_only:
-        extract_only(args.cores or 8)
+        extract_only(args.cores or 8, args.docs)
         return
     if args.scaling:
-        scaling()
+        scaling(args.lo, args.hi)
         return
 
     from clara_ocr_spark.queries import REGISTRY
@@ -148,7 +194,6 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     path = corpus_path()
-    run_extraction(spark, path)  # warm-up
     ext_secs = run_extraction(spark, path)
     timings["extraction"] = round(ext_secs, 3)
     docs_per_sec = round(BENCH_DOCS / ext_secs, 1)

@@ -18,12 +18,15 @@ from .stages.segment import segment
 def extract(
     pages: DataFrame,
     patterns: DataFrame | None = None,
-    keep_empty: bool = True,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → extracted(url, text)."""
+    """pages(url, warc_ts, html, text, lang) → extracted(url, text).
+
+    Every input url appears in the output (empty docs → ``text=''``)
+    via the segment stage's sentinel rows — one scan, one shuffle,
+    no rejoin against the pages table."""
     blocks = segment(pages)
     labeled = classify(blocks, patterns)
-    return assemble(labeled, pages if keep_empty else None)
+    return assemble(labeled)
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:

@@ -41,5 +41,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local corpora are tiny vs the 128 MB default split size; size
+        # splits so small-file scans still fan out across all cores (on
+        # a real cluster the default is right — override via env).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .getOrCreate()
     )

@@ -164,11 +164,39 @@ def generate_pages(n: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
+SHARD_DOCS = 256  # ≈ one WARC segment; yields many input splits
+
+
+def _write_shard(args) -> None:
+    tmp, shard, lo, hi, seed = args
+    rows = [gen_page(i, seed) for i in range(lo, hi)]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+        os.path.join(tmp, f"part-{shard:05d}.parquet"),
+    )
+
+
 def ensure_corpus(path: str, n: int, seed: int = 42) -> str:
-    """Write the corpus parquet once; cached by path. Returns path."""
+    """Write the corpus once as a DIRECTORY of parquet shards
+    (SHARD_DOCS docs each) — mirrors Common Crawl's many-files layout
+    so the scan parallelizes naturally (a single file caps the parse
+    stage at one task per row-group byte range). Cached by path.
+    Per-doc RNGs make generation order-independent, so shards are
+    written by a process pool."""
     if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
-        pq.write_table(generate_pages(n, seed), tmp, row_group_size=4096)
+        os.makedirs(tmp, exist_ok=True)
+        jobs = [
+            (tmp, shard, lo, min(lo + SHARD_DOCS, n), seed)
+            for shard, lo in enumerate(range(0, n, SHARD_DOCS))
+        ]
+        if len(jobs) > 4:
+            from multiprocessing import Pool
+
+            with Pool(min(16, os.cpu_count() or 4)) as pool:
+                pool.map(_write_shard, jobs)
+        else:
+            for j in jobs:
+                _write_shard(j)
         os.replace(tmp, path)
     return path

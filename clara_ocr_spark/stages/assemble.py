@@ -6,10 +6,13 @@ byte-exact join semantics — single ``\\n`` between non-empty content
 blocks, order (zone asc, pos asc), the ``cmpln`` comparator made a
 strict total order (build.c:389-509 + SURVEY §7 hard-part 2).
 
-Implementation is 100 % JVM-side: ``array_sort(collect_list(struct))``
-gives a deterministic order inside one aggregation (one shuffle on
-url), then ``array_join`` concatenates.  No window, no Python, no
-second shuffle.
+Implementation is 100 % JVM-side and join-free: the segment stage
+emits a sentinel row (pos = -1) per document, so ONE aggregation
+(one shuffle on url) yields every url — documents with zero content
+blocks come out with ``text=''`` (the reference emits an empty page,
+not no page; html.c:2255-2261 skips empty *lines*, not the document).
+``array_sort(collect_list(struct))`` gives a deterministic order
+inside the aggregate; ``array_join`` concatenates.
 """
 
 from __future__ import annotations
@@ -18,32 +21,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..extract_rules import LABEL_CONTENT
+from .segment import SENTINEL_POS
 
 
-def assemble(blocks: DataFrame, pages: DataFrame | None = None) -> DataFrame:
-    """blocks(url, zone, pos, text, label) → extracted(url, text).
-
-    If ``pages`` is given, documents with zero content blocks are kept
-    with ``text=''`` (the reference emits an empty page, not no page —
-    html.c:2255-2261 skips empty *lines*, not the document).
-    """
-    content = blocks.filter(
-        (F.col("label") == LABEL_CONTENT) & (F.col("text") != "")
+def assemble(blocks: DataFrame) -> DataFrame:
+    """blocks(url, zone, pos, text, label) → extracted(url, text)."""
+    kept = blocks.filter(
+        ((F.col("label") == LABEL_CONTENT) & (F.col("text") != ""))
+        | (F.col("pos") == SENTINEL_POS)
     )
-    extracted = content.groupBy("url").agg(
+    # struct field order (zone, pos, text) == sort key (zone, pos);
+    # (zone, pos) is unique per url so text never breaks a tie. The
+    # sentinel sorts first (pos=-1) and is dropped by the text filter.
+    ordered = F.array_sort(F.collect_list(F.struct("zone", "pos", "text")))
+    return kept.groupBy("url").agg(
         F.array_join(
-            # struct field order (zone, pos, text) == sort key (zone, pos);
-            # (zone, pos) is unique per url so text never breaks a tie.
             F.transform(
-                F.array_sort(F.collect_list(F.struct("zone", "pos", "text"))),
+                F.filter(ordered, lambda s: s["text"] != ""),
                 lambda s: s["text"],
             ),
             "\n",
         ).alias("text")
     )
-    if pages is not None:
-        urls = pages.select("url")
-        extracted = urls.join(extracted, "url", "left").select(
-            "url", F.coalesce("text", F.lit("")).alias("text")
-        )
-    return extracted

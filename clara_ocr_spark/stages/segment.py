@@ -45,10 +45,20 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
+#: Sentinel block emitted once per document (pos = -1): guarantees
+#: every url survives to the assembly aggregate even when no real
+#: block exists, without re-joining the pages table (one scan, one
+#: shuffle — the join-free keep-empty design).
+SENTINEL_POS = -1
+
+
 def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+            rows.append(
+                (url, 0, SENTINEL_POS, "", 0, "", 0, 0, 0, 0.0, 0.0, 0.0, 0)
+            )
             for b in parse_blocks(html):
                 ld, pr, sr, nw, _ = block_features(b)
                 rows.append(

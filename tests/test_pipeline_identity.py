@@ -16,7 +16,7 @@ from clara_ocr_spark.pipeline import extract, read_pages
 
 def test_byte_identity_vs_reference(spark, corpus_path):
     pages = read_pages(spark, corpus_path)
-    got = extract(pages)  # keep_empty=True: every url present
+    got = extract(pages)  # sentinel rows: every url present
     joined = (
         pages.select("url", F.col("text").alias("expected"))
         .join(got.withColumnRenamed("text", "actual"), "url", "full")
