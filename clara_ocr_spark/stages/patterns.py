@@ -1,0 +1,77 @@
+"""Pattern library: bootstrap, growth (bf_auto), and the two-pass
+classify structure.
+
+≈ Clara's "book font": ``pdesc`` entries (common.h:937-965), automatic
+pattern insertion for unmatched well-sized symbols (``bf_auto``,
+clara.c:3135-3147, ``update_pattern``) and the PNT1→PNT2 two-pass
+relaxation (symbol.c:4210-4219).
+
+Pattern-library growth during a run is a sequential dependency, so it
+is batched (SURVEY §7 hard-part 3): classify-all with the current
+library → derive new patterns from unmatched blocks as ONE aggregate →
+union into the library → optional second classify pass.  The library
+stays small (distinct tag paths), so it broadcasts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..extract_rules import MIN_TEXT_LEN
+
+PATTERNS_SCHEMA = "fingerprint string, label string, matches bigint"
+
+
+def grow_patterns(
+    labeled_blocks: DataFrame,
+    patterns: DataFrame | None,
+    min_support: int = 3,
+) -> DataFrame:
+    """Derive new patterns from blocks the library did not match.
+
+    A tag path becomes a pattern when it was seen ≥ ``min_support``
+    times on well-sized blocks (≈ sdim gate, clara.c:1557) and its
+    heuristic labels agree by strict majority; the majority label with
+    deterministic tie-break (label asc) is stored.  Returns the grown
+    library (existing entries win on conflict — acts-over-shape
+    precedence)."""
+    candidates = labeled_blocks.filter(
+        F.col("pattern_label").isNull()
+        & (F.col("pos") >= 0)
+        & (F.col("text_len") >= MIN_TEXT_LEN)
+        & (F.col("tag_path") != "")
+    )
+    by_label = candidates.groupBy("tag_path", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = (
+        by_label.groupBy("tag_path")
+        .agg(
+            # majority label, ties broken by label asc: min_by over
+            # (-n, label) is a strict total order
+            F.min_by("label", F.struct((-F.col("n")).alias("neg"), "label")).alias(
+                "label"
+            ),
+            F.sum("n").alias("matches"),
+            F.max("n").alias("top_n"),
+        )
+        .filter((F.col("matches") >= min_support) & (F.col("top_n") * 2 > F.col("matches")))
+        .select(
+            F.col("tag_path").alias("fingerprint"), "label", "matches"
+        )
+    )
+    if patterns is None:
+        return best
+    existing = patterns.select("fingerprint", "label", "matches")
+    new_only = best.join(
+        existing.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    return existing.unionByName(new_only)
+
+
+def bootstrap_patterns(spark, rows: list[tuple[str, str]]) -> DataFrame:
+    """Seed library from (fingerprint, label) pairs (≈ recover_patterns)."""
+    return spark.createDataFrame(
+        [(fp, lb, 0) for fp, lb in rows], PATTERNS_SCHEMA
+    )

@@ -1,0 +1,250 @@
+"""Stage tests: feedback election/apply, doubts, consistency,
+pattern growth, checkpoint/resume, incremental streaming driver."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from clara_ocr_spark.pipeline import extract, read_pages
+from clara_ocr_spark.plans.checkpoint import (
+    append_increment,
+    checkpoint,
+    incremental_delta,
+    resume_or_compute,
+)
+from clara_ocr_spark.stages.classify import classify
+from clara_ocr_spark.stages.consist import (
+    assert_consistent,
+    check_blocks,
+    partition_lineage,
+)
+from clara_ocr_spark.stages.feedback import (
+    ACTS_SCHEMA,
+    apply_feedback,
+    doubts,
+    elect_labels,
+    merge_acts,
+)
+from clara_ocr_spark.stages.patterns import bootstrap_patterns, grow_patterns
+from clara_ocr_spark.stages.segment import segment
+
+TS = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def _acts(spark, rows):
+    return spark.createDataFrame(rows, ACTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark, corpus_path):
+    pages = read_pages(spark, corpus_path)
+    blocks = classify(segment(pages))
+    blocks.cache().count()
+    yield blocks
+    blocks.unpersist()
+
+
+# -- election ---------------------------------------------------------
+
+
+def test_election_privilege_beats_recency(spark):
+    acts = _acts(
+        spark,
+        [
+            (1, "u1", 0, "content", "anon", TS + dt.timedelta(hours=2)),
+            (2, "u1", 0, "boilerplate", "arbiter", TS),
+        ],
+    )
+    got = {(r.url, r.pos): r.elected_label for r in elect_labels(acts).collect()}
+    assert got == {("u1", 0): "boilerplate"}
+
+
+def test_election_recency_within_privilege(spark):
+    acts = _acts(
+        spark,
+        [
+            (1, "u1", 0, "content", "trusted", TS),
+            (2, "u1", 0, "noise", "trusted", TS + dt.timedelta(minutes=1)),
+        ],
+    )
+    got = elect_labels(acts).collect()[0].elected_label
+    assert got == "noise"
+
+
+def test_election_idempotent(spark):
+    acts = _acts(
+        spark,
+        [
+            (i, f"u{i % 3}", i % 2, "content" if i % 2 else "noise",
+             ["anon", "trusted", "arbiter"][i % 3], TS + dt.timedelta(seconds=i))
+            for i in range(20)
+        ],
+    )
+    a = sorted(map(tuple, elect_labels(acts).collect()))
+    b = sorted(map(tuple, elect_labels(acts).collect()))
+    assert a == b
+
+
+def test_apply_feedback_overrides_and_rescores(spark, labeled):
+    one = labeled.filter(
+        (F.col("label") == "content") & (F.col("pos") >= 0)
+    ).select("url", "pos").first()
+    acts = _acts(spark, [(1, one.url, one.pos, "boilerplate", "arbiter", TS)])
+    out = apply_feedback(labeled, acts)
+    row = out.filter((F.col("url") == one.url) & (F.col("pos") == one.pos)).first()
+    assert row.label == "boilerplate" and row.score == 10
+    # extraction changes accordingly: that block's text disappears
+    assert out.count() == labeled.count()
+
+
+def test_merge_acts_existing_wins(spark):
+    old = _acts(spark, [(1, "u1", 0, "content", "arbiter", TS)])
+    new = _acts(
+        spark,
+        [
+            (1, "u1", 0, "noise", "anon", TS),  # same act_id: ignored
+            (2, "u2", 1, "noise", "anon", TS),
+        ],
+    )
+    got = {r.act_id: r.label for r in merge_acts(old, new).collect()}
+    assert got == {1: "content", 2: "noise"}
+
+
+# -- doubts ------------------------------------------------------------
+
+
+def test_doubts_ranked_and_capped(spark, labeled):
+    d = doubts(labeled, max_doubts=25).collect()
+    assert 0 < len(d) <= 25
+    ranks = [r.doubt_rank for r in d]
+    assert ranks == sorted(ranks) == list(range(1, len(d) + 1))
+    scores = [r.score for r in d]
+    assert scores == sorted(scores)  # most uncertain first
+    assert all(r.pos >= 0 for r in d)  # sentinels never surface
+
+
+# -- consistency + lineage ----------------------------------------------
+
+
+def test_consistency_clean_corpus(spark, labeled):
+    assert_consistent(labeled)
+
+
+def test_consistency_catches_violation(spark):
+    bad = spark.createDataFrame(
+        [("u", 0, 5, "x", "weird", 99, 0, "p")],
+        "url string, pos int, zone int, text string, label string, "
+        "score int, link_text_len int, tag_path string",
+    ).withColumn("text_len", F.lit(1))
+    rows = {r.invariant: r.violations for r in check_blocks(bad).collect()}
+    assert rows["bad_label"] == 1 and rows["score_range"] == 1
+
+
+def test_partition_lineage_counts(spark, labeled):
+    lin = partition_lineage(labeled, "run1", "classify")
+    total = lin.agg(F.sum("n_rows")).first()[0]
+    assert total == labeled.count()
+    assert set(lin.columns) >= {"run_id", "stage", "partition_id", "n_rows"}
+
+
+# -- pattern growth (bf_auto) --------------------------------------------
+
+
+def test_grow_patterns_majority_and_growth(spark, labeled):
+    pats = grow_patterns(labeled, None, min_support=5)
+    rows = pats.collect()
+    assert len(rows) > 0
+    assert all(r.matches >= 5 for r in rows)
+    # a known template path must be learned as content
+    by_fp = {r.fingerprint: r.label for r in rows}
+    content_paths = [fp for fp, lb in by_fp.items() if lb == "content"]
+    assert any("main" in fp or "div" in fp for fp in content_paths)
+
+
+def test_grow_patterns_existing_wins(spark, labeled):
+    seed = bootstrap_patterns(spark, [("html/body/main/article/p", "noise")])
+    grown = grow_patterns(labeled, seed, min_support=5)
+    got = {r.fingerprint: r.label for r in grown.collect()}
+    assert got["html/body/main/article/p"] == "noise"  # not overwritten
+
+
+def test_two_pass_classify_stable(spark, corpus_path):
+    """Pass 2 with grown patterns must not change labels the
+    heuristics already assigned (patterns were derived from them)."""
+    pages = read_pages(spark, corpus_path)
+    blocks = segment(pages)
+    p1 = classify(blocks)
+    pats = grow_patterns(p1, None, min_support=3)
+    p2 = classify(blocks, pats)
+    diff = (
+        p1.select("url", "pos", F.col("label").alias("l1"))
+        .join(p2.select("url", "pos", F.col("label").alias("l2")), ["url", "pos"])
+        .filter(F.col("l1") != F.col("l2"))
+        .count()
+    )
+    assert diff == 0
+
+
+# -- checkpoint / resume / incremental ------------------------------------
+
+
+def test_checkpoint_resume(spark, corpus_path, tmp_path):
+    pages = read_pages(spark, corpus_path)
+    path = str(tmp_path / "blocks_ckpt")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return classify(segment(pages))
+
+    a = resume_or_compute(spark, path, compute)
+    b = resume_or_compute(spark, path, compute)
+    assert calls["n"] == 1  # second call resumed from checkpoint
+    assert a.count() == b.count()
+
+
+def test_incremental_delta_and_append(spark, corpus_path, tmp_path):
+    pages = read_pages(spark, corpus_path)
+    out = str(tmp_path / "extracted")
+    first = pages.filter(F.col("url").contains("/p/1"))
+    append_increment(extract(first), out)
+    delta = incremental_delta(pages, out)
+    assert delta.count() == pages.count() - first.count()
+    append_increment(extract(delta), out)
+    done = spark.read.parquet(out)
+    assert done.count() == pages.count()
+    assert done.select("url").distinct().count() == pages.count()
+
+
+def test_streaming_incremental_driver(spark, tmp_path):
+    from clara_ocr_spark.sources.corpus import ensure_corpus
+    from clara_ocr_spark.streaming.incremental import run_incremental
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ensure_corpus(corpus, n=40, seed=9)
+    n1 = run_incremental(spark, corpus, out, ck)
+    assert n1 >= 1
+    got1 = spark.read.parquet(out).count()
+    assert got1 == 40
+    # second invocation: nothing new → no duplicate outputs
+    run_incremental(spark, corpus, out, ck)
+    assert spark.read.parquet(out).count() == 40
+    # new shards arrive → only they are processed
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+    rows = [gen_page(i, seed=77) for i in range(40, 56)]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+        os.path.join(corpus, "part-late.parquet"),
+    )
+    run_incremental(spark, corpus, out, ck)
+    assert spark.read.parquet(out).count() == 56
