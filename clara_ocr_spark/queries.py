@@ -1082,6 +1082,274 @@ def pivot_by_type(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# §2.3/§4 — bounded range join via bucketing (the spatial-window trick)
+# ---------------------------------------------------------------------
+_BANDS = [(0, 0, 2000), (1, 2000, 10000), (2, 10000, 30000), (3, 30000, 80000)]
+
+
+@q(
+    "range_join_bucketed",
+    f"""
+    with bands(band_id, lo, hi) as
+      (values {', '.join(f'({b},{lo},{hi})' for b, lo, hi in _BANDS)})
+    select band_id, count(*) as n, round(sum(l_extendedprice), 2) as total
+    from lineitem join bands
+      on l_extendedprice >= lo and l_extendedprice < hi
+    group by band_id
+    """,
+)
+def range_join_bucketed(spark, sf_dir):
+    """Bounded range join (≈ list_s spatial windowing bounding the
+    candidate set, symbol.c:1049-1062): a naive theta join is
+    O(rows × bands) everywhere; bucketizing the range key turns it
+    into an equi-join — each fact row hits exactly the buckets its
+    band covers. At 100 TB the equi-join shuffles/broadcasts by
+    bucket; the residual predicate is evaluated per candidate only."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bucket_w = 2000
+    rows = []
+    for band_id, lo, hi in _BANDS:
+        for bkt in range(lo // bucket_w, (hi - 1) // bucket_w + 1):
+            rows.append((band_id, lo, hi, bkt))
+    bands = spark.createDataFrame(
+        rows, "band_id int, lo int, hi int, bucket bigint"
+    )
+    fact = li.withColumn(
+        "bucket", F.floor(F.col("l_extendedprice") / bucket_w)
+    )
+    return (
+        fact.join(F.broadcast(bands), "bucket")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi"))
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "exists_semi_join",
+    """
+    select c_mktsegment, count(*) as n_active
+    from customer c where exists
+      (select 1 from orders o where o.o_custkey = c.c_custkey)
+    group by c_mktsegment
+    """,
+)
+def exists_semi_join(spark, sf_dir):
+    """Semi shape (≈ keep-if-any-match rules): customers with orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@q(
+    "set_ops_users",
+    """
+    select
+      (select count(*) from (select user_id from events where event_type='purchase'
+        intersect select user_id from events where event_type='error')) as n_both,
+      (select count(*) from (select user_id from events where event_type='purchase'
+        except select user_id from events where event_type='error')) as n_purchase_only
+    """,
+)
+def set_ops_users(spark, sf_dir):
+    """Set ops (SURVEY §2.6 — absent in the reference as relational
+    ops; Catalyst-native here): purchase∩error and purchase∖error."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = p.intersect(err).count()
+    only = p.exceptAll(err).count()
+    return spark.createDataFrame(
+        [(both, only)], "n_both bigint, n_purchase_only bigint"
+    )
+
+
+@q(
+    "salted_user_stats",
+    """
+    select user_id, count(*) as n, round(sum(value), 2) as total
+    from events group by user_id
+    """,
+)
+def salted_user_stats(spark, sf_dir):
+    """Explicit two-phase salted aggregation (north_rule skew plan):
+    partial agg on (key, salt), merge on key. Identical result to the
+    plain groupBy (the oracle) — the skew-safe formulation for hot
+    keys that AQE's skew handling (joins only) does not cover."""
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+    )
+
+
+@q(
+    "orders_monthly",
+    """
+    select strftime(date_trunc('month', o_orderdate), '%Y-%m') as month,
+           count(*) as n, round(sum(o_totalprice), 2) as revenue
+    from orders group by month
+    """,
+)
+def orders_monthly(spark, sf_dir):
+    """Calendar rollup (time-bucketed metrics table)."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    return o.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@q(
+    "ntile_quartiles",
+    """
+    select q, count(*) as n, round(min(o_totalprice), 2) as lo,
+           round(max(o_totalprice), 2) as hi
+    from (select o_totalprice,
+                 ntile(4) over (order by o_totalprice, o_orderkey) as q
+          from orders)
+    group by q
+    """,
+)
+def ntile_quartiles(spark, sf_dir):
+    """Quantile banding via ntile (doubt-priority binning analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@q(
+    "cube_metrics",
+    """
+    select coalesce(event_type, '<all>') as event_type,
+           coalesce(cast(hour(ts) as varchar), '<all>') as hr,
+           count(*) as n
+    from events group by cube(event_type, hour(ts))
+    """,
+)
+def cube_metrics(spark, sf_dir):
+    """Grouping-set cube (Catalyst-native; SURVEY §2.4 notes the
+    reference lacks it)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "hr_raw", F.hour("ts").cast("string")
+    )
+    return (
+        e.cube("event_type", "hr_raw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("hr_raw", F.lit("<all>")).alias("hr"),
+            "n",
+        )
+    )
+
+
+@q(
+    "regex_extract_props",
+    """
+    select event_type,
+           cast(floor(avg(cast(regexp_extract(props, 'k"?: ?(\\d+)', 1) as bigint)))
+                as bigint) as avg_k
+    from events group by event_type
+    """,
+)
+def regex_extract_props(spark, sf_dir):
+    """Regexp field extraction from a semi-structured column (the
+    tag-soup salvage primitive); floor(avg(int)) is engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'k"?: ?(\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.floor(F.avg(k)).cast("bigint").alias("avg_k")
+    )
+
+
+@q(
+    "user_journey",
+    """
+    select user_id,
+           string_agg(event_type, '>' order by ts, event_id) as journey
+    from (select user_id, event_type, ts, event_id,
+                 row_number() over (partition by user_id order by ts, event_id) rn
+          from events)
+    where rn <= 5 group by user_id
+    """,
+)
+def user_journey(spark, sf_dir):
+    """Ordered per-entity sequence assembly (≈ word building: ordered
+    concat of members, build.c:1020) — first 5 events per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("rn", F.col("event_type").alias("et")))
+    )
+    return first5.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["et"]), ">").alias(
+            "journey"
+        )
+    )
+
+
+@q(
+    "two_pass_match",
+    """
+    select verdict, count(*) as n
+    from (select case when o_totalprice >= 30000 then 'strong'
+                      when o_totalprice >= 5000 then 'weak'
+                      else 'reject' end as verdict
+          from orders)
+    group by verdict
+    """,
+)
+def two_pass_match(spark, sf_dir):
+    """PNT1→PNT2 two-pass relaxation (symbol.c:4210-4219) as filter +
+    union on the residual: pass 1 accepts strong matches; only the
+    residual is re-tested with the relaxed threshold. Structurally the
+    two-pass shape (the oracle is the equivalent single CASE)."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    strong = o.filter(F.col("o_totalprice") >= 30000).select(
+        F.lit("strong").alias("verdict")
+    )
+    residual = o.filter(F.col("o_totalprice") < 30000)
+    weak = residual.filter(F.col("o_totalprice") >= 5000).select(
+        F.lit("weak").alias("verdict")
+    )
+    reject = residual.filter(F.col("o_totalprice") < 5000).select(
+        F.lit("reject").alias("verdict")
+    )
+    return (
+        strong.unionByName(weak)
+        .unionByName(reject)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
