@@ -146,7 +146,12 @@ class _BlockParser(HTMLParser):
             self._flush()
         if tag == "a":
             self.link_depth += 1
-        zone = dict(attrs).get("data-zone")
+        zone = None
+        if attrs:
+            for k, v in attrs:
+                if k == "data-zone":
+                    zone = v
+                    break
         if zone is not None and str(zone).isdigit():
             self.zone_stack.append(int(zone))
         else:

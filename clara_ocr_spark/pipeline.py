@@ -24,7 +24,7 @@ def extract(
     Every input url appears in the output (empty docs → ``text=''``)
     via the segment stage's sentinel rows — one scan, one shuffle,
     no rejoin against the pages table."""
-    blocks = segment(pages)
+    blocks = segment(pages, full_features=False)
     labeled = classify(blocks, patterns)
     return assemble(labeled)
 

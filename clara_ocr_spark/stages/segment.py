@@ -52,45 +52,67 @@ BLOCKS_SCHEMA = StructType(
 SENTINEL_POS = -1
 
 
-def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
-            rows.append(
-                (url, 0, SENTINEL_POS, "", 0, "", 0, 0, 0, 0.0, 0.0, 0.0, 0)
-            )
-            for b in parse_blocks(html):
-                ld, pr, sr, nw, _ = block_features(b)
+def _make_segment_fn(full_features: bool):
+    def _segment_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from ..fastparse import parse_blocks_fast
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 rows.append(
-                    (
-                        url,
-                        b.zone,
-                        b.pos,
-                        b.tag_path,
-                        b.depth,
-                        b.text,
-                        b.text_len,
-                        b.link_text_len,
-                        b.n_runs,
-                        ld,
-                        pr,
-                        sr,
-                        nw,
-                    )
+                    (url, 0, SENTINEL_POS, "", 0, "", 0, 0, 0, 0.0, 0.0, 0.0, 0)
                 )
-        yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+                for b in parse_blocks_fast(html):
+                    if full_features:
+                        ld, pr, sr, nw, _ = block_features(b)
+                    else:
+                        # extraction hot path: only link_density feeds
+                        # the rule chain; text stats are for quality/
+                        # calibration stages
+                        ld = min(b.link_text_len / max(b.text_len, 1), 1.0)
+                        pr = sr = 0.0
+                        nw = 0
+                    rows.append(
+                        (
+                            url,
+                            b.zone,
+                            b.pos,
+                            b.tag_path,
+                            b.depth,
+                            b.text,
+                            b.text_len,
+                            b.link_text_len,
+                            b.n_runs,
+                            ld,
+                            pr,
+                            sr,
+                            nw,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return _segment_batches
 
 
-def segment(pages: DataFrame) -> DataFrame:
+_segment_full = _make_segment_fn(True)
+_segment_min = _make_segment_fn(False)
+
+
+def segment(pages: DataFrame, full_features: bool = True) -> DataFrame:
     """pages(url, html, …) → blocks, one row per segmented block.
 
     Column-prunes to (url, html) before the Python boundary so the
     Arrow transfer ships only what the parser needs (≈ the reference's
     one-scanline-resident memory discipline, pbm2cl.c:36-64).
+
+    ``full_features=False`` skips punct/stopword/word statistics the
+    extraction rule chain never reads (quality/calibration stages want
+    them; the extract() hot path does not).
     """
-    return pages.select("url", "html").mapInPandas(
-        _segment_batches, schema=BLOCKS_SCHEMA
-    )
+    fn = _segment_full if full_features else _segment_min
+    return pages.select("url", "html").mapInPandas(fn, schema=BLOCKS_SCHEMA)
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -1,0 +1,87 @@
+"""Differential tests: fast tokenizer == stdlib-html.parser block
+builder over the whole corpus domain + handcrafted edge cases.
+
+(The clara-tests.c pattern: an independent implementation checked
+against an oracle over an exhaustive input sweep.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clara_ocr_spark.domparse import parse_blocks
+from clara_ocr_spark.fastparse import parse_blocks_fast
+from clara_ocr_spark.sources.corpus import gen_page
+
+
+def _key(b):
+    # n_runs is run-splitting-dependent bookkeeping; every field that
+    # feeds classification/assembly must match exactly
+    return (b.pos, b.zone, b.tag_path, b.depth, b.text, b.link_text_len)
+
+
+def assert_same(html: bytes):
+    slow = [_key(b) for b in parse_blocks(html)]
+    fast = [_key(b) for b in parse_blocks_fast(html)]
+    assert fast == slow, html[:200]
+
+
+@pytest.mark.parametrize("seed", [42, 7, 99])
+def test_differential_corpus(seed):
+    for i in range(400):
+        assert_same(gen_page(i, seed)["html"])
+
+
+EDGES = [
+    b"",
+    b"plain text only",
+    b"<p>a &amp; b &#65; &copy; &unknown; c</p>",
+    b"<p>unterminated <b>bold",
+    b"<div><p>a<p>b</div>after",
+    b"<script>if (a < b && c > d) { x = '<p>'; }</script><p>real</p>",
+    b"<style>p > a { color: red }</style><p>real</p>",
+    b"<!-- comment with <p>fake</p> --><p>real</p>",
+    b"<!DOCTYPE html><?xml pi?><p>x</p>",
+    b"<p class='q\"z' title=\"a>b\">attr quoting</p>",
+    b"<br><br/><hr/><p>voids</p>",
+    b"<P>UPPER case TAGS</P><DIV>d</DIV>",
+    b'<div data-zone="3"><p>zoned</p></div>',
+    b"<div data-zone='2'><p>q</p></div><div data-zone=1><p>r</p></div>",
+    b"<a href='/x'>link <b>bold link</b></a> tail",
+    b"<p>self-close <span/>span after</p>",
+    b"< notatag <p>real</p>",
+    b"<p>a</p>\n\n  \t<p>b</p>",
+    b"<ul><li>one<li>two<li>three</ul>",
+    b"<table><tr><td>c1<td>c2<tr><td>c3</table>",
+    b"<p>trailing open <",
+    b"<p>entity at end &amp",
+    "á<p>café</p>".encode("latin-1"),
+    "<p>café straße</p>".encode("utf-8"),
+    b"<div><div><div><div><p>deep</p></div></div></div></div>",
+    b"</div></p><p>stray closers</p>",
+    b"<p>text</p><script>x</script><p>more</p>",
+    b"<noscript><p>hidden</p></noscript><p>shown</p>",
+]
+
+
+@pytest.mark.parametrize("html", EDGES)
+def test_differential_edges(html):
+    assert_same(html)
+
+
+def test_fast_is_faster():
+    import time
+
+    docs = [gen_page(i)["html"] for i in range(300)]
+    for fn in (parse_blocks, parse_blocks_fast):  # warm
+        for h in docs[:50]:
+            fn(h)
+    t0 = time.time()
+    for h in docs:
+        parse_blocks(h)
+    slow = time.time() - t0
+    t0 = time.time()
+    for h in docs:
+        parse_blocks_fast(h)
+    fast = time.time() - t0
+    assert fast < slow, (fast, slow)
