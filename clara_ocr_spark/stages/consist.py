@@ -31,7 +31,11 @@ BLOCK_INVARIANTS = {
 def check_blocks(blocks: DataFrame) -> DataFrame:
     """One row per invariant with its violation count (0 = healthy)."""
     aggs = [
-        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+        # coalesce: sum over ZERO rows is null (empty incremental
+        # delta must read as 0 violations, not crash the gate)
+        F.coalesce(F.sum(F.when(F.expr(pred), 1).otherwise(0)), F.lit(0)).alias(
+            name
+        )
         for name, pred in BLOCK_INVARIANTS.items()
     ]
     wide = blocks.agg(*aggs)

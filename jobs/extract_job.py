@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline.
+
+Cluster usage (north_rule launch shape):
+
+    scripts/package.sh             # → dist/clara_ocr_spark.zip
+    spark-submit --py-files dist/clara_ocr_spark.zip \\
+        jobs/extract_job.py \\
+        --input  s3://bucket/pages/           \\
+        --output s3://bucket/extracted/       \\
+        --metrics s3://bucket/metrics/        \\
+        --run-id 2026-08-16-a                 \\
+        [--patterns s3://bucket/patterns/]    \\
+        [--acts s3://bucket/acts/]            \\
+        [--incremental]                       \\
+        [--set min_text_len=10 --set link_density_max=0.5]
+
+Local smoke: spark-submit --master local[8] jobs/extract_job.py ...
+
+The job: (optionally) anti-join away already-extracted urls →
+segment → classify (+ pattern broadcast, + feedback overrides) →
+consistency gate → assemble → append output + per-partition lineage
+metrics.  Master/executors come from spark-submit, not from code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.appName("clara-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--run-id", default="adhoc")
+    ap.add_argument("--patterns", default=None)
+    ap.add_argument("--acts", default=None)
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--set", dest="overrides", action="append", default=[])
+    args = ap.parse_args(argv)
+
+    from clara_ocr_spark.config import ExtractConfig
+    from clara_ocr_spark.plans.checkpoint import (
+        append_increment,
+        incremental_delta,
+    )
+    from clara_ocr_spark.stages.assemble import assemble
+    from clara_ocr_spark.stages.classify import classify
+    from clara_ocr_spark.stages.consist import (
+        append_metrics,
+        assert_consistent,
+        partition_lineage,
+    )
+    from clara_ocr_spark.stages.feedback import apply_feedback
+    from clara_ocr_spark.stages.segment import segment
+
+    ExtractConfig.from_args(args.overrides)  # validate overrides early
+    spark = build_session()
+    pages = spark.read.parquet(args.input)
+    if args.incremental:
+        pages = incremental_delta(pages, args.output)
+
+    patterns = (
+        spark.read.parquet(args.patterns) if args.patterns else None
+    )
+    blocks = classify(segment(pages, full_features=False), patterns)
+    if args.acts:
+        blocks = apply_feedback(blocks, spark.read.parquet(args.acts))
+
+    assert_consistent(blocks)  # step_6 gate: fatal on violation
+
+    extracted = assemble(blocks)
+    append_increment(extracted, args.output)
+    if args.metrics:
+        append_metrics(
+            partition_lineage(extracted, args.run_id, "extract"), args.metrics
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

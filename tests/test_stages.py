@@ -248,3 +248,12 @@ def test_streaming_incremental_driver(spark, tmp_path):
     )
     run_incremental(spark, corpus, out, ck)
     assert spark.read.parquet(out).count() == 56
+
+
+def test_consistency_on_empty_frame(spark):
+    """Empty incremental delta: zero violations, not null crash."""
+    from clara_ocr_spark.stages.segment import BLOCKS_SCHEMA
+
+    empty = spark.createDataFrame([], BLOCKS_SCHEMA)
+    labeled = classify(empty)
+    assert_consistent(labeled)  # must not raise
