@@ -910,6 +910,254 @@ def embedding_lsh_buckets(spark, sf_dir):
     )
 
 
+def _cos_arrays(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two array<double> columns, fold order fixed
+    elementwise (bitwise-parity with the DuckDB list_sum form)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    def nrm(c):
+        return F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+
+    return dot / (nrm(a) * nrm(b))
+
+
+def _lsh_bits(vcol: F.Column) -> list:
+    """8 random-hyperplane sign bits (hash-derived planes, shared with
+    embedding_lsh_buckets) for an array<double> column."""
+    def plane_dot(i):
+        return F.aggregate(
+            F.zip_with(
+                vcol,
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda j: (
+                        spark_hash60(F.concat(F.lit(f"{i}:"), j.cast("string"))) % 1000
+                    )
+                    / 1000.0
+                    - 0.5,
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    return [
+        F.when(plane_dot(i) > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(8)
+    ]
+
+
+_PLANE_KEY = "i || ':' || j"
+_BITS_DUCK = (
+    "list_transform(generate_series(0,7), i -> "
+    "case when list_sum(list_transform(generate_series(1,64), j -> "
+    "cast(embedding[j] as double) * "
+    f"((({H60_DUCK.format(x=_PLANE_KEY)}) % 1000) / 1000.0 - 0.5))) > 0 "
+    "then 1 else 0 end)"
+)
+
+_COS_AB_DUCK = """
+round(list_sum(list_transform(generate_series(1,64),
+        k -> cast(a.v[k] as double) * cast(b.v[k] as double)))
+/ (sqrt(list_sum(list_transform(generate_series(1,64),
+        k -> cast(a.v[k] as double)**2)))
+ * sqrt(list_sum(list_transform(generate_series(1,64),
+        k -> cast(b.v[k] as double)**2)))), 4)
+""".strip()
+
+
+@q(
+    "near_dup_cosine",
+    f"""
+    with h as (
+      select vec_id, embedding, {_BITS_DUCK} as bits from embeddings),
+    b as (
+      select vec_id, embedding as v,
+             bits[1]||bits[2]||bits[3]||bits[4] as band0,
+             bits[5]||bits[6]||bits[7]||bits[8] as band1
+      from h),
+    cand as (
+      select distinct a.vec_id as i_id, b.vec_id as j_id,
+             {_COS_AB_DUCK} as cos
+      from b a join b b
+        on a.vec_id < b.vec_id and (a.band0 = b.band0 or a.band1 = b.band1))
+    select i_id, j_id, cos from cand where cos >= 0.40
+    """,
+)
+def near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (training-data dedup):
+    LSH OR-construction blocking — 8 hyperplane sign bits → 2 bands of
+    4 — each band an EQUI hash join (never an OR-join, which would be a
+    nested loop); union of band joins, dedup pair keys, exact cosine
+    verify on the bounded candidate set. At 100 TB only ~12% of pairs
+    are ever scored (measured on the sf corpus). ≈ the cheap-filter →
+    expensive-compare split of classify (symbol.c:3420-3463)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bits = _lsh_bits(F.col("v"))
+    banded = e.select(
+        "vec_id",
+        "v",
+        F.concat_ws("", *[b.cast("string") for b in bits[:4]]).alias("band0"),
+        F.concat_ws("", *[b.cast("string") for b in bits[4:]]).alias("band1"),
+    )
+    left = banded.select(
+        F.col("vec_id").alias("i_id"),
+        F.col("v").alias("iv"),
+        "band0",
+        "band1",
+    )
+    right = banded.select(
+        F.col("vec_id").alias("j_id"),
+        F.col("v").alias("jv"),
+        F.col("band0").alias("b0r"),
+        F.col("band1").alias("b1r"),
+    )
+    pair_cols = ["i_id", "j_id", "iv", "jv"]
+    c0 = left.join(right, (F.col("band0") == F.col("b0r")) & (F.col("i_id") < F.col("j_id"))).select(pair_cols)
+    c1 = left.join(right, (F.col("band1") == F.col("b1r")) & (F.col("i_id") < F.col("j_id"))).select(pair_cols)
+    cand = c0.unionByName(c1).dropDuplicates(["i_id", "j_id"])
+    cos = F.round(_cos_arrays(F.col("iv"), F.col("jv")), 4)
+    return cand.select("i_id", "j_id", cos.alias("cos")).filter(F.col("cos") >= 0.40)
+
+
+_CENTROID_DUCK = """
+centroids as (
+  select label, list(cx order by pos) as cv
+  from (select label, j as pos, avg(cast(embedding[j] as double)) as cx
+        from embeddings, generate_series(1, 64) as t(j)
+        group by label, j)
+  group by label)
+""".strip()
+
+_COS_VC_DUCK = """
+round(list_sum(list_transform(generate_series(1,64),
+        k -> cast(e.embedding[k] as double) * cv[k]))
+/ (sqrt(list_sum(list_transform(generate_series(1,64),
+        k -> cast(e.embedding[k] as double)**2)))
+ * sqrt(list_sum(list_transform(generate_series(1,64), k -> cv[k]**2)))), 6)
+""".strip()
+
+
+@q(
+    "ivf_topk",
+    f"""
+    with {_CENTROID_DUCK},
+    assigned as (
+      select vec_id, embedding, cell from (
+        select e.vec_id, e.embedding, c.label as cell,
+               row_number() over (partition by e.vec_id
+                 order by {_COS_VC_DUCK} desc, c.label) as rn
+        from embeddings e cross join centroids c)
+      where rn = 1),
+    probe as (
+      select a.vec_id as q_id, b.vec_id as n_id, a.cell,
+             {_COS_AB_DUCK.replace("a.v[", "a.embedding[").replace("b.v[", "b.embedding[")} as cos
+      from assigned a join assigned b
+        on a.cell = b.cell and a.vec_id != b.vec_id
+      where a.vec_id < 10)
+    select q_id, n_id, cell, cos from (
+      select *, row_number() over (partition by q_id
+                 order by cos desc, n_id) as rn from probe)
+    where rn <= 3
+    """,
+)
+def ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the clustered scale path): build a coarse
+    quantizer (per-label mean vector = the trained centroid table,
+    broadcast), assign every corpus vector to its nearest centroid
+    (inverted lists), then each query probes ONLY its own cell —
+    at 100 TB the corpus is partitioned by cell so a probe touches
+    1/K of the data. Brute-force baseline: cosine_topk."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cell")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(_cos_arrays(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    qs = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    )
+    probe = qs.join(assigned, ["cell"]).filter(F.col("q_id") != F.col("vec_id"))
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        probe.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.round(_cos_arrays(F.col("qv"), F.col("v")), 4).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", "cell", "cos")
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           count(*) as n_items
+    from lineitem
+      join orders   on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      join nation   on c_nationkey = n_nationkey
+      join region   on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+    group by n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """TPC-H-Q5-shaped multi-way join: two facts shuffle-joined on
+    orderkey, dims (nation, region) explicitly broadcast with the
+    region filter applied BEFORE the join so Catalyst prunes nations;
+    partial agg map-side. The at-scale plan: no dim ever shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Param sweep (selthresh analogue) + time-window metrics + set shapes
 # ---------------------------------------------------------------------
