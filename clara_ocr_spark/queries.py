@@ -968,32 +968,9 @@ round(list_sum(list_transform(generate_series(1,64),
 """.strip()
 
 
-@q(
-    "near_dup_cosine",
-    f"""
-    with h as (
-      select vec_id, embedding, {_BITS_DUCK} as bits from embeddings),
-    b as (
-      select vec_id, embedding as v,
-             bits[1]||bits[2]||bits[3]||bits[4] as band0,
-             bits[5]||bits[6]||bits[7]||bits[8] as band1
-      from h),
-    cand as (
-      select distinct a.vec_id as i_id, b.vec_id as j_id,
-             {_COS_AB_DUCK} as cos
-      from b a join b b
-        on a.vec_id < b.vec_id and (a.band0 = b.band0 or a.band1 = b.band1))
-    select i_id, j_id, cos from cand where cos >= 0.40
-    """,
-)
-def near_dup_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection (training-data dedup):
-    LSH OR-construction blocking — 8 hyperplane sign bits → 2 bands of
-    4 — each band an EQUI hash join (never an OR-join, which would be a
-    nested loop); union of band joins, dedup pair keys, exact cosine
-    verify on the bounded candidate set. At 100 TB only ~12% of pairs
-    are ever scored (measured on the sf corpus). ≈ the cheap-filter →
-    expensive-compare split of classify (symbol.c:3420-3463)."""
+def _near_dup_pairs(spark, sf_dir, tau: float) -> DataFrame:
+    """LSH-blocked candidate pairs with exact cosine ≥ tau (shared by
+    near_dup_cosine and dup_clusters)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1021,7 +998,109 @@ def near_dup_cosine(spark, sf_dir):
     c1 = left.join(right, (F.col("band1") == F.col("b1r")) & (F.col("i_id") < F.col("j_id"))).select(pair_cols)
     cand = c0.unionByName(c1).dropDuplicates(["i_id", "j_id"])
     cos = F.round(_cos_arrays(F.col("iv"), F.col("jv")), 4)
-    return cand.select("i_id", "j_id", cos.alias("cos")).filter(F.col("cos") >= 0.40)
+    return cand.select("i_id", "j_id", cos.alias("cos")).filter(F.col("cos") >= tau)
+
+
+@q(
+    "near_dup_cosine",
+    f"""
+    with h as (
+      select vec_id, embedding, {_BITS_DUCK} as bits from embeddings),
+    b as (
+      select vec_id, embedding as v,
+             bits[1]||bits[2]||bits[3]||bits[4] as band0,
+             bits[5]||bits[6]||bits[7]||bits[8] as band1
+      from h),
+    cand as (
+      select distinct a.vec_id as i_id, b.vec_id as j_id,
+             {_COS_AB_DUCK} as cos
+      from b a join b b
+        on a.vec_id < b.vec_id and (a.band0 = b.band0 or a.band1 = b.band1))
+    select i_id, j_id, cos from cand where cos >= 0.40
+    """,
+)
+def near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (training-data dedup):
+    LSH OR-construction blocking — 8 hyperplane sign bits → 2 bands of
+    4 — each band an EQUI hash join (never an OR-join, which would be a
+    nested loop); union of band joins, dedup pair keys, exact cosine
+    verify on the bounded candidate set. At 100 TB only ~12% of pairs
+    are ever scored (measured on the sf corpus). ≈ the cheap-filter →
+    expensive-compare split of classify (symbol.c:3420-3463)."""
+    return _near_dup_pairs(spark, sf_dir, 0.40)
+
+
+_PAIRS_DUCK_035 = f"""
+h as (
+  select vec_id, embedding, {_BITS_DUCK} as bits from embeddings),
+b as (
+  select vec_id, embedding as v,
+         bits[1]||bits[2]||bits[3]||bits[4] as band0,
+         bits[5]||bits[6]||bits[7]||bits[8] as band1
+  from h),
+cand as (
+  select distinct a.vec_id as i_id, b.vec_id as j_id,
+         {_COS_AB_DUCK} as cos
+  from b a join b b
+    on a.vec_id < b.vec_id and (a.band0 = b.band0 or a.band1 = b.band1)),
+pairs as (select i_id, j_id from cand where cos >= 0.35)
+""".strip()
+
+
+@q(
+    "dup_clusters",
+    f"""
+    with recursive {_PAIRS_DUCK_035},
+    edges as (
+      select i_id as src, j_id as dst from pairs
+      union all
+      select j_id as src, i_id as dst from pairs),
+    nodes as (select distinct src as node from edges),
+    reach(node, root) as (
+      select node, node from nodes
+      union
+      select e.dst, r.root from reach r join edges e on r.node = e.src)
+    select node, min(root) as cluster from reach group by node
+    """,
+)
+def dup_clusters(spark, sf_dir):
+    """Duplicate-cluster assembly: connected components over the
+    near-dup pair graph (min-label propagation to fixpoint — the
+    cross-document generalization of clusterize, pgmblock.c:469-622,
+    which DFSes one page's graph in memory). Each iteration is a
+    distributed join + min-agg; lineage is truncated per iteration
+    with localCheckpoint so the plan stays O(1) at any graph depth.
+    Cluster id = smallest member id (deterministic). Oracle: DuckDB
+    recursive CTE transitive closure."""
+    pairs = _near_dup_pairs(spark, sf_dir, 0.35).select("i_id", "j_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("j_id").alias("i_id"), F.col("i_id").alias("j_id"))
+    ).select(F.col("i_id").alias("src"), F.col("j_id").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster")
+    )
+    for _ in range(32):  # > graph diameter at any sf; exits early on fixpoint
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster").alias("ncluster"))
+        )
+        new = (
+            labels.join(prop, "node", "left")
+            .select("node", F.least("cluster", F.coalesce("ncluster", "cluster")).alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", "cluster")
 
 
 _CENTROID_DUCK = """

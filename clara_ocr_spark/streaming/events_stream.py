@@ -1,0 +1,153 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming engine — its closest analogue is the
+``clara.pl -d`` polling daemon (clara.pl:26-44), mapped to incremental
+batch in ``incremental.py``.  This module provides the *streaming*
+versions of the engine's time-keyed operators for deployments where the
+corpus/event feed arrives continuously:
+
+- ``windowed_event_counts``: event-time tumbling-window aggregation
+  with a watermark for late data (append mode — a window is emitted
+  exactly once, when the watermark passes its end).
+- ``user_sessions_stateful``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user gap-based sessionization
+  (the streaming twin of the batch ``sessionize`` query; word-building
+  analogue build.c:1020-1152), state = (last_ts, n_events, n_sessions)
+  per user, vectorized pandas inside (no per-row Python).
+
+Both run with ``Trigger.AvailableNow`` in tests (drain a static
+directory, then stop), which is also the production catch-up mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_S = 1800  # same 30-min gap as the batch sessionize query
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("last_ts", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet shards."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches per drain
+        .parquet(events_dir)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark.
+    Append-mode-safe: emitted once per closed window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def _session_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running sessionization. Sorts each micro-batch's rows
+    by ts (file source delivers batches in arrival order; within a
+    drain of a static directory this is deterministic), counts gap >
+    SESSION_GAP_S boundaries, carries (last_ts, n_events, n_sessions)
+    across batches, emits the running totals each batch (update mode)."""
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    ts = batch["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+    ts.sort()
+    if state.exists:
+        last_ts, n_events, n_sessions = state.get
+    else:
+        last_ts, n_events, n_sessions = float("-inf"), 0, 0
+    import numpy as np
+
+    prev = np.concatenate(([last_ts], ts[:-1]))
+    n_sessions += int((ts - prev > SESSION_GAP_S).sum())
+    n_events += len(ts)
+    state.update((float(ts[-1]), n_events, n_sessions))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n_events], "n_sessions": [n_sessions]}
+    )
+
+
+def user_sessions_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: gap-based per-user session counts via
+    applyInPandasWithState (arbitrary state, Arrow-batched)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _session_update,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_to_memory(
+    spark: SparkSession, df: DataFrame, name: str, checkpoint: str, output_mode: str
+) -> DataFrame:
+    """Run an availableNow drain into a memory sink; return the sink
+    table. (No-data micro-batches advance the watermark at end-of-drain
+    so append-mode windows flush.)"""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
