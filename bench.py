@@ -48,9 +48,14 @@ HEADLINE = [
     "param_sweep",
     "events_hourly",
     "asof_attach",
+    "near_dup_cosine",
+    "ivf_topk",
+    "revenue_by_nation",
 ]
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# 100k docs: large enough that per-job fixed overhead (~1 s stage
+# setup) is noise and the docs/sec number reflects steady state.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 # Scaling evidence needs a long-enough job that per-job fixed overhead
 # (~1 s of scheduling/stage setup) is noise at the high core count.
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))

@@ -880,29 +880,10 @@ def embedding_lsh_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-
-    def plane_dot(i):
-        return F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(64)),
-                    lambda j: (
-                        spark_hash60(F.concat(F.lit(f"{i}:"), j.cast("string")))
-                        % 1000
-                    )
-                    / 1000.0
-                    - 0.5,
-                ),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    bits = _lsh_bits(F.col("v"))
     bucket = F.lit(0)
-    for i in range(8):
-        bucket = bucket + F.when(plane_dot(i) > 0, F.lit(1 << i)).otherwise(0)
+    for i, b in enumerate(bits):
+        bucket = bucket + b * F.lit(1 << i)
     return (
         e.select(bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
@@ -923,23 +904,25 @@ def _cos_arrays(a: F.Column, b: F.Column) -> F.Column:
     return dot / (nrm(a) * nrm(b))
 
 
+def _plane_weight(i: int, j: int) -> float:
+    """Driver-side constant = the H60_DUCK plane formula: md5-derived
+    pseudo-random weight in [-0.5, 0.5) for plane i, dimension j."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
 def _lsh_bits(vcol: F.Column) -> list:
     """8 random-hyperplane sign bits (hash-derived planes, shared with
-    embedding_lsh_buckets) for an array<double> column."""
+    embedding_lsh_buckets) for an array<double> column. The plane
+    weights are deterministic md5 constants, so they are folded to
+    literal arrays on the driver — no per-row hashing (at 100 TB the
+    hash would otherwise run 512× per row)."""
     def plane_dot(i):
+        weights = F.array(*[F.lit(_plane_weight(i, j)) for j in range(1, 65)])
         return F.aggregate(
-            F.zip_with(
-                vcol,
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(64)),
-                    lambda j: (
-                        spark_hash60(F.concat(F.lit(f"{i}:"), j.cast("string"))) % 1000
-                    )
-                    / 1000.0
-                    - 0.5,
-                ),
-                lambda x, h: x * h,
-            ),
+            F.zip_with(vcol, weights, lambda x, h: x * h),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -975,29 +958,61 @@ def _near_dup_pairs(spark, sf_dir, tau: float) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bits = _lsh_bits(F.col("v"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    # norms computed once per vector, not once per candidate pair
     banded = e.select(
         "vec_id",
         "v",
+        nrm.alias("nrm"),
         F.concat_ws("", *[b.cast("string") for b in bits[:4]]).alias("band0"),
         F.concat_ws("", *[b.cast("string") for b in bits[4:]]).alias("band1"),
     )
-    left = banded.select(
-        F.col("vec_id").alias("i_id"),
-        F.col("v").alias("iv"),
-        "band0",
-        "band1",
-    )
+    # spread the probe side across the cluster — the source is a few
+    # parquet splits, which would cap the band-join fan-out parallelism
+    # (explicit count: AQE would coalesce a small-bytes shuffle even
+    # though each row fans out to ~300 candidate pairs)
+    n_parts = spark.sparkContext.defaultParallelism
+    banded = banded.repartition(n_parts, "vec_id").localCheckpoint(eager=False)
+    # band joins and pair dedup carry ONLY ids — the 64-dim vectors
+    # (the wide payload) never enter the pair shuffle; they re-attach
+    # afterwards by id (early column pruning, the same discipline as
+    # keeping html out of shuffles in the extraction pipeline)
+    left = banded.select(F.col("vec_id").alias("i_id"), "band0", "band1")
     right = banded.select(
         F.col("vec_id").alias("j_id"),
-        F.col("v").alias("jv"),
         F.col("band0").alias("b0r"),
         F.col("band1").alias("b1r"),
     )
-    pair_cols = ["i_id", "j_id", "iv", "jv"]
-    c0 = left.join(right, (F.col("band0") == F.col("b0r")) & (F.col("i_id") < F.col("j_id"))).select(pair_cols)
-    c1 = left.join(right, (F.col("band1") == F.col("b1r")) & (F.col("i_id") < F.col("j_id"))).select(pair_cols)
-    cand = c0.unionByName(c1).dropDuplicates(["i_id", "j_id"])
-    cos = F.round(_cos_arrays(F.col("iv"), F.col("jv")), 4)
+    c0 = left.join(right, (F.col("band0") == F.col("b0r")) & (F.col("i_id") < F.col("j_id"))).select("i_id", "j_id")
+    c1 = left.join(right, (F.col("band1") == F.col("b1r")) & (F.col("i_id") < F.col("j_id"))).select("i_id", "j_id")
+    # explicit fan-out after dedup too: the id-pair bytes are small so
+    # AQE would coalesce, but each row still owes a 64-term dot product
+    # round-robin: a hash repartition on the dedup keys is elided as
+    # redundant and its exchange AQE-coalesced to ~1 task, serializing
+    # the dot-product stage
+    ids = c0.unionByName(c1).dropDuplicates(["i_id", "j_id"]).repartition(n_parts)
+    vecs = banded.select("vec_id", "v", "nrm")
+    cand = ids.join(
+        F.broadcast(
+            vecs.select(F.col("vec_id").alias("i_id"), F.col("v").alias("iv"), F.col("nrm").alias("ni"))
+        ),
+        "i_id",
+    ).join(
+        F.broadcast(
+            vecs.select(F.col("vec_id").alias("j_id"), F.col("v").alias("jv"), F.col("nrm").alias("nj"))
+        ),
+        "j_id",
+    )
+    # explicit 64-term multiply-add: whole-stage-codegen-friendly and
+    # left-to-right like the elementwise fold, so bitwise-identical to
+    # the oracle's list_sum; HOF aggregate here would be interpreted
+    # per element across every candidate pair
+    dot = F.lit(0.0)
+    for k in range(64):
+        dot = dot + F.col("iv")[k] * F.col("jv")[k]
+    cos = F.round(dot / (F.col("ni") * F.col("nj")), 4)
     return cand.select("i_id", "j_id", cos.alias("cos")).filter(F.col("cos") >= tau)
 
 
@@ -1175,11 +1190,17 @@ def ivf_topk(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cell")
+        # both probe sides read the assignment; materialize it once
+        .localCheckpoint(eager=False)
     )
-    qs = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    qs = F.broadcast(
+        assigned.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+        )
     )
-    probe = qs.join(assigned, ["cell"]).filter(F.col("q_id") != F.col("vec_id"))
+    # queries broadcast to the partitioned corpus — each probe scans
+    # only its own cell's inverted list, never a pair shuffle
+    probe = assigned.join(qs, ["cell"]).filter(F.col("q_id") != F.col("vec_id"))
     w_top = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         probe.select(

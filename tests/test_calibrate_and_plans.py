@@ -113,3 +113,33 @@ def test_whole_stage_codegen_in_queries(spark, sf001):
     # "*(n)" prefixes mark whole-stage-codegen'd operators in AQE plans
     assert "*(" in plan
     assert "partial_sum" in plan  # map-side partial aggregation
+
+
+def test_revenue_join_plan_shape(spark, sf001):
+    """Q5 shape: dims broadcast, region filter pushed to scan, no
+    cartesian/nested-loop join anywhere."""
+    df = REGISTRY["revenue_by_nation"][0](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # pushed to the region scan
+
+
+def test_near_dup_plan_no_or_join(spark, sf001):
+    """The LSH OR-construction must compile to two equi hash joins —
+    an OR join condition would be a nested-loop scan of all pairs."""
+    df = REGISTRY["near_dup_cosine"][0](spark, sf001)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_plan_shape(spark, sf001):
+    """Centroid table must broadcast; the only cross join allowed is
+    the 10-row centroid assignment (broadcast NLJ), never a pair scan."""
+    df = REGISTRY["ivf_topk"][0](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
