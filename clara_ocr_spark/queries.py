@@ -1258,6 +1258,33 @@ def revenue_by_nation(spark, sf_dir):
     )
 
 
+@q(
+    "top_suppliers_per_nation",
+    """
+    select n_name, s_name, s_acctbal, rnk from (
+      select n_name, s_name, round(s_acctbal, 2) as s_acctbal,
+             dense_rank() over (partition by n_name
+                                order by s_acctbal desc, s_suppkey) as rnk
+      from supplier join nation on s_nationkey = n_nationkey)
+    where rnk <= 2
+    """,
+)
+def top_suppliers_per_nation(spark, sf_dir):
+    """Grouped top-k with a dimension join (the per-zone best-pattern
+    ranking shape, ≈ cmp_pattern ordering html.c:2292): broadcast the
+    nation dim, dense_rank inside each nation, keep the top 2.
+    Deterministic tie-break on s_suppkey."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "rnk")
+    )
+
+
 # ---------------------------------------------------------------------
 # Param sweep (selthresh analogue) + time-window metrics + set shapes
 # ---------------------------------------------------------------------
