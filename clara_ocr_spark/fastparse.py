@@ -28,15 +28,45 @@ from .domparse import _BlockParser, Block, decode_html
 _RAWTEXT = ("script", "style")
 
 _NAME_RE = re.compile(r"[a-zA-Z][-.a-zA-Z0-9:_]*")
+#: html.parser endtagfind: whitespace allowed around the name
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+#: html.parser tagfind_tolerant name part (relaxed end-tag parsing)
+_TOLERANT_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _ATTR_ZONE_RE = re.compile(
-    r"""data-zone\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*))""", re.I
+    r"""(?<![-\w"'])data-zone\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*))""", re.I
 )
+
+#: chars that may legally follow a start-tag name on the fast path
+_AFTER_NAME = " \t\n\r\f/>"
+
+
+class _OffDomain(Exception):
+    """Raised when the scanner meets markup outside its verified parity
+    domain; parse_blocks_fast then reparses the whole document with the
+    stdlib spec parser (the find_thing adaptive-fallback pattern,
+    pbm2cl.c:717-808 — identical output, slower path, rare input)."""
 
 
 def _parse_events(s: str, p: _BlockParser) -> None:
     n = len(s)
     i = 0
     rawtext_until: str | None = None
+
+    def _eof_resume(start: int) -> int:
+        # html.parser, construct left incomplete at EOF (goahead end=1,
+        # k < 0 branch): emit charref-converted data up to and
+        # including the next '>', else up to the next '<', else one
+        # char — then RESUME parsing from there
+        g = s.find(">", start + 1)
+        if g >= 0:
+            k = g + 1
+        else:
+            k = s.find("<", start + 1)
+            if k < 0:
+                k = start + 1
+        p.handle_data(unescape(s[start:k]))
+        return k
+
     while i < n:
         if rawtext_until is not None:
             # inside <script>/<style>: scan for the literal close tag
@@ -58,29 +88,56 @@ def _parse_events(s: str, p: _BlockParser) -> None:
             p.handle_data(unescape(s[i:lt]))
         nxt = s[lt + 1 : lt + 2]
         if nxt == "!":
+            if s.startswith("<![", lt):
+                raise _OffDomain("marked section")  # <![CDATA[ etc.
             if s.startswith("<!--", lt):
                 end = s.find("-->", lt + 4)
-                i = n if end < 0 else end + 3
+                if end < 0:
+                    i = _eof_resume(lt)
+                    continue
+                i = end + 3
             else:  # doctype / CDATA-ish declaration
                 end = s.find(">", lt)
-                i = n if end < 0 else end + 1
+                if end < 0:
+                    i = _eof_resume(lt)
+                    continue
+                i = end + 1
             continue
         if nxt == "?":  # processing instruction
             end = s.find(">", lt)
-            i = n if end < 0 else end + 1
+            if end < 0:
+                i = _eof_resume(lt)
+                continue
+            i = end + 1
             continue
         if nxt == "/":
-            m = _NAME_RE.match(s, lt + 2)
             end = s.find(">", lt)
-            if m is None or end < 0:
-                # html.parser: bogus end tag swallowed to '>'
-                i = n if end < 0 else end + 1
+            if end < 0:
+                i = _eof_resume(lt)
                 continue
-            p.handle_endtag(m.group(0).lower())
+            m = _ENDTAG_RE.match(s, lt)
+            if m is not None:  # </ name > with optional whitespace
+                p.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            nm = _TOLERANT_NAME_RE.match(s, lt + 2)
+            if nm is not None:
+                # relaxed end tag: take the name, ignore junk to '>'
+                g = s.find(">", nm.end())
+                p.handle_endtag(nm.group(0).lower())
+                i = n if g < 0 else g + 1
+                continue
+            if s.startswith("</>", lt):
+                i = lt + 3
+                continue
+            # bogus comment (</ + non-name): swallowed to '>'
             i = end + 1
             continue
         m = _NAME_RE.match(s, lt + 1)
         if m is None:
+            if lt + 1 >= n:
+                i = _eof_resume(lt)  # lone '<' at EOF
+                continue
             # '<' followed by non-name: literal text (html.parser rule)
             p.handle_data("<")
             i = lt + 1
@@ -89,9 +146,13 @@ def _parse_events(s: str, p: _BlockParser) -> None:
         # find tag end; the quote-aware scan only runs when a quote
         # char actually precedes the candidate '>' (rare fast path)
         e0 = m.end()
+        if e0 < n and s[e0] not in _AFTER_NAME:
+            # html.parser names are tolerant (<b;> is tag "b;")
+            raise _OffDomain("tolerant tag name")
         j = s.find(">", e0)
         if j < 0:
-            break  # unterminated tag at EOF: html.parser buffers/drops it
+            i = _eof_resume(lt)  # unterminated start tag at EOF
+            continue
         if s.find('"', e0, j) != -1 or s.find("'", e0, j) != -1:
             quote = None
             j = e0
@@ -106,13 +167,47 @@ def _parse_events(s: str, p: _BlockParser) -> None:
                     break
                 j += 1
             if j >= n:
-                break
+                # a '>' exists but every one sits inside an unclosed
+                # quote — stdlib's tolerant attr parser does something
+                # messier here (stray-quote attr names); spec parser
+                raise _OffDomain("unclosed quote in start tag")
         attr_src = s[e0:j]
-        self_closing = attr_src.rstrip().endswith("/")
+        self_closing = False
+        if "/" in attr_src or "<" in attr_src:
+            t = attr_src.rstrip()
+            q = None
+            last = len(t) - 1
+            for idx in range(len(t)):
+                c = t[idx]
+                if q is not None:
+                    if c == q:
+                        q = None
+                elif c in "\"'":
+                    q = c
+                elif c == "<":
+                    # unquoted '<' inside a start tag: stdlib folds it
+                    # into an attr name (<b <span/>) — spec parser
+                    raise _OffDomain("angle bracket in start tag")
+                elif c == "/" and idx != last:
+                    # stdlib eats interior slashes as attr separators
+                    # and may even self-close (<b/<span/>); spec parser
+                    raise _OffDomain("interior slash in start tag")
+            if t.endswith("/"):
+                if len(t) == 1 or t[-2] in "\"'":
+                    self_closing = True  # <br/>, <img src="x"/>
+                elif t[-2].isspace():
+                    raise _OffDomain("slash-space start tag")  # <p / >
+                # else <p a=1/> : slash folds into the attr value "1/"
         attrs = []
         if "data-zone" in attr_src:
             zm = _ATTR_ZONE_RE.search(attr_src)
             if zm:
+                prefix = attr_src[: zm.start()]
+                if prefix.count('"') % 2 or prefix.count("'") % 2:
+                    # data-zone text inside another attr's quoted value
+                    raise _OffDomain("quoted data-zone")
+                if "&" in zm.group(0):
+                    raise _OffDomain("entity in data-zone value")
                 attrs.append(
                     ("data-zone", zm.group(1) or zm.group(2) or zm.group(3) or "")
                 )

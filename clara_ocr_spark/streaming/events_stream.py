@@ -94,6 +94,17 @@ def windowed_event_counts(
     )
 
 
+def dedup_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once ingestion: drop replayed event_ids.
+    State is bounded by the watermark — an id older than the watermark
+    can never collide again, so its dedup state is evicted (the
+    streaming twin of the batch `dedup_exact` / new_mc semantics,
+    symbol.c:1407-1427)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def _session_update(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],

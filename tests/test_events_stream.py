@@ -106,3 +106,25 @@ def test_stateful_sessions_match_batch(spark, sf001, events_dir, tmp_path):
     got_map = {r.user_id: (r.n_events, r.n_sessions) for r in final.collect()}
     want_map = {r.user_id: (r.n_events, r.n_sessions) for r in want.collect()}
     assert got_map == want_map
+
+
+def test_streaming_dedup_drops_replays(spark, sf001, tmp_path):
+    """Feed the same shard twice (an at-least-once source replay);
+    the deduped stream must contain each event_id exactly once."""
+    from clara_ocr_spark.streaming.events_stream import dedup_events
+
+    src = tmp_path / "replay_feed"
+    ev = spark.read.parquet(f"{sf001}/events.parquet").limit(500)
+    ev.coalesce(1).write.parquet(str(src / "batch=0"))
+    ev.coalesce(1).write.parquet(str(src / "batch=1"))  # the replay
+    stream = read_events_stream(spark, str(src) + "/batch=*")
+    got = drain_to_memory(
+        spark,
+        dedup_events(stream),
+        "deduped_events",
+        str(tmp_path / "ck3"),
+        output_mode="append",
+    )
+    rows = got.collect()
+    assert len(rows) == 500
+    assert len({r.event_id for r in rows}) == 500

@@ -85,3 +85,24 @@ def test_fast_is_faster():
         parse_blocks_fast(h)
     fast = time.time() - t0
     assert fast < slow, (fast, slow)
+
+
+# -- hypothesis fuzz: random tag soup must parse identically ---------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_soup_piece = st.one_of(
+    st.text(alphabet="ab <>&/=\"'!-;#pdivscriptyle\n\t", max_size=20),
+    st.sampled_from(
+        ["<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
+         "<br>", "<script>", "</script>", "<!--", "-->", "&amp;",
+         "&#65;", "<b>", "</b>", "<li>", "<td>", "<span/>",
+         "<div data-zone=2>", "café", "<P >", "</ P>"]
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_soup_piece, max_size=30))
+def test_differential_fuzz(pieces):
+    assert_same("".join(pieces).encode("utf-8"))
