@@ -797,6 +797,99 @@ def simhash(spark, sf_dir):
     return d.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+_CANON_PAIRS_DUCK = f"""
+t as (select doc_id, {_GRAMS_DUCK} as grams
+      from (select doc_id, {{tok}} as ws from documents)),
+m as (select doc_id,
+       md5(list_aggregate(list_transform(grams, g -> md5(g || ':0')), 'min') ||
+           list_aggregate(list_transform(grams, g -> md5(g || ':1')), 'min')) as band0,
+       md5(list_aggregate(list_transform(grams, g -> md5(g || ':2')), 'min') ||
+           list_aggregate(list_transform(grams, g -> md5(g || ':3')), 'min')) as band1
+      from t),
+bk as (select band0 as bucket, doc_id from m
+       union all
+       select band1 as bucket, doc_id from m),
+cand as (select distinct a.doc_id as i_id, b.doc_id as j_id
+         from bk a join bk b using (bucket) where a.doc_id < b.doc_id),
+ws as (select doc_id, list_distinct(list_sort({{tok}})) as toks from documents),
+pairs as (
+  select i_id, j_id from cand
+    join ws a on a.doc_id = i_id
+    join ws b on b.doc_id = j_id
+  where len(list_intersect(a.toks, b.toks))::double
+        / len(list_distinct(a.toks || b.toks)) >= 0.7)
+""".strip()
+
+
+@q(
+    "dedup_canonicalize",
+    f"""
+    with recursive {_CANON_PAIRS_DUCK.format(tok=_TOK_DUCK.format(x='lower(text)'))},
+    edges as (
+      select i_id as src, j_id as dst from pairs
+      union all
+      select j_id, i_id from pairs),
+    reach(node, root) as (
+      select distinct src, src from edges
+      union
+      select e.dst, r.root from reach r join edges e on r.node = e.src),
+    comp as (select node, min(root) as cluster from reach group by node)
+    select d.doc_id,
+           coalesce(c.cluster, d.doc_id) as canonical_id,
+           (coalesce(c.cluster, d.doc_id) = d.doc_id) as is_canonical
+    from documents d left join comp c on d.doc_id = c.node
+    """,
+)
+def dedup_canonicalize(spark, sf_dir):
+    """The composed 100 TB dedup pipeline in one plan: minhash over
+    word-2-gram shingles → LSH band buckets (shuffle-light candidate
+    generation, only same-signature docs collide) → exact token-set
+    Jaccard verify on the bounded candidate set (cheap-filter →
+    expensive-compare, the classify two-phase split) → connected
+    components (min-label propagation) → canonical election (smallest
+    doc_id per cluster) → every document labeled with its canonical
+    and a keep/drop flag. Oracle: same pipeline in SQL with a
+    recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    sig = _minhash_sig(_grams(toks), 4)
+    bands = _let(
+        sig,
+        lambda s: F.array(
+            F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
+            F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
+        ),
+    )
+    b = d.select("doc_id", F.explode(bands).alias("bucket"))
+    left = b.select(F.col("doc_id").alias("i_id"), "bucket")
+    right = b.select(F.col("doc_id").alias("j_id"), "bucket")
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("i_id") < F.col("j_id"))
+        .select("i_id", "j_id")
+        .dropDuplicates(["i_id", "j_id"])
+    )
+    ws = d.select("doc_id", F.array_distinct(F.array_sort(toks)).alias("toks"))
+    jac = (
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    )
+    pairs = (
+        cand.join(ws.alias("a"), F.col("i_id") == F.col("a.doc_id"))
+        .join(ws.alias("b"), F.col("j_id") == F.col("b.doc_id"))
+        .filter(jac >= 0.7)
+        .select("i_id", "j_id")
+    )
+    comp = _min_label_components(pairs)
+    return d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster", "doc_id").alias("canonical_id"),
+        (F.coalesce("cluster", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Training-data pipeline ops: similarity search over embeddings
 # ---------------------------------------------------------------------
@@ -1088,6 +1181,14 @@ def dup_clusters(spark, sf_dir):
     Cluster id = smallest member id (deterministic). Oracle: DuckDB
     recursive CTE transitive closure."""
     pairs = _near_dup_pairs(spark, sf_dir, 0.35).select("i_id", "j_id")
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Distributed connected components by min-label propagation to
+    fixpoint over undirected pairs (i_id, j_id); returns (node,
+    cluster) with cluster = smallest member id. Lineage truncated per
+    iteration (localCheckpoint) so the plan stays O(1) at any depth."""
     edges = pairs.unionByName(
         pairs.select(F.col("j_id").alias("i_id"), F.col("i_id").alias("j_id"))
     ).select(F.col("i_id").alias("src"), F.col("j_id").alias("dst"))
