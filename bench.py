@@ -192,11 +192,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        df = fn(spark, sf_dir)
-        _force(df)  # warm-up run (scan cache, codegen)
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        _force(fn(spark, sf_dir))  # warm-up run (scan cache, codegen)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: the sandbox VM is noisy
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     path = corpus_path()
     ext_secs = run_extraction(spark, path)
