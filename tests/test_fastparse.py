@@ -106,3 +106,32 @@ _soup_piece = st.one_of(
 @given(st.lists(_soup_piece, max_size=30))
 def test_differential_fuzz(pieces):
     assert_same("".join(pieces).encode("utf-8"))
+
+
+def test_large_document_linear():
+    """Multi-MB documents (they exist at corpus scale) parse linearly
+    and identically on both paths."""
+    import time
+
+    def doc(n):
+        return (
+            b"<html><body>"
+            + b"".join(
+                b'<div><p>para %d tokens here <a href="/x%d">link</a></p></div>'
+                % (i, i)
+                for i in range(n)
+            )
+            + b"</body></html>"
+        )
+
+    big = doc(20000)  # ~1.7 MB
+    t0 = time.time()
+    fast = parse_blocks_fast(big)
+    t1 = time.time() - t0
+    slow = parse_blocks(big)
+    assert [_key(b) for b in fast] == [_key(b) for b in slow]
+    assert len(fast) == 20000
+    t0 = time.time()
+    parse_blocks_fast(doc(80000))  # 4× the bytes
+    t4 = time.time() - t0
+    assert t4 < 10 * t1 + 1.0, (t1, t4)  # superlinear blowup guard
