@@ -1386,6 +1386,37 @@ def top_suppliers_per_nation(spark, sf_dir):
     )
 
 
+@q(
+    "json_props_stats",
+    """
+    select event_type,
+           count(*) as n,
+           sum(cast(json_extract_string(props, '$.k') as bigint)) as k_sum,
+           count(distinct cast(json_extract_string(props, '$.k') as bigint) // 10)
+             as k_decades
+    from events
+    group by event_type
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured payload parsing, JVM-side: from_json with an
+    explicit schema (never a Python UDF) → typed field → aggregate.
+    At 100 TB the JSON parse rides whole-stage codegen next to the
+    scan; schema-on-read keeps the raw string out of the shuffle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return (
+        e.select("event_type", F.col("p.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.countDistinct(F.floor(F.col("k") / 10)).alias("k_decades"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Param sweep (selthresh analogue) + time-window metrics + set shapes
 # ---------------------------------------------------------------------
