@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: .explain("formatted") operator-tree digests
+for the scale-critical queries. Run from the repo root:
+
+    python scripts/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from clara_ocr_spark.pipeline import extract, read_pages  # noqa: E402
+from clara_ocr_spark.queries import REGISTRY  # noqa: E402
+from clara_ocr_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+CORPUS = os.path.join(ROOT, ".data", "pages_300.parquet")
+
+HEADER = """# PLANS — physical plan digests for the scale-critical queries
+
+Auto-generated (`scripts/dump_plans.py`) from `.explain("formatted")`
+at sf0.01. What to look for is noted per plan; the same shapes are
+pinned as assertions in tests/test_calibrate_and_plans.py.
+"""
+
+
+def main() -> None:
+    spark = get_spark("dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def digest(df, keep: int = 40) -> str:
+        s = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = s.split("\n\n")[0]
+        return "\n".join(line.rstrip() for line in tree.splitlines()[:keep])
+
+    out = [HEADER]
+
+    def add(title: str, df, notes: str) -> None:
+        out.append(f"## {title}\n\n{notes}\n\n```\n{digest(df)}\n```\n")
+
+    from clara_ocr_spark.sources.corpus import ensure_corpus
+
+    pages = read_pages(spark, ensure_corpus(CORPUS, n=300))
+    add(
+        "extraction pipeline (extract)",
+        extract(pages),
+        "ONE Exchange total (the url-keyed assemble agg); the only Python\n"
+        "stage is the ArrowEvalPython/MapInPandas parse; html is pruned\n"
+        "before any shuffle.",
+    )
+    add(
+        "revenue_by_nation (TPC-H Q5 shape)",
+        REGISTRY["revenue_by_nation"][0](spark, SF),
+        "Dims broadcast (BroadcastHashJoin), region filter pushed to the\n"
+        "scan (PushedFilters EqualTo(r_name,ASIA)), one Exchange for the agg.",
+    )
+    add(
+        "near_dup_cosine (LSH-blocked embedding dedup)",
+        REGISTRY["near_dup_cosine"][0](spark, SF),
+        "Two EQUI hash joins for the two LSH bands (never an OR nested\n"
+        "loop); pair dedup carries only ids; vectors re-attach by\n"
+        "broadcast; explicit round-robin repartition before the dot stage.",
+    )
+    add(
+        "salted_user_stats (skew-mitigated agg)",
+        REGISTRY["salted_user_stats"][0](spark, SF),
+        "Two-phase aggregate over the salted key then the real key —\n"
+        "hot Zipf keys spread across partitions.",
+    )
+    add(
+        "dedup_canonicalize (composed minhash pipeline)",
+        REGISTRY["dedup_canonicalize"][0](spark, SF),
+        "Band-bucket equi-join candidates, Jaccard verify, then the\n"
+        "label-propagation loop (materialized via localCheckpoint, shown\n"
+        "here as its final-join shape).",
+    )
+    with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
