@@ -146,6 +146,54 @@ def user_sessions_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (typed ValueState, RocksDB-backed;
+    successor to applyInPandasWithState). Same update-mode contract as
+    user_sessions_stateful.
+
+    Requires ``google.protobuf`` on the workers (the TWS state-server
+    protocol) and the RocksDB state store provider; this container
+    lacks protobuf, so the test is skipped here and
+    ``user_sessions_stateful`` is the exercised stateful path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, round(total, 6)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def drain_to_memory(
     spark: SparkSession, df: DataFrame, name: str, checkpoint: str, output_mode: str
 ) -> DataFrame:
