@@ -66,12 +66,17 @@ _PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]«»–—]")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def decode_html(raw: bytes) -> str:
+def decode_html(raw: bytes | None) -> str:
     """UTF-8 strict, Latin-1 fallback (≈ loadpgm format sniffing,
-    pgmblock.c:263-457). Deterministic: Latin-1 never fails."""
+    pgmblock.c:263-457). Deterministic: Latin-1 never fails. A null
+    payload (crawl rows can carry html = NULL) decodes to the empty
+    document — both the pipeline and the reference extractor share
+    this function, so extraction semantics stay identical."""
+    if raw is None:
+        return ""
     try:
         return raw.decode("utf-8")
-    except (UnicodeDecodeError, AttributeError):
+    except UnicodeDecodeError:
         return raw.decode("latin-1")
 
 

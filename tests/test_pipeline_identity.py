@@ -48,3 +48,36 @@ def test_extract_covers_content(spark, corpus_path):
     n = got.count()
     nonempty = got.filter(F.length("text") > 0).count()
     assert nonempty / n > 0.95
+
+
+def test_identity_on_adversarial_rows(spark):
+    """End-to-end identity beyond the corpus domain: null/empty/garbage
+    html, off-domain tag soup (forces the stdlib fallback inside the
+    Spark workers), and fuzz-style fragments all extract byte-identical
+    to the reference extractor. Null html defines the empty document."""
+    import datetime
+
+    from clara_ocr_spark.extract_rules import reference_extract
+    from clara_ocr_spark.streaming.incremental import PAGES_SPARK_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    payloads = [
+        b"",
+        None,
+        b"<p>ok</p>",
+        b"\xff\xfe garbage \x00 bytes <p>x</p>",
+        b"<b;>junk</b;><p>real content paragraph with several words</p>",
+        b"<!--<p><p>",
+        b"<div><p>" + b"word " * 80 + b"</p></div>",
+        b"<p>a</p>" * 500,
+        "<p>café straße — motörhead</p>".encode("utf-8"),
+        b"<a href='/x'>nav nav nav</a>" * 30,
+    ]
+    rows = [
+        (f"u{i}", ts, h, "" if h is None else reference_extract(h), "en")
+        for i, h in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, PAGES_SPARK_SCHEMA)
+    got = {r.url: r.text for r in extract(df).collect()}
+    want = {u: t for u, _, _, t, _ in rows}
+    assert got == want
