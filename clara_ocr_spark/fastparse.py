@@ -155,6 +155,7 @@ def _parse_events(s: str, p: _BlockParser) -> None:
             continue
         if s.find('"', e0, j) != -1 or s.find("'", e0, j) != -1:
             quote = None
+            lastns = ""  # last non-whitespace char outside quotes
             j = e0
             while j < n:
                 c = s[j]
@@ -162,9 +163,17 @@ def _parse_events(s: str, p: _BlockParser) -> None:
                     if c == quote:
                         quote = None
                 elif c in "\"'":
+                    if lastns != "=":
+                        # quote in attr-NAME position: html.parser reads
+                        # it as a literal name char, not a delimiter
+                        raise _OffDomain("quote outside attr value")
                     quote = c
+                    lastns = c
                 elif c == ">":
                     break
+                else:
+                    if not c.isspace():
+                        lastns = c
                 j += 1
             if j >= n:
                 # a '>' exists but every one sits inside an unclosed
