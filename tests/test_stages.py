@@ -257,3 +257,24 @@ def test_consistency_on_empty_frame(spark):
     empty = spark.createDataFrame([], BLOCKS_SCHEMA)
     labeled = classify(empty)
     assert_consistent(labeled)  # must not raise
+
+
+def test_zones_from_geometry_dominant_cluster():
+    """blockfind analogue: the largest depth-proximity cluster is the
+    main zone; outliers (chrome at different tree depth) are zone 1."""
+    from clara_ocr_spark.domparse import parse_blocks
+    from clara_ocr_spark.stages.segment import zones_from_geometry
+
+    html = (
+        b"<body><nav><ul><li><a href='/'>deep nav chrome</a></li></ul></nav>"
+        b"<p>one</p><p>two</p><p>three</p>"
+        b"<footer><div><div><span>deep footer</span></div></div></footer></body>"
+    )
+    blocks = parse_blocks(html)
+    zones = zones_from_geometry(blocks, depth_tol=0)
+    by_zone = {}
+    for b, z in zip(blocks, zones):
+        by_zone.setdefault(z, []).append(b.text)
+    assert by_zone[0] == ["one", "two", "three"]
+    assert all(z == 1 for b, z in zip(blocks, zones) if b.text not in ("one", "two", "three"))
+    assert zones_from_geometry([], 1) == []
