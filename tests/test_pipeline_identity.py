@@ -81,3 +81,27 @@ def test_identity_on_adversarial_rows(spark):
     got = {r.url: r.text for r in extract(df).collect()}
     want = {u: t for u, _, _, t, _ in rows}
     assert got == want
+
+
+def test_committed_goldens(spark, tmp_path):
+    """Byte-identity against COMMITTED goldens (the imre.pbm regression
+    pattern, book.c:982-984): catches coordinated drift of pipeline +
+    reference extractor that runtime comparison cannot."""
+    import json
+    import os
+
+    from clara_ocr_spark.sources.corpus import gen_page
+    from clara_ocr_spark.streaming.incremental import PAGES_SPARK_SCHEMA
+
+    path = os.path.join(os.path.dirname(__file__), "goldens", "extract_seed42_60.json")
+    with open(path) as f:
+        want = {r["url"]: r["text"] for r in json.load(f)}
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    pages = [gen_page(i, seed=42) for i in range(60)]
+    df = spark.createDataFrame(
+        [(p["url"], ts, p["html"], "", "en") for p in pages], PAGES_SPARK_SCHEMA
+    )
+    got = {r.url: r.text for r in extract(df).collect()}
+    assert got == want
