@@ -51,6 +51,9 @@ HEADLINE = [
     "near_dup_cosine",
     "ivf_topk",
     "revenue_by_nation",
+    "top_suppliers_per_nation",
+    "json_props_stats",
+    "dedup_canonicalize",
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

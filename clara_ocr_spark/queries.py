@@ -1185,10 +1185,15 @@ def dup_clusters(spark, sf_dir):
 
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
-    """Distributed connected components by min-label propagation to
-    fixpoint over undirected pairs (i_id, j_id); returns (node,
-    cluster) with cluster = smallest member id. Lineage truncated per
-    iteration (localCheckpoint) so the plan stays O(1) at any depth."""
+    """Distributed connected components over undirected pairs (i_id,
+    j_id); returns (node, cluster) with cluster = smallest member id.
+
+    Each round: (1) neighbor-min propagation, (2) pointer doubling —
+    cluster[node] := cluster[cluster[node]] — which halves the label-
+    chain depth, so rounds = O(log diameter) instead of O(diameter)
+    (a 3k-doc near-dup family converges in ~5 rounds, not ~30).
+    Lineage truncated per round (localCheckpoint) so the plan stays
+    O(1) at any depth."""
     edges = pairs.unionByName(
         pairs.select(F.col("j_id").alias("i_id"), F.col("i_id").alias("j_id"))
     ).select(F.col("i_id").alias("src"), F.col("j_id").alias("dst"))
@@ -1196,16 +1201,29 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster")
     )
-    for _ in range(32):  # > graph diameter at any sf; exits early on fixpoint
+    for _ in range(32):  # backstop; log-depth convergence exits early
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("cluster").alias("ncluster"))
         )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.least("cluster", F.coalesce("ncluster", "cluster")).alias("cluster"),
+        )
+        # pointer doubling: follow the label's own label
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("cluster").alias("pcluster")
+        )
         new = (
-            labels.join(prop, "node", "left")
-            .select("node", F.least("cluster", F.coalesce("ncluster", "cluster")).alias("cluster"))
-            .localCheckpoint(eager=True)
+            stepped.join(parent, stepped["cluster"] == parent["pnode"], "left")
+            .select(
+                "node",
+                F.least("cluster", F.coalesce("pcluster", "cluster")).alias("cluster"),
+            )
+            # lazy: the convergence count below materializes it, so each
+            # round runs ONE job
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
