@@ -19,6 +19,7 @@ class ExtractConfig:
     weak_match: int = 4  # ≈ weak_match[classifier]
     max_doubts: int = 1000  # ≈ max_doubts (common.h:875)
     n_salts: int = 16  # skew-mitigation fan-out
+    classifier: str = "skel"  # engine dispatch ≈ selbc (clara.c:3074-3088)
 
     @classmethod
     def from_args(cls, pairs: list[str]) -> "ExtractConfig":
@@ -29,7 +30,10 @@ class ExtractConfig:
             name, _, value = p.partition("=")
             if name not in types:
                 raise ValueError(f"unknown config var: {name}")
-            kw[name] = (float if types[name] == "float" else int)(value)
+            if types[name] == "str":
+                kw[name] = value
+            else:
+                kw[name] = (float if types[name] == "float" else int)(value)
         return cls(**kw)
 
 
