@@ -18,14 +18,32 @@ from .stages.segment import segment
 def extract(
     pages: DataFrame,
     patterns: DataFrame | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted(url, text).
 
     Every input url appears in the output (empty docs → ``text=''``)
     via the segment stage's sentinel rows — one scan, one shuffle,
-    no rejoin against the pages table."""
-    blocks = segment(pages, full_features=False)
-    labeled = classify(blocks, patterns)
+    no rejoin against the pages table.
+
+    ``engine`` selects a scored comparison engine from
+    ``stages.engines`` (skel/map/pd/shape, ≈ selbc) for the pattern
+    match instead of the default exact-fingerprint equality; the
+    default (None) is the byte-identity reference semantics. Scored
+    engines need the enriched pattern table (``pattern_features``)."""
+    full = engine is not None  # scored engines read the feature columns
+    blocks = segment(pages, full_features=full)
+    if engine is not None and patterns is not None:
+        from .stages.engines import classify_scored
+
+        scored = classify_scored(blocks, patterns, engine=engine)
+        from .stages.classify import heuristic_label, heuristic_score
+
+        labeled = scored.withColumn("label", heuristic_label()).withColumn(
+            "score", heuristic_score()
+        )
+    else:
+        labeled = classify(blocks, patterns)
     return assemble(labeled)
 
 

@@ -88,3 +88,16 @@ def test_map_engine_prefers_closer_features(spark):
 def test_unknown_engine_rejected(spark, blocks, patterns):
     with pytest.raises(ValueError, match="selbc"):
         classify_scored(blocks, patterns, engine="nope")
+
+
+def test_extract_with_engine_end_to_end(spark, corpus_path, patterns):
+    """The scored-engine pipeline variant runs end to end and yields a
+    text for every url (sentinel contract preserved)."""
+    from clara_ocr_spark.pipeline import extract, read_pages
+
+    pages = read_pages(spark, corpus_path)
+    out = extract(pages, patterns=patterns, engine="skel")
+    n_pages = pages.count()
+    rows = out.collect()
+    assert len(rows) == n_pages
+    assert {r.url for r in rows} == {r.url for r in pages.select("url").collect()}
