@@ -278,3 +278,29 @@ def test_zones_from_geometry_dominant_cluster():
     assert by_zone[0] == ["one", "two", "three"]
     assert all(z == 1 for b, z in zip(blocks, zones) if b.text not in ("one", "two", "three"))
     assert zones_from_geometry([], 1) == []
+
+
+def test_per_host_patterns_do_not_leak(spark, labeled):
+    """Per-site libraries (the per-book font): a fingerprint trained on
+    host A must not label pages of host B."""
+    from clara_ocr_spark.stages.patterns import (
+        classify_by_host,
+        grow_patterns_by_host,
+    )
+    from clara_ocr_spark.stages.segment import with_host
+
+    lib = grow_patterns_by_host(labeled, min_support=2)
+    assert lib.count() > 0
+    hosts_per_fp = (
+        lib.groupBy("fingerprint").count().filter("count > 1").count()
+    )
+    out = classify_by_host(with_host(labeled.drop("pattern_label")), lib)
+    hit = out.filter(F.col("pattern_label").isNotNull())
+    assert hit.count() > 0
+    # every hit's (host, tag_path) must exist in the library
+    bad = (
+        hit.select("host", F.col("tag_path").alias("fingerprint"))
+        .join(lib.select("host", "fingerprint"), ["host", "fingerprint"], "left_anti")
+        .count()
+    )
+    assert bad == 0
