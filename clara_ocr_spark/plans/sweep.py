@@ -86,3 +86,37 @@ def best_config(
     if row is None:
         raise ValueError("no config meets the coverage floor")
     return row.cfg_id, row.min_text_len, row.link_density_max
+
+
+def sweep_engines(blocks: DataFrame, patterns: DataFrame) -> DataFrame:
+    """Engine sweep — the ``tune_skel_global`` analogue (skel.c:2006+):
+    run every comparison engine over the same blocks × library and
+    report per-engine quality proxies. Four passes over the candidate
+    set (the engine changes the SCORE expression, so unlike the
+    threshold sweep this cannot ride one crossJoin pass).
+
+    Returns (engine, n_strong, n_weak, n_unmatched, mean_score)."""
+    from ..stages.engines import ENGINES, classify_scored
+
+    outs = []
+    for engine in ENGINES:
+        scored = classify_scored(blocks, patterns, engine=engine).filter(
+            F.col("pos") >= 0
+        )
+        outs.append(
+            scored.agg(
+                F.lit(engine).alias("engine"),
+                F.sum((F.col("match_grade") == "strong").cast("long")).alias(
+                    "n_strong"
+                ),
+                F.sum((F.col("match_grade") == "weak").cast("long")).alias("n_weak"),
+                F.sum(F.col("match_grade").isNull().cast("long")).alias(
+                    "n_unmatched"
+                ),
+                F.round(F.avg("match_score"), 4).alias("mean_score"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--patterns", default=None)
     ap.add_argument("--acts", default=None)
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument(
+        "--engine",
+        default=None,
+        choices=["skel", "map", "pd", "shape"],
+        help="scored comparison engine (selbc analogue); default: exact fingerprint",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
 
@@ -83,7 +89,17 @@ def main(argv: list[str] | None = None) -> None:
     patterns = (
         spark.read.parquet(args.patterns) if args.patterns else None
     )
-    blocks = classify(segment(pages, full_features=False), patterns)
+    if args.engine and patterns is not None:
+        from clara_ocr_spark.stages.classify import heuristic_label, heuristic_score
+        from clara_ocr_spark.stages.engines import classify_scored
+
+        blocks = (
+            classify_scored(segment(pages, full_features=True), patterns, args.engine)
+            .withColumn("label", heuristic_label())
+            .withColumn("score", heuristic_score())
+        )
+    else:
+        blocks = classify(segment(pages, full_features=False), patterns)
     if args.acts:
         blocks = apply_feedback(blocks, spark.read.parquet(args.acts))
 

@@ -56,3 +56,20 @@ def test_best_config_coverage_floor(spark, corpus_path):
     total = swept.filter(F.col("cfg_id") == 0).first().total_content_chars
     cfg_id, m, _ld = best_config(swept, min_coverage_chars=total // 2)
     assert m != 1000  # the keep-nothing degenerate config is rejected
+
+
+def test_engine_sweep(spark, corpus_path):
+    from clara_ocr_spark.pipeline import read_pages
+    from clara_ocr_spark.plans.sweep import sweep_engines
+    from clara_ocr_spark.stages.classify import classify
+    from clara_ocr_spark.stages.engines import ENGINES, pattern_features
+    from clara_ocr_spark.stages.segment import segment
+
+    blocks = segment(read_pages(spark, corpus_path)).localCheckpoint()
+    patterns = pattern_features(classify(blocks))
+    rows = {r.engine: r for r in sweep_engines(blocks, patterns).collect()}
+    assert set(rows) == set(ENGINES)
+    for r in rows.values():
+        assert r.n_strong + r.n_weak + r.n_unmatched > 0
+    # the containment engine must dominate on a self-trained library
+    assert rows["skel"].n_strong >= rows["shape"].n_strong
