@@ -47,5 +47,38 @@ def extract(
     return assemble(labeled)
 
 
+#: PDF magic (first five payload bytes) — JVM-side routing predicate.
+PDF_MAGIC = b"%PDF-"
+
+
+def _is_pdf_col():
+    import pyspark.sql.functions as F
+
+    return F.substring(F.col("html"), 1, 5) == F.lit(PDF_MAGIC)
+
+
+def extract_mixed(
+    pages: DataFrame,
+    patterns: DataFrame | None = None,
+    engine: str | None = None,
+) -> DataFrame:
+    """Mixed-content extraction: PDF payloads (detected JVM-side by the
+    ``%PDF-`` magic in the binary column) go through the geometric
+    layout path (``stages/layout``), everything else through the DOM
+    path.  Both legs end in the same ``extracted(url, text)`` schema,
+    unioned into one plan.
+
+    The routing filter is a pushable column predicate, so each leg
+    scans only its slice; at warehouse scale the capture table would
+    additionally partition by content_type so the filter becomes
+    partition pruning rather than a scan-time predicate (SCALE.md)."""
+    from .stages.layout import extract_pdf
+
+    is_pdf = _is_pdf_col()
+    dom = extract(pages.filter(~is_pdf), patterns, engine)
+    pdf = extract_pdf(pages.filter(is_pdf))
+    return dom.unionByName(pdf)
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)

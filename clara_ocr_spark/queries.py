@@ -1875,6 +1875,198 @@ def two_pass_match(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Geometric layout primitives (stages/layout.py, the PDF leg of the
+# north rule) — the same window algebra the pipeline uses, expressed
+# over a deterministic geometry derived from events so DuckDB can
+# oracle-check it: page = user_id%20, x folded into two x-clusters
+# with a 450-x_end-river between them, y on a 14pt grid.
+# ---------------------------------------------------------------------
+
+#: shared synthetic-geometry derivation (Spark side)
+def _geom_runs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("event_id") * 37) % 700
+    x = (
+        (h % 350) + F.when(h >= 350, F.lit(450)).otherwise(F.lit(0))
+    ).cast("double")
+    return e.select(
+        (F.col("user_id") % 20).alias("page"),
+        x.alias("x"),
+        (x + 20 + (F.col("event_id") % 5) * 10).alias("x_end"),
+        (((F.col("event_id") * 13) % 40) * 14).cast("double").alias("y"),
+        F.concat(F.lit("w"), (F.col("event_id") % 100).cast("string")).alias(
+            "token"
+        ),
+        "event_id",
+    )
+
+
+_GEOM_SQL = """
+    select user_id % 20 as page,
+           cast((((event_id*37) % 700) % 350)
+                + case when ((event_id*37) % 700) >= 350 then 450 else 0 end
+             as double) as x,
+           cast((((event_id*37) % 700) % 350)
+                + case when ((event_id*37) % 700) >= 350 then 450 else 0 end
+                + 20 + (event_id % 5) * 10
+             as double) as x_end,
+           cast(((event_id*13) % 40) * 14 as double) as y,
+           'w' || cast(event_id % 100 as varchar) as token,
+           event_id
+    from events
+"""
+
+
+@q(
+    "layout_lines",
+    f"""
+    with runs as ({_GEOM_SQL}),
+    s as (select page, y,
+                 lag(y) over (partition by page
+                              order by y desc, x, x_end, event_id) as prev_y
+          from runs)
+    select page,
+           sum(case when prev_y is null or prev_y - y > 2.0
+                    then 1 else 0 end) as n_lines,
+           count(*) as n_runs
+    from s group by page
+    """,
+)
+def layout_lines(spark, sf_dir):
+    """Line grouping by vertical sessionization (w_pair,
+    build.c:702-797; stages/layout.group_lines): lag + gap flag +
+    count of line starts per page."""
+    runs = _geom_runs(spark, sf_dir)
+    w = Window.partitionBy("page").orderBy(F.desc("y"), "x", "x_end", "event_id")
+    prev_y = F.lag("y").over(w)
+    new_line = F.when(
+        prev_y.isNull() | (prev_y - F.col("y") > 2.0), 1
+    ).otherwise(0)
+    return (
+        runs.withColumn("nl", new_line)
+        .groupBy("page")
+        .agg(F.sum("nl").alias("n_lines"), F.count(F.lit(1)).alias("n_runs"))
+    )
+
+
+@q(
+    "layout_columns",
+    f"""
+    with runs as ({_GEOM_SQL}),
+    g as (select page, x, x_end,
+                 x - max(x_end) over (partition by page
+                                      order by x, x_end, event_id
+                                      rows between unbounded preceding
+                                               and 1 preceding) as gap,
+                 row_number() over (partition by page
+                                    order by x, x_end, event_id) as rn,
+                 count(*) over (partition by page) as cnt
+          from runs),
+    c as (select page, x, gap,
+                 (gap >= 48.0 and rn - 1 >= 2 and cnt - rn + 1 >= 2) as cand,
+                 row_number() over (partition by page
+                                    order by case when gap >= 48.0
+                                                   and rn - 1 >= 2
+                                                   and cnt - rn + 1 >= 2
+                                              then 1 else 0 end desc,
+                                             gap desc nulls last, x asc) as rn2
+          from g)
+    select page,
+           case when cand then round(x, 2) else -1.0 end as split_x,
+           case when cand then round(gap, 2) else -1.0 end as river
+    from c where rn2 = 1
+    """,
+)
+def layout_columns(spark, sf_dir):
+    """Column-split detection (blockfind/vlines2, pgmblock.c:801-942;
+    stages/layout.assign_zones): widest white river ≥ 48 with ≥ 2 runs
+    per side; -1 when the page is single-column."""
+    runs = _geom_runs(spark, sf_dir)
+    w_page = Window.partitionBy("page")
+    w1 = w_page.orderBy("x", "x_end", "event_id")
+    prefix_end = F.max("x_end").over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rn = F.row_number().over(w1)
+    cnt = F.count(F.lit(1)).over(
+        w_page.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    gap = (F.col("x") - prefix_end).alias("gap")
+    g = runs.select("page", "x", "x_end", "event_id", gap, rn.alias("rn"), cnt.alias("cnt"))
+    cand = (
+        (F.col("gap") >= 48.0)
+        & (F.col("rn") - 1 >= 2)
+        & (F.col("cnt") - F.col("rn") + 1 >= 2)
+    )
+    w2 = Window.partitionBy("page").orderBy(
+        F.desc(F.when(cand, 1).otherwise(0)),
+        F.desc_nulls_last("gap"),
+        F.asc("x"),
+    )
+    return (
+        g.withColumn("cand", cand)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)
+        .select(
+            "page",
+            F.when(F.col("cand"), F.round("x", 2))
+            .otherwise(F.lit(-1.0))
+            .alias("split_x"),
+            F.when(F.col("cand"), F.round("gap", 2))
+            .otherwise(F.lit(-1.0))
+            .alias("river"),
+        )
+    )
+
+
+@q(
+    "layout_line_text",
+    f"""
+    with runs as ({_GEOM_SQL}),
+    p as (select page, y, x, x_end, event_id, token,
+                 lag(x_end) over (partition by page, y
+                                  order by x, x_end, event_id) as prev_end
+          from runs where page < 5),
+    j as (select page, y, x, x_end, event_id,
+                 case when prev_end is null or x - prev_end <= 1.0
+                      then token else ' ' || token end as piece
+          from p)
+    select page, y,
+           string_agg(piece, '' order by x, x_end, event_id) as line_text
+    from j group by page, y
+    """,
+)
+def layout_line_text(spark, sf_dir):
+    """Word joining inside a line (s_pair + the no-space kerning rule,
+    symbol.c:956-1030; stages/layout.join_words): gap ≤ 1.0 → kerning
+    split joined bare, else a single space — ordered string assembly
+    per (page, line)."""
+    runs = _geom_runs(spark, sf_dir).filter(F.col("page") < 5)
+    w = Window.partitionBy("page", "y").orderBy("x", "x_end", "event_id")
+    prev_end = F.lag("x_end").over(w)
+    piece = F.when(
+        prev_end.isNull() | (F.col("x") - prev_end <= 1.0), F.col("token")
+    ).otherwise(F.concat(F.lit(" "), F.col("token")))
+    return (
+        runs.withColumn("piece", piece)
+        .groupBy("page", "y")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("x", "x_end", "event_id", "piece")
+                        )
+                    ),
+                    lambda s: s["piece"],
+                ),
+                "",
+            ).alias("line_text")
+        )
+    )
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

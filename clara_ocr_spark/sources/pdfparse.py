@@ -1,0 +1,400 @@
+"""Minimal deterministic PDF text-layout parser (the "PDF/layout
+parse" leg of the north rule).
+
+This is the geometric cousin of ``domparse``: where HTML gives us tree
+order for free, a PDF page is exactly Clara's problem — positioned
+glyph runs on a canvas that must be re-segmented into columns, lines
+and words before reading-order text exists.  The run model below maps
+1:1 onto the reference's entities:
+
+* text-show run ≈ closure (``cldesc`` bbox + payload, common.h:530-539);
+* word joining by horizontal gap ≈ ``s_pair`` distance test
+  (symbol.c:956-1030);
+* line grouping by vertical tolerance ≈ ``w_pair`` (build.c:702-797);
+* column split at the widest white river ≈ ``blockfind``/``vlines2``
+  vertical-separator detection (pgmblock.c:801-942, 1108-1271);
+* reading order (zone, y desc, x) ≈ ``cmpln`` made a strict total
+  order (build.c:389-509).
+
+Scope: the deterministic PDF 1.4 subset our synthetic corpus emits
+plus the common text operators (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/TJ/'),
+literal + hex strings with escapes, optional FlateDecode streams
+(stdlib zlib).  Page association is stream order (one text content
+stream per page); full page-tree walking is out of scope and
+documented here.  All geometry is rounded to 2 decimals at the parse
+boundary so the single-node reference extractor and the Spark plan
+compare identical doubles (IEEE754 both sides).
+
+``pdf_reference_extract`` is the single-node oracle whose output the
+distributed layout stage (``stages/layout.py``) must reproduce
+byte-identically — same contract as ``extract_rules.reference_extract``
+for the DOM path (SURVEY §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import List, NamedTuple, Optional, Tuple
+
+# -- tunables (≈ the m_* magic numbers, build.c:62-79) ---------------------
+CHAR_W = 0.5  #: average glyph advance as a fraction of font size
+LINE_TOL = 2.0  #: max |Δy| between runs of one line (≈ w_pair vertical test)
+KERN_TOL = 1.0  #: gaps ≤ this are kerning splits, joined without a space
+COL_GAP = 48.0  #: min white-river width for a column split (≈ vlines2)
+MIN_SIDE_RUNS = 2  #: runs required on each side of a split candidate
+NOSPACE_BEFORE = frozenset(".,;:!?)]»")  #: ≈ DOT/COMMA rule html.c:2069-2083
+
+PDF_MAGIC = b"%PDF-"
+
+
+class Run(NamedTuple):
+    """One positioned text run (the PDF closure)."""
+
+    page: int
+    x: float
+    x_end: float
+    y: float
+    size: float
+    text: str
+
+
+def is_pdf(raw: Optional[bytes]) -> bool:
+    return bool(raw) and bytes(raw[:5]) == PDF_MAGIC
+
+
+# -- content-stream tokenizer ---------------------------------------------
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+_ESCAPES = {
+    ord("n"): "\n",
+    ord("r"): "\r",
+    ord("t"): "\t",
+    ord("b"): "\b",
+    ord("f"): "\f",
+    ord("("): "(",
+    ord(")"): ")",
+    ord("\\"): "\\",
+}
+
+
+def _decode_streams(raw: bytes) -> List[bytes]:
+    """All decoded stream payloads, in file order (page order for the
+    supported one-content-stream-per-page subset)."""
+    out = []
+    for m in _STREAM_RE.finditer(raw):
+        params, data = m.group(1), m.group(2)
+        if b"FlateDecode" in params:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue  # corrupt stream: skip, keep the rest of the doc
+        out.append(data)
+    return out
+
+
+def _lit_string(buf: bytes, i: int) -> Tuple[str, int]:
+    """Parse a ``(…)`` literal string starting at ``buf[i] == '('``."""
+    depth, i = 1, i + 1
+    chars: List[str] = []
+    n = len(buf)
+    while i < n and depth:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in _ESCAPES:
+                chars.append(_ESCAPES[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = []
+                while i < n and len(oct_digits) < 3 and 0x30 <= buf[i] <= 0x37:
+                    oct_digits.append(buf[i] - 0x30)
+                    i += 1
+                v = 0
+                for d in oct_digits:
+                    v = v * 8 + d
+                chars.append(chr(v & 0xFF))
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                chars.append(chr(e))
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            chars.append("(")
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                chars.append(")")
+            i += 1
+        else:
+            chars.append(chr(c))
+            i += 1
+    return "".join(chars), i
+
+
+def _hex_string(buf: bytes, i: int) -> Tuple[str, int]:
+    """Parse a ``<…>`` hex string starting at ``buf[i] == '<'``."""
+    i += 1
+    digits: List[str] = []
+    n = len(buf)
+    while i < n and buf[i] != 0x3E:  # >
+        c = chr(buf[i])
+        if c in "0123456789abcdefABCDEF":
+            digits.append(c)
+        i += 1
+    if len(digits) % 2:
+        digits.append("0")
+    text = "".join(
+        chr(int(digits[k] + digits[k + 1], 16)) for k in range(0, len(digits), 2)
+    )
+    return text, i + 1
+
+
+def _tokens(buf: bytes):
+    """Yield ('str', s) | ('num', f) | ('name', s) | ('op', s) | ('mark', s)."""
+    i, n = 0, len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            while i < n and buf[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c == 0x28:  # (
+            s, i = _lit_string(buf, i)
+            yield "str", s
+        elif c == 0x3C:  # < — hex string or << dict
+            if i + 1 < n and buf[i + 1] == 0x3C:
+                yield "mark", "<<"
+                i += 2
+            else:
+                s, i = _hex_string(buf, i)
+                yield "str", s
+        elif c == 0x3E and i + 1 < n and buf[i + 1] == 0x3E:
+            yield "mark", ">>"
+            i += 2
+        elif c in b"[]":
+            yield "mark", chr(c)
+            i += 1
+        elif c == 0x2F:  # /Name
+            j = i + 1
+            while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
+                j += 1
+            yield "name", buf[i + 1 : j].decode("latin-1")
+            i = j
+        elif c in b"+-.0123456789":
+            j = i + 1
+            while j < n and buf[j] in b"+-.0123456789eE":
+                j += 1
+            try:
+                yield "num", float(buf[i:j])
+            except ValueError:
+                pass
+            i = j
+        else:
+            j = i + 1
+            while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
+                j += 1
+            yield "op", buf[i:j].decode("latin-1")
+            i = j
+
+
+def _run_width(text: str, size: float) -> float:
+    return CHAR_W * size * len(text)
+
+
+def _page_runs(stream: bytes, page: int) -> List[Run]:
+    """Interpret one content stream's text operators into runs.
+
+    Positioning model: translation components only (e, f) of the text
+    matrix — the supported subset never scales or rotates text (Tm is
+    accepted, its translation used).  Tj/TJ advance ``e`` by the
+    deterministic width model; TJ numeric elements apply the standard
+    −n/1000·size adjustment (kerning splits smaller than KERN_TOL are
+    re-joined without a space downstream).
+    """
+    runs: List[Run] = []
+    stack: List = []  # operand stack (nums / strings / TJ arrays)
+    arr: Optional[List] = None
+    size = 12.0
+    leading = 0.0
+    ex = ey = 0.0  # text-line matrix translation
+    cx = cy = 0.0  # current text matrix translation
+    in_text = False
+
+    def show(s: str) -> None:
+        nonlocal cx
+        if not in_text:
+            return
+        w = _run_width(s, size)
+        if s:
+            runs.append(
+                Run(page, round(cx, 2), round(cx + w, 2), round(cy, 2), size, s)
+            )
+        cx += w
+
+    for kind, val in _tokens(stream):
+        if kind in ("str", "num"):
+            (arr if arr is not None else stack).append(val)
+        elif kind == "name":
+            stack.append(val)
+        elif kind == "mark":
+            if val == "[":
+                arr = []
+            elif val == "]":
+                stack.append(arr if arr is not None else [])
+                arr = None
+            # << >> dict markers inside content are ignored
+        else:  # operator
+            op = val
+            if op == "BT":
+                in_text = True
+                ex = ey = cx = cy = 0.0
+            elif op == "ET":
+                in_text = False
+            elif op == "Tf" and stack:
+                size = float(stack[-1])
+            elif op == "TL" and stack:
+                leading = float(stack[-1])
+            elif op == "Td" and len(stack) >= 2:
+                ex += float(stack[-2])
+                ey += float(stack[-1])
+                cx, cy = ex, ey
+            elif op == "TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                ex += float(stack[-2])
+                ey += float(stack[-1])
+                cx, cy = ex, ey
+            elif op == "Tm" and len(stack) >= 6:
+                ex, ey = float(stack[-2]), float(stack[-1])
+                cx, cy = ex, ey
+            elif op == "T*":
+                ey -= leading
+                cx, cy = ex, ey
+            elif op == "Tj" and stack and isinstance(stack[-1], str):
+                show(stack[-1])
+            elif op == "'" and stack and isinstance(stack[-1], str):
+                ey -= leading
+                cx, cy = ex, ey
+                show(stack[-1])
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, str):
+                        show(el)
+                    else:
+                        cx -= float(el) / 1000.0 * size
+            stack.clear()
+    return runs
+
+
+def parse_pdf_runs(raw: Optional[bytes]) -> List[Run]:
+    """PDF bytes → positioned text runs (page in stream order).
+
+    Non-PDF / empty / corrupt input → no runs (the adaptive-fallback
+    discipline of ``find_thing``/``spyhole``, pbm2cl.c:717-808: a page
+    that cannot be read yields an empty page, never an error)."""
+    if not is_pdf(raw):
+        return []
+    runs: List[Run] = []
+    page = 0
+    for stream in _decode_streams(bytes(raw)):
+        page_runs = _page_runs(stream, page)
+        if page_runs:
+            page += 1
+            runs.extend(page_runs)
+    return runs
+
+
+# -- single-node geometric assembly (the byte-identity oracle) ------------
+
+
+def column_split(page_runs: List[Run]) -> Optional[float]:
+    """Widest white river ≥ COL_GAP with ≥ MIN_SIDE_RUNS runs per side
+    (≈ vlines2 separator detection).  Returns the x of the right
+    column's first run, or None.  Tie → smallest split x."""
+    rs = sorted(page_runs, key=lambda r: (r.x, r.x_end, r.text, r.y))
+    n = len(rs)
+    best: Optional[Tuple[float, float]] = None  # (gap, -x)
+    prefix_end = None
+    for i, r in enumerate(rs):
+        if prefix_end is not None:
+            gap = r.x - prefix_end
+            if (
+                gap >= COL_GAP
+                and i >= MIN_SIDE_RUNS
+                and n - i >= MIN_SIDE_RUNS
+            ):
+                cand = (gap, -r.x)
+                if best is None or cand > best:
+                    best = cand
+        prefix_end = r.x_end if prefix_end is None else max(prefix_end, r.x_end)
+    return None if best is None else -best[1]
+
+
+def group_lines(zone_runs: List[Run]) -> List[List[Run]]:
+    """Chain runs into lines: sorted by (y desc, x, x_end, text), a new
+    line starts when the vertical step exceeds LINE_TOL (transitive
+    chaining, same as the reference's pairing)."""
+    rs = sorted(zone_runs, key=lambda r: (-r.y, r.x, r.x_end, r.text))
+    lines: List[List[Run]] = []
+    prev_y: Optional[float] = None
+    for r in rs:
+        if prev_y is None or prev_y - r.y > LINE_TOL:
+            lines.append([])
+        lines[-1].append(r)
+        prev_y = r.y
+    return lines
+
+
+def join_words(line: List[Run]) -> str:
+    """x-order join: space unless the gap is a kerning split (≤
+    KERN_TOL) or the run starts with attaching punctuation
+    (≈ mk_page_output's no-space-before DOT/COMMA, html.c:2069-2083)."""
+    rs = sorted(line, key=lambda r: (r.x, r.x_end, r.text))
+    parts: List[str] = []
+    prev_end: Optional[float] = None
+    for r in rs:
+        if prev_end is not None:
+            gap = r.x - prev_end
+            if gap > KERN_TOL and (not r.text or r.text[0] not in NOSPACE_BEFORE):
+                parts.append(" ")
+        parts.append(r.text)
+        prev_end = r.x_end
+    return "".join(parts)
+
+
+def pdf_reference_extract(raw: Optional[bytes]) -> str:
+    """PDF bytes → reading-order text (single-node oracle).
+
+    Order: page asc, zone asc (left column first), line y desc, run x
+    asc; lines joined by ``\\n``; empty lines skipped (html.c:2255-2261
+    analogue); no runs → ``''``."""
+    runs = parse_pdf_runs(raw)
+    if not runs:
+        return ""
+    pages = sorted({r.page for r in runs})
+    out: List[str] = []
+    for p in pages:
+        prs = [r for r in runs if r.page == p]
+        split = column_split(prs)
+        zones = [
+            [r for r in prs if split is None or r.x < split],
+            [] if split is None else [r for r in prs if r.x >= split],
+        ]
+        for zr in zones:
+            for line in group_lines(zr):
+                text = join_words(line)
+                if text:
+                    out.append(text)
+    return "\n".join(out)

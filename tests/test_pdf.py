@@ -1,0 +1,303 @@
+"""PDF layout-parse leg: tokenizer, geometric assembly, byte-identity.
+
+Mirrors the reference's test apparatus (SURVEY §5): table-driven unit
+cases for the scalar primitives (≈ clara-tests.c intersize/ldist
+tables), golden end-to-end fixtures (≈ imre.pbm), and a differential
+oracle — the single-node ``pdf_reference_extract`` pins the Spark
+layout stage byte-for-byte, while generator-side expected text pins
+``pdf_reference_extract`` itself (three independent derivations of
+the same string)."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pyarrow as pa
+import pytest
+
+from clara_ocr_spark.sources import pdfgen
+from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+from clara_ocr_spark.sources.pdfgen import build_pdf, gen_pdf_page
+from clara_ocr_spark.sources.pdfparse import (
+    Run,
+    column_split,
+    group_lines,
+    is_pdf,
+    join_words,
+    parse_pdf_runs,
+    pdf_reference_extract,
+)
+
+
+def _mk_pdf(content: bytes) -> bytes:
+    """Wrap a single raw content stream in a minimal valid PDF
+    (Random(0) draws > 0.5 first, so the stream stays uncompressed)."""
+    return pdfgen._assemble_pdf([content], random.Random(0))
+
+
+def _runs(content: str) -> list:
+    return parse_pdf_runs(_mk_pdf(content.encode("latin-1")))
+
+
+# -- tokenizer -------------------------------------------------------------
+
+
+class TestTokenizer:
+    def test_simple_tj(self):
+        rs = _runs("BT /F1 12 Tf 72 700 Td (Hello) Tj ET")
+        assert len(rs) == 1
+        r = rs[0]
+        assert (r.text, r.x, r.y, r.size) == ("Hello", 72.0, 700.0, 12.0)
+        assert r.x_end == 72.0 + 0.5 * 12 * 5
+
+    def test_escapes(self):
+        rs = _runs(r"BT 72 700 Td (a\(b\)c\\d) Tj ET")
+        assert rs[0].text == "a(b)c\\d"
+
+    def test_octal_escape(self):
+        rs = _runs(r"BT 72 700 Td (\101\102\103) Tj ET")
+        assert rs[0].text == "ABC"
+
+    def test_nested_parens(self):
+        rs = _runs("BT 72 700 Td (a(b)c) Tj ET")
+        assert rs[0].text == "a(b)c"
+
+    def test_hex_string(self):
+        rs = _runs("BT 72 700 Td <48656c6c6f> Tj ET")
+        assert rs[0].text == "Hello"
+
+    def test_hex_odd_padded(self):
+        # odd digit count pads a trailing 0: 0x40 = '@'
+        rs = _runs("BT 72 700 Td <4> Tj ET")
+        assert rs[0].text == "@"
+
+    def test_tj_array_kerning(self):
+        rs = _runs("BT /F1 10 Tf 72 700 Td [(Hel) 0 (lo)] TJ ET")
+        assert [r.text for r in rs] == ["Hel", "lo"]
+        # zero adjustment: second run starts where the first ended
+        assert rs[1].x == rs[0].x_end
+
+    def test_tj_numeric_adjustment(self):
+        rs = _runs("BT /F1 10 Tf 72 700 Td [(a) -100 (b)] TJ ET")
+        # -(-100)/1000 * 10 = +1.0 extra advance
+        assert rs[1].x == pytest.approx(rs[0].x_end + 1.0)
+
+    def test_tm_positioning(self):
+        rs = _runs("BT /F1 12 Tf 1 0 0 1 100 650 Tm (X) Tj ET")
+        assert (rs[0].x, rs[0].y) == (100.0, 650.0)
+
+    def test_td_accumulates(self):
+        rs = _runs("BT 72 700 Td (a) Tj 0 -14 Td (b) Tj ET")
+        assert [(r.x, r.y) for r in rs] == [(72.0, 700.0), (72.0, 686.0)]
+
+    def test_tstar_and_quote(self):
+        rs = _runs("BT /F1 12 Tf 14 TL 72 700 Td (a) Tj T* (b) Tj (c) ' ET")
+        assert [(r.text, r.y) for r in rs] == [
+            ("a", 700.0),
+            ("b", 686.0),
+            ("c", 672.0),
+        ]
+
+    def test_td_sets_leading(self):
+        rs = _runs("BT 72 700 Td (a) Tj 0 -20 TD (b) Tj (c) ' ET")
+        assert [(r.text, r.y) for r in rs] == [
+            ("a", 700.0),
+            ("b", 680.0),
+            ("c", 660.0),
+        ]
+
+    def test_text_outside_bt_ignored(self):
+        rs = _runs("(stray) Tj BT 72 700 Td (kept) Tj ET")
+        assert [r.text for r in rs] == ["kept"]
+
+    def test_empty_string_no_run(self):
+        rs = _runs("BT 72 700 Td () Tj ET")
+        assert rs == []
+
+    def test_comment_skipped(self):
+        rs = _runs("% comment (not text) Tj\nBT 72 700 Td (x) Tj ET")
+        assert [r.text for r in rs] == ["x"]
+
+    def test_flate_stream(self):
+        data = b"BT /F1 12 Tf 72 700 Td (Zip) Tj ET"
+        comp = zlib.compress(data)
+        raw = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(comp)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + comp
+            + b"endstream\nendobj\n%%EOF"
+        )
+        assert [r.text for r in parse_pdf_runs(raw)] == ["Zip"]
+
+    def test_corrupt_flate_skipped(self):
+        raw = (
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+            b"not-zlib-data endstream\nendobj\n"
+            b"2 0 obj\n<< /Length 34 >>\nstream\n"
+            b"BT /F1 12 Tf 72 700 Td (ok) Tj ET\nendstream\nendobj\n%%EOF"
+        )
+        assert [r.text for r in parse_pdf_runs(raw)] == ["ok"]
+
+    @pytest.mark.parametrize(
+        "raw", [None, b"", b"<html><p>x</p></html>", b"%PDF", b"\x00" * 64]
+    )
+    def test_non_pdf_inputs(self, raw):
+        assert parse_pdf_runs(raw) == []
+        assert not is_pdf(raw)
+
+
+# -- geometric primitives (table-driven, ≈ clara-tests.c style) ------------
+
+
+def _r(x, x_end, y, page=0, size=12.0, text="w"):
+    return Run(page, x, x_end, y, size, text)
+
+
+class TestColumnSplit:
+    def test_no_split_single_cluster(self):
+        rs = [_r(72 + i * 30, 72 + i * 30 + 25, 700) for i in range(6)]
+        assert column_split(rs) is None
+
+    def test_split_found(self):
+        left = [_r(72 + i * 30, 72 + i * 30 + 25, 700 - j * 14) for i in range(3) for j in range(2)]
+        right = [_r(400 + i * 30, 400 + i * 30 + 25, 700 - j * 14) for i in range(3) for j in range(2)]
+        # widest gap: 400 - (132+25) = 243
+        assert column_split(left + right) == 400.0
+
+    def test_min_side_runs_guard(self):
+        # only one run on the right: no split even with a huge gap
+        rs = [_r(72, 100, 700), _r(110, 140, 700), _r(500, 530, 700)]
+        assert column_split(rs) is None
+
+    def test_tie_smallest_x(self):
+        # two equal rivers of 100: split at the leftmost one
+        rs = [
+            _r(0, 50, 700),
+            _r(50, 100, 700),
+            _r(200, 250, 700),
+            _r(250, 300, 700),
+            _r(400, 450, 700),
+            _r(450, 500, 700),
+        ]
+        assert column_split(rs) == 200.0
+
+
+class TestLinesAndWords:
+    def test_lines_chain_within_tolerance(self):
+        rs = [_r(72, 100, 700.0), _r(110, 140, 699.0), _r(150, 180, 697.5)]
+        assert len(group_lines(rs)) == 1  # chained: steps 1.0, 1.5 ≤ tol
+
+    def test_lines_split_beyond_tolerance(self):
+        rs = [_r(72, 100, 700.0), _r(72, 100, 686.0)]
+        assert len(group_lines(rs)) == 2
+
+    def test_word_gap_space(self):
+        line = [_r(72, 100, 700, text="a"), _r(106, 130, 700, text="b")]
+        assert join_words(line) == "a b"
+
+    def test_kerning_join(self):
+        line = [_r(72, 100, 700, text="Hel"), _r(100.5, 120, 700, text="lo")]
+        assert join_words(line) == "Hello"
+
+    def test_no_space_before_punct(self):
+        line = [_r(72, 100, 700, text="end"), _r(104, 110, 700, text=".")]
+        assert join_words(line) == "end."
+
+
+# -- differential: generator expected text vs single-node extractor --------
+
+
+def test_reference_extract_matches_generator():
+    for i in range(150):
+        row = gen_pdf_page(i, seed=7)
+        assert pdf_reference_extract(row["html"]) == row["text"], f"doc {i}"
+
+
+def test_generator_deterministic():
+    a, b = gen_pdf_page(11), gen_pdf_page(11)
+    assert a["html"] == b["html"] and a["text"] == b["text"]
+
+
+def test_multipage_reading_order():
+    rng = random.Random(99)
+    raw, expected = build_pdf(rng, "en", n_pages=3)
+    assert pdf_reference_extract(raw) == expected
+    assert expected.count("\n") >= 3
+
+
+# -- Spark layout stage: byte identity + plan shape ------------------------
+
+
+@pytest.fixture(scope="module")
+def pdf_rows():
+    rows = [gen_pdf_page(i) for i in range(120)]
+    # adversarial tails: empty/corrupt payloads must yield text=''
+    rows.append(
+        {
+            "url": "https://bad.example/empty.pdf",
+            "warc_ts": rows[0]["warc_ts"],
+            "html": b"%PDF-1.4\n%%EOF",
+            "text": "",
+            "lang": "en",
+        }
+    )
+    rows.append(
+        {
+            "url": "https://bad.example/trunc.pdf",
+            "warc_ts": rows[0]["warc_ts"],
+            "html": b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\nBT (a",
+            "text": pdf_reference_extract(
+                b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\nBT (a"
+            ),
+            "lang": "en",
+        }
+    )
+    return rows
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+    )
+
+
+def test_spark_layout_byte_identity(spark, pdf_rows):
+    from clara_ocr_spark.stages.layout import extract_pdf
+
+    got = {r["url"]: r["text"] for r in extract_pdf(_pages_df(spark, pdf_rows)).collect()}
+    assert set(got) == {r["url"] for r in pdf_rows}
+    for row in pdf_rows:
+        assert got[row["url"]] == row["text"], row["url"]
+
+
+def test_mixed_routing_byte_identity(spark, pdf_rows):
+    """HTML and PDF payloads in ONE pages table, routed by magic."""
+    from clara_ocr_spark.pipeline import extract_mixed
+
+    html_rows = [gen_page(i) for i in range(40)]
+    rows = html_rows + pdf_rows[:40]
+    got = {r["url"]: r["text"] for r in extract_mixed(_pages_df(spark, rows)).collect()}
+    assert set(got) == {r["url"] for r in rows}
+    for row in rows:
+        assert got[row["url"]] == row["text"], row["url"]
+
+
+def test_layout_plan_two_exchanges(spark, pdf_rows):
+    """Scale pin: the whole geometric assembly costs exactly TWO
+    shuffles — (url, page) for every window pass + the line aggregate
+    (supersets reuse the partitioning), then url for final assembly —
+    and the binary payload is pruned before the first Exchange."""
+    from clara_ocr_spark.stages.layout import extract_pdf
+
+    plan = (
+        extract_pdf(_pages_df(spark, pdf_rows[:5]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "html" not in plan.split("Exchange", 1)[0].split("MapInPandas")[0]
+    # one Python boundary only
+    assert plan.count("MapInPandas") == 1
