@@ -54,6 +54,9 @@ HEADLINE = [
     "top_suppliers_per_nation",
     "json_props_stats",
     "dedup_canonicalize",
+    "layout_lines",
+    "layout_columns",
+    "layout_line_text",
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage
@@ -62,6 +65,8 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 # Scaling evidence needs a long-enough job that per-job fixed overhead
 # (~1 s of scheduling/stage setup) is noise at the high core count.
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
+# PDF layout leg: heavier per-doc work (geometry windows), fewer docs.
+PDF_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_PDF_BENCH_DOCS", "20000"))
 
 
 def _force(df) -> None:
@@ -91,6 +96,29 @@ def run_extraction(spark, path: str, warmups: int = 2, runs: int = 3) -> float:
     for i in range(warmups + runs):
         t0 = time.time()
         _force(extract(pages))
+        if i >= warmups:
+            times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def run_pdf_extraction(spark, warmups: int = 2, runs: int = 3) -> float:
+    """Steady-state wall-clock for the PDF layout leg (parse +
+    geometric assembly), median of timed runs."""
+    import statistics
+
+    from clara_ocr_spark.sources.pdfgen import ensure_pdf_corpus
+    from clara_ocr_spark.stages.layout import extract_pdf
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    path = ensure_pdf_corpus(
+        os.path.join(base, f"pdfs_bench_{PDF_BENCH_DOCS}.parquet"),
+        n=PDF_BENCH_DOCS,
+    )
+    pages = spark.read.parquet(path)
+    times = []
+    for i in range(warmups + runs):
+        t0 = time.time()
+        _force(extract_pdf(pages))
         if i >= warmups:
             times.append(time.time() - t0)
     return statistics.median(times)
@@ -208,6 +236,10 @@ def main() -> None:
     timings["extraction"] = round(ext_secs, 3)
     docs_per_sec = round(BENCH_DOCS / ext_secs, 1)
 
+    pdf_secs = run_pdf_extraction(spark)
+    timings["pdf_extraction"] = round(pdf_secs, 3)
+    pdf_docs_per_sec = round(PDF_BENCH_DOCS / pdf_secs, 1)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -220,6 +252,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extraction_docs": BENCH_DOCS,
                 "extraction_docs_per_sec": docs_per_sec,
+                "pdf_extraction_docs": PDF_BENCH_DOCS,
+                "pdf_extraction_docs_per_sec": pdf_docs_per_sec,
                 "cores": cores,
             }
         )

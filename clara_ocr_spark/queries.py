@@ -1288,29 +1288,51 @@ def ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
+    # trained centroid table: 64 positional avg aggregates in ONE
+    # group-by pass (no posexplode — that shape shuffles 64 rows per
+    # vector); the result is K rows, collapsed to a single array row
+    # so assignment below can be map-only
     cent = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
+        e.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(64)]
             ).alias("cv")
         )
-        .select(F.col("label").alias("cell"), "cv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("label").alias("cell"), "cv"))
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)  # probe reads assignment twice
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("cell")
+    # nearest-centroid assignment as a higher-order argmax: score each
+    # centroid once (transform), fold to the best (aggregate) — zero
+    # shuffle, the 64-dim vectors never leave their input partition.
+    # At 100 TB this is the design point: quantizer broadcast, the
+    # inverted-list build is embarrassingly parallel.
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(_cos_arrays(F.col("v"), c["cv"]), 6).alias("ccos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).alias("ccos"), F.lit(None).cast("bigint").alias("cell")
+        ),
+        lambda acc, s: F.when(
+            acc["cell"].isNull()
+            | (s["ccos"] > acc["ccos"])
+            | ((s["ccos"] == acc["ccos"]) & (s["cell"] < acc["cell"])),
+            s,
+        ).otherwise(acc),
     )
     assigned = (
         e.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.round(_cos_arrays(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
-        # both probe sides read the assignment; materialize it once
-        .localCheckpoint(eager=False)
+        .select("vec_id", "v", best["cell"].alias("cell"))
     )
     qs = F.broadcast(
         assigned.filter(F.col("vec_id") < 10).select(

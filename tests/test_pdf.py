@@ -206,6 +206,49 @@ class TestLinesAndWords:
         assert join_words(line) == "end."
 
 
+# -- fast vs exact tokenizer (fastparse-style differential) ----------------
+
+
+class TestFastPath:
+    def _diff(self, buf: bytes):
+        from clara_ocr_spark.sources.pdfparse import _page_runs, _page_runs_fast
+
+        fast = _page_runs_fast(buf, 0)
+        if fast is not None:
+            assert fast == _page_runs(buf, 0), buf[:120]
+        return fast
+
+    def test_generator_streams_take_fast_path(self):
+        from clara_ocr_spark.sources.pdfparse import _decode_streams
+
+        n_fast = n_total = 0
+        for i in range(80):
+            for stream in _decode_streams(gen_pdf_page(i, seed=3)["html"]):
+                n_total += 1
+                n_fast += self._diff(stream) is not None
+        assert n_total > 0
+        # the synthetic corpus never emits escapes → fast path always
+        assert n_fast == n_total
+
+    def test_fallback_cases_bail(self):
+        from clara_ocr_spark.sources.pdfparse import _page_runs_fast
+
+        for buf in [rb"(a\(b) Tj", b"(unbalanced", b"BT (a(b)c) Tj", b"< <4>"]:
+            assert _page_runs_fast(buf, 0) is None
+
+    @pytest.mark.parametrize("seed", range(25))
+    def test_fuzz_equivalence(self, seed):
+        rng = random.Random(seed)
+        frags = [
+            b"BT", b"ET", b"Tj", b"TJ", b"Td", b"Tm", b"T*", b"'", b"Tf",
+            b"TD", b"TL", b"(abc)", b"(a b)", b"<414243>", b"<4>", b"[", b"]",
+            b"<<", b">>", b"/F1", b"12", b"-3.5", b"1e2", b"% cmt\n", b"  ",
+            b"\n", b"x9z", b"1.2.3", b"()", b"14", b"72 700",
+        ]
+        buf = b" ".join(rng.choice(frags) for _ in range(120))
+        self._diff(buf)
+
+
 # -- differential: generator expected text vs single-node extractor --------
 
 
