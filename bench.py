@@ -57,6 +57,9 @@ HEADLINE = [
     "layout_lines",
     "layout_columns",
     "layout_line_text",
+    "repetition_filter",
+    "stratified_sample",
+    "lm_quality_scores",
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

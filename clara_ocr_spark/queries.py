@@ -2089,6 +2089,146 @@ def layout_line_text(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Corpus-curation operators (training-data pipeline, beyond the
+# reference): repetition filtering, deterministic stratified sampling,
+# statistical LM quality — the standard web-corpus cleaning trio.
+# ---------------------------------------------------------------------
+
+
+@q(
+    "repetition_filter",
+    f"""
+    with t as (select doc_id, lang, ws, {_GRAMS_DUCK} as grams,
+                      len(ws) as n_tok
+               from (select doc_id, lang,
+                            {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents)),
+    f as (select doc_id, lang,
+                 case when n_tok > 0 then
+                   cast(list_max(list_transform(list_distinct(ws),
+                          t2 -> len(list_filter(ws, w -> w = t2)))) as double)
+                   / n_tok else 0.0 end as top_word_frac,
+                 case when len(grams) > 0 then
+                   1.0 - cast(len(list_distinct(grams)) as double)
+                       / len(grams) else 0.0 end as dup_2gram_frac
+          from t)
+    select doc_id, lang,
+           round(top_word_frac, 4) as top_word_frac,
+           round(dup_2gram_frac, 4) as dup_2gram_frac,
+           (top_word_frac > 0.2 or dup_2gram_frac > 0.5) as flag_repetitive
+    from f
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Repetition-based quality filtering (the Gopher-rule family):
+    most-frequent-token fraction + duplicate-2-gram fraction per doc,
+    flagged above thresholds. All higher-order array expressions —
+    per-doc work, zero shuffle; token/gram arrays are let-bound so
+    Catalyst evaluates them once (see _let)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    top_cnt = _let(
+        toks,
+        lambda ws: F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda t: F.size(F.filter(ws, lambda w: w == t)),
+            )
+        ),
+    )
+    n_tok = F.size(toks)
+    top_frac = F.when(
+        n_tok > 0, top_cnt.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    dup_frac = _let(
+        _grams(toks),
+        lambda gs: F.when(
+            F.size(gs) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(gs)).cast("double") / F.size(gs),
+        ).otherwise(F.lit(0.0)),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(top_frac, 4).alias("top_word_frac"),
+        F.round(dup_frac, 4).alias("dup_2gram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.5)).alias("flag_repetitive"),
+    )
+
+
+@q(
+    "stratified_sample",
+    """
+    select doc_id, lang, round(u, 6) as u
+    from (select doc_id, lang,
+                 cast((doc_id * 2654435761) % 4294967296 as double)
+                   / 4294967296.0 as u,
+                 case lang when 'en' then 0.25
+                           when 'es' then 0.5 else 1.0 end as rate
+          from documents)
+    where u < rate
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling for training-data mixes:
+    per-language keep rates applied via multiplicative hashing of the
+    key (Knuth 2654435761 mod 2^32) — reproducible across runs,
+    engines, and partitionings, unlike rand(); map-only at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    rate = (
+        F.when(F.col("lang") == "en", 0.25)
+        .when(F.col("lang") == "es", 0.5)
+        .otherwise(1.0)
+    )
+    return (
+        d.select("doc_id", "lang", u.alias("u"), rate.alias("rate"))
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang", F.round("u", 6).alias("u"))
+    )
+
+
+@q(
+    "lm_quality_scores",
+    f"""
+    with t as (select doc_id, {_GRAMS_DUCK} as grams
+               from (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents)),
+    g as (select doc_id, unnest(grams) as gram from t),
+    c as (select gram, count(*) as n from g group by gram),
+    s as (select g.doc_id, avg(log2(c.n)) as sc
+          from g join c using (gram) group by g.doc_id)
+    select d.doc_id, round(coalesce(s.sc, -1.0), 4) as lm_score
+    from documents d left join s using (doc_id)
+    """,
+)
+def lm_quality_scores(spark, sf_dir):
+    """Statistical-LM quality score (the CCNet-style corpus filter):
+    corpus-level 2-gram counts as the language model, each document
+    scored by the mean log2 frequency of its 2-grams. Two shuffles:
+    the gram count aggregate and the score join (count table joined on
+    gram hash — at 100 TB the LM table is hash-partitioned, never
+    collected); docs with no grams score -1."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(_grams(_tokens(F.lower(F.col("text"))))).alias("gram")
+    )
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    scores = (
+        g.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log2("n")).alias("sc"))
+    )
+    return d.select("doc_id").join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce("sc", F.lit(-1.0)), 4).alias("lm_score"),
+    )
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
