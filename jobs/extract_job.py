@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> None:
         choices=["skel", "map", "pd", "shape"],
         help="scored comparison engine (selbc analogue); default: exact fingerprint",
     )
+    ap.add_argument(
+        "--mixed",
+        action="store_true",
+        help="route %%PDF- payloads through the geometric layout leg "
+        "(mixed-content capture tables)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
 
@@ -89,23 +95,37 @@ def main(argv: list[str] | None = None) -> None:
     patterns = (
         spark.read.parquet(args.patterns) if args.patterns else None
     )
+    dom_pages = pages
+    if args.mixed:
+        from clara_ocr_spark.pipeline import _is_pdf_col
+
+        dom_pages = pages.filter(~_is_pdf_col())
     if args.engine and patterns is not None:
         from clara_ocr_spark.stages.classify import heuristic_label, heuristic_score
         from clara_ocr_spark.stages.engines import classify_scored
 
         blocks = (
-            classify_scored(segment(pages, full_features=True), patterns, args.engine)
+            classify_scored(
+                segment(dom_pages, full_features=True), patterns, args.engine
+            )
             .withColumn("label", heuristic_label())
             .withColumn("score", heuristic_score())
         )
     else:
-        blocks = classify(segment(pages, full_features=False), patterns)
+        blocks = classify(segment(dom_pages, full_features=False), patterns)
     if args.acts:
         blocks = apply_feedback(blocks, spark.read.parquet(args.acts))
 
     assert_consistent(blocks)  # step_6 gate: fatal on violation
 
     extracted = assemble(blocks)
+    if args.mixed:
+        from clara_ocr_spark.pipeline import _is_pdf_col
+        from clara_ocr_spark.stages.layout import extract_pdf
+
+        extracted = extracted.unionByName(
+            extract_pdf(pages.filter(_is_pdf_col()))
+        )
     append_increment(extracted, args.output)
     if args.metrics:
         append_metrics(

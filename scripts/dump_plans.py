@@ -82,6 +82,28 @@ def main() -> None:
         "label-propagation loop (materialized via localCheckpoint, shown\n"
         "here as its final-join shape).",
     )
+    from clara_ocr_spark.sources.pdfgen import ensure_pdf_corpus
+    from clara_ocr_spark.stages.layout import extract_pdf
+
+    pdfs = spark.read.parquet(
+        ensure_pdf_corpus(os.path.join(ROOT, ".data", "pdfs_300.parquet"), n=300)
+    )
+    add(
+        "PDF layout leg (extract_pdf)",
+        extract_pdf(pdfs),
+        "TWO Exchanges: (url, page) feeds every window pass and the line\n"
+        "aggregate (supersets reuse the partitioning — only local sorts\n"
+        "between), then the url assembly; the binary payload never\n"
+        "leaves the MapInPandas parse.",
+    )
+    add(
+        "ivf_topk (ANN scale path)",
+        REGISTRY["ivf_topk"][0](spark, SF),
+        "Nearest-centroid assignment is a broadcast higher-order argmax\n"
+        "(map-only; vectors never shuffled); probe is a broadcast join on\n"
+        "cell; the single real Exchange is the per-query top-k, with\n"
+        "map-side WindowGroupLimit pre-pruning.",
+    )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

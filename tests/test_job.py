@@ -1,0 +1,54 @@
+"""spark-submit job surface: jobs/extract_job.py end-to-end in a
+fresh interpreter (own SparkSession, own sys.path bootstrap — the
+packaging surface the cluster launch depends on)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_extract_job_mixed(tmp_path):
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+    from clara_ocr_spark.sources.pdfgen import gen_pdf_page
+
+    rows = [gen_page(i, seed=21) for i in range(30)] + [
+        gen_pdf_page(i, seed=21) for i in range(30)
+    ]
+    inp = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
+    out = tmp_path / "out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp),
+            "--output", str(out),
+            "--metrics", str(tmp_path / "metrics"),
+            "--mixed",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    got = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select url, text from '{out}/*.parquet'"
+        ).fetchall()
+    }
+    want = {r["url"]: r["text"] for r in rows}
+    assert got == want
