@@ -748,28 +748,21 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@q(
-    "simhash",
-    f"""
-    with t as (select doc_id,
-                 list_distinct({_TOK_DUCK.format(x='lower(text)')}) as ws
-               from documents)
-    select doc_id,
-           list_sum(list_transform(generate_series(0, 31), j ->
-             case when list_sum(list_transform(ws, w ->
-                    2 * cast((({H60_DUCK.format(x='w')}) >> j) & 1 as int) - 1)) > 0
-                  then (1::BIGINT << j) else 0 end))::BIGINT as simhash
-    from t
-    """,
-)
-def simhash(spark, sf_dir):
-    """32-bit SimHash over distinct tokens: bit j is the sign of the
-    ±1 vote sum across token-hash bits (portable hash both engines).
+_SIMHASH_DUCK = f"""
+list_sum(list_transform(generate_series(0, 31), j ->
+  case when list_sum(list_transform(ws, w ->
+         2 * cast((({H60_DUCK.format(x='w')}) >> j) & 1 as int) - 1)) > 0
+       then (1::BIGINT << j) else 0 end))::BIGINT
+""".strip()
+
+
+def _simhash_col() -> F.Column:
+    """32-bit SimHash of ``text``: bit j is the sign of the ±1 vote
+    sum across token-hash bits (portable hash both engines).
 
     One md5 per token (pre-hashed array is the fold input), one fold
     accumulating all 32 vote counters, let-bound final assembly —
     a 32-separate-folds formulation re-hashes every token 32×."""
-    d = _t(spark, sf_dir, "documents")
     ws = F.array_distinct(_tokens(F.lower(F.col("text"))))
     hs = F.transform(ws, lambda w: spark_hash60(w))
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
@@ -784,7 +777,7 @@ def simhash(spark, sf_dir):
             lambda a, p: a + F.when(h % (p * 2) >= p, 1).otherwise(-1),
         ),
     )
-    sim = _let(
+    return _let(
         votes,
         lambda v: F.aggregate(
             F.zip_with(
@@ -793,8 +786,88 @@ def simhash(spark, sf_dir):
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
+    ).cast("bigint")
+
+
+@q(
+    "simhash",
+    f"""
+    with t as (select doc_id,
+                 list_distinct({_TOK_DUCK.format(x='lower(text)')}) as ws
+               from documents)
+    select doc_id, {_SIMHASH_DUCK} as simhash
+    from t
+    """,
+)
+def simhash(spark, sf_dir):
+    """SimHash signatures (see _simhash_col)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _simhash_col().alias("simhash"))
+
+
+@q(
+    "simhash_near_dup",
+    f"""
+    with t as (select doc_id, {_SIMHASH_DUCK} as sh
+               from (select doc_id,
+                       list_distinct({_TOK_DUCK.format(x='lower(text)')}) as ws
+                     from documents)),
+    b as (select doc_id, sh, k, (sh >> (16 * k)) & 65535 as bv
+          from t, generate_series(0, 1) as g(k)),
+    cand as (select distinct a.doc_id as i_id, b.doc_id as j_id
+             from b a join b b on a.k = b.k and a.bv = b.bv
+                                and a.doc_id < b.doc_id)
+    select i_id, j_id, bit_count(xor(a.sh, b.sh)) as hamming
+    from cand join t a on a.doc_id = i_id join t b on b.doc_id = j_id
+    where bit_count(xor(a.sh, b.sh)) <= 4
+    """,
+)
+def simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup join: 2 × 16-bit band buckets generate
+    candidates via EQUI joins (a hamming-ball search would be a
+    nested loop), verified by bit_count(xor) ≤ 4 — by pigeonhole,
+    any pair within hamming 1-per-band shares a band, the standard
+    simhash blocking argument. Signatures computed once per doc;
+    only (doc_id, sh) enters the pair shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _simhash_col().alias("sh")).localCheckpoint(
+        eager=False
     )
-    return d.select("doc_id", sim.cast("bigint").alias("simhash"))
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.shiftright("sh", 16 * k).bitwiseAND(F.lit(65535)).alias(
+                        "bv"
+                    ),
+                )
+                for k in range(2)
+            ]
+        )
+    )
+    b = t.select("doc_id", bands.alias("band")).select(
+        "doc_id", F.col("band.k").alias("k"), F.col("band.bv").alias("bv")
+    )
+    cand = (
+        b.select(F.col("doc_id").alias("i_id"), "k", "bv")
+        .join(
+            b.select(F.col("doc_id").alias("j_id"), "k", "bv"),
+            ["k", "bv"],
+        )
+        .filter(F.col("i_id") < F.col("j_id"))
+        .select("i_id", "j_id")
+        .dropDuplicates(["i_id", "j_id"])
+    )
+    si = t.select(F.col("doc_id").alias("i_id"), F.col("sh").alias("shi"))
+    sj = t.select(F.col("doc_id").alias("j_id"), F.col("sh").alias("shj"))
+    hamming = F.bit_count(F.col("shi").bitwiseXOR(F.col("shj")))
+    return (
+        cand.join(F.broadcast(si), "i_id")
+        .join(F.broadcast(sj), "j_id")
+        .select("i_id", "j_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+    )
 
 
 _CANON_PAIRS_DUCK = f"""

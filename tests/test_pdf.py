@@ -270,6 +270,73 @@ def test_multipage_reading_order():
     assert expected.count("\n") >= 3
 
 
+# -- random-geometry identity: Spark layout ≡ single-node oracle -----------
+
+
+def _random_runs(rng: random.Random) -> list:
+    """Arbitrary run geometry — NOT generator-shaped: random float
+    coords (including exact-tolerance ties), overlapping runs,
+    multiple pages, punctuation-initial runs."""
+    runs = []
+    for page in range(rng.randint(1, 3)):
+        for _ in range(rng.randint(1, 40)):
+            x = round(rng.uniform(0, 600), 2)
+            w = round(rng.uniform(0.5, 120), 2)
+            # quantized y makes exact LINE_TOL-boundary ties common
+            y = round(rng.choice([700 - 2.0 * k for k in range(40)]), 2)
+            text = rng.choice(["w", "ab", "xyz", ".", ",", "Hello", "?"])
+            runs.append(Run(page, x, round(x + w, 2), y, 12.0, text))
+    return runs
+
+
+def _oracle_from_runs(runs: list) -> str:
+    pages = sorted({r.page for r in runs})
+    out = []
+    for p in pages:
+        prs = [r for r in runs if r.page == p]
+        split = column_split(prs)
+        zones = [
+            [r for r in prs if split is None or r.x < split],
+            [] if split is None else [r for r in prs if r.x >= split],
+        ]
+        for zr in zones:
+            for line in group_lines(zr):
+                t = join_words(line)
+                if t:
+                    out.append(t)
+    return "\n".join(out)
+
+
+def test_layout_random_geometry_identity(spark):
+    """200 documents of arbitrary random geometry through the Spark
+    window algebra vs the single-node oracle — covers shapes the PDF
+    generator never emits (overlaps, tolerance-boundary ties, huge
+    gaps that trigger/just-miss column splits)."""
+    from clara_ocr_spark.stages.layout import (
+        assemble_layout,
+        assign_zones,
+        group_lines as spark_lines,
+        join_words as spark_words,
+    )
+
+    docs = {}
+    rows = []
+    for d in range(200):
+        rng = random.Random(1000 + d)
+        runs = _random_runs(rng)
+        url = f"doc{d}"
+        docs[url] = _oracle_from_runs(runs)
+        rows.extend((url, r.page, r.x, r.x_end, r.y, r.size, r.text) for r in runs)
+    df = spark.createDataFrame(
+        rows, "url string, page int, x double, x_end double, y double, size double, text string"
+    )
+    got = {
+        r["url"]: r["text"]
+        for r in assemble_layout(spark_words(spark_lines(assign_zones(df)))).collect()
+    }
+    assert got == docs
+
+
 # -- Spark layout stage: byte identity + plan shape ------------------------
 
 
