@@ -933,7 +933,13 @@ def dedup_canonicalize(spark, sf_dir):
             F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
         ),
     )
-    b = d.select("doc_id", F.explode(bands).alias("bucket"))
+    # materialize the signature bands and token sets ONCE — both join
+    # sides read them, and Catalyst would otherwise re-tokenize and
+    # re-minhash the full corpus per side (the `banded` discipline of
+    # _near_dup_pairs; measured ~2× on the composed pipeline)
+    b = d.select("doc_id", F.explode(bands).alias("bucket")).localCheckpoint(
+        eager=False
+    )
     left = b.select(F.col("doc_id").alias("i_id"), "bucket")
     right = b.select(F.col("doc_id").alias("j_id"), "bucket")
     cand = (
@@ -942,7 +948,9 @@ def dedup_canonicalize(spark, sf_dir):
         .select("i_id", "j_id")
         .dropDuplicates(["i_id", "j_id"])
     )
-    ws = d.select("doc_id", F.array_distinct(F.array_sort(toks)).alias("toks"))
+    ws = d.select(
+        "doc_id", F.array_distinct(F.array_sort(toks)).alias("toks")
+    ).localCheckpoint(eager=False)
     jac = (
         F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
         / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
@@ -2159,6 +2167,56 @@ def layout_line_text(spark, sf_dir):
                 "",
             ).alias("line_text")
         )
+    )
+
+
+@q(
+    "value_percentiles",
+    """
+    select event_type,
+           round(quantile_cont(value, 0.5), 4)  as p50,
+           round(quantile_cont(value, 0.9), 4)  as p90,
+           round(quantile_cont(value, 0.99), 4) as p99
+    from events group by event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (the calibration
+    primitive behind pp_thresh/h_split threshold selection,
+    preproc.c:455-476 — corpus percentiles → cutoffs). At 100 TB the
+    same query swaps percentile → percentile_approx (t-digest-style
+    mergeable sketch, one pass, bounded memory); exact here so DuckDB
+    can oracle it bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@q(
+    "corr_value_hour",
+    """
+    select event_type,
+           round(corr(value, cast(extract(hour from ts) as double)), 4) as r,
+           round(covar_samp(value, cast(extract(hour from ts) as double)), 4)
+             as cov,
+           count(*) as n
+    from events group by event_type
+    """,
+)
+def corr_value_hour(spark, sf_dir):
+    """Correlation/covariance aggregates (the pre_balance tile
+    regression family, preproc.c:490-554: threshold vs light level;
+    here value vs hour-of-day). Catalyst-native mergeable aggregates —
+    map-side partials, one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    h = F.hour("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", h), 4).alias("r"),
+        F.round(F.covar_samp("value", h), 4).alias("cov"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
