@@ -1,0 +1,186 @@
+"""Composed training-data curation pipeline over extracted text.
+
+The capstone composition the 100 TB deployment runs after extraction:
+
+    extract(_mixed) → text features → quality gate → near-dup
+    canonicalization → curated + rejected(reason) tables
+
+This is the corpus-pipeline analogue of Clara's doubt triage
+(step_14: rank what you don't trust, clara.c:3403-3528) plus the
+preferred-symbol partition (keep one representative per equivalence
+class, common.h:612-631): every input url lands in exactly ONE of the
+two outputs, with a deterministic reason when rejected.
+
+Everything is built from the same column-expression library the
+oracle-checked catalog uses (``queries._tokens`` / ``_grams`` /
+``_minhash_sig`` / ``_min_label_components``) — the catalog entries
+are the unit-verified pieces; this module is their composition.
+
+Scale notes: features are per-row expressions (no shuffle); the
+quality gate is a filter; near-dup is the minhash → band equi-join →
+Jaccard verify → min-label components chain (shuffle budget analyzed
+in SCALE.md); canonical election is lexicographic-min url per cluster
+(deterministic under any partitioning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .queries import (
+    _grams,
+    _let,
+    _min_label_components,
+    _minhash_sig,
+    _tokens,
+)
+
+REASON_TOO_SHORT = "too_short"
+REASON_TOP_WORD = "repetitive_top_word"
+REASON_DUP_2GRAM = "repetitive_2gram"
+REASON_DUPLICATE = "duplicate"
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    """Tunables of the curation gate (checkvar-style, like
+    ExtractConfig)."""
+
+    min_tokens: int = 5
+    top_word_max: float = 0.4
+    dup_2gram_max: float = 0.6
+    jaccard_tau: float = 0.9
+
+    @classmethod
+    def from_args(cls, pairs: list) -> "CurateConfig":
+        kw = {}
+        types = {f.name: f.type for f in fields(cls)}
+        for p in pairs:
+            name, _, value = p.partition("=")
+            if name not in types:
+                raise ValueError(f"unknown config var: {name}")
+            kw[name] = (float if types[name] == "float" else int)(value)
+        return cls(**kw)
+
+
+def text_features(extracted: DataFrame) -> DataFrame:
+    """(url, text) → + n_tokens, top_word_frac, dup_2gram_frac.
+    Pure higher-order array expressions, zero shuffle; token/gram
+    arrays let-bound so Catalyst evaluates each once per row."""
+    toks = _tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    top_cnt = _let(
+        toks,
+        lambda ws: F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda t: F.size(F.filter(ws, lambda w: w == t)),
+            )
+        ),
+    )
+    top_frac = F.when(n_tok > 0, top_cnt.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    dup_frac = _let(
+        _grams(toks),
+        lambda gs: F.when(
+            F.size(gs) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(gs)).cast("double") / F.size(gs),
+        ).otherwise(F.lit(0.0)),
+    )
+    return extracted.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+    )
+
+
+def quality_reason(cfg: CurateConfig) -> F.Column:
+    """First failing rule wins (ordered F.when chain — the classify
+    rule-chain discipline); NULL = passes the gate."""
+    return (
+        F.when(F.col("n_tokens") < cfg.min_tokens, F.lit(REASON_TOO_SHORT))
+        .when(F.col("top_word_frac") > cfg.top_word_max, F.lit(REASON_TOP_WORD))
+        .when(
+            F.col("dup_2gram_frac") > cfg.dup_2gram_max,
+            F.lit(REASON_DUP_2GRAM),
+        )
+    )
+
+
+def near_dup_canonical(docs: DataFrame, tau: float) -> DataFrame:
+    """(url, text) → (url, canonical_url) for every url in a near-dup
+    cluster (canonical = lexicographic-min url, deterministic).
+    MinHash over word-2-gram shingles → 2 band buckets (equi-join
+    candidates) → exact token-set Jaccard ≥ tau → min-label
+    components. Docs in no cluster are absent from the result."""
+    toks = _tokens(F.lower(F.col("text")))
+    sig = _minhash_sig(_grams(toks), 4)
+    bands = _let(
+        sig,
+        lambda s: F.array(
+            F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
+            F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
+        ),
+    )
+    b = docs.select("url", F.explode(bands).alias("bucket")).localCheckpoint(
+        eager=False
+    )
+    cand = (
+        b.select(F.col("url").alias("i_id"), "bucket")
+        .join(b.select(F.col("url").alias("j_id"), "bucket"), "bucket")
+        .filter(F.col("i_id") < F.col("j_id"))
+        .select("i_id", "j_id")
+        .dropDuplicates(["i_id", "j_id"])
+    )
+    ws = docs.select(
+        "url", F.array_distinct(F.array_sort(toks)).alias("toks")
+    ).localCheckpoint(eager=False)
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+        "double"
+    ) / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    pairs = (
+        cand.join(ws.alias("a"), F.col("i_id") == F.col("a.url"))
+        .join(ws.alias("b"), F.col("j_id") == F.col("b.url"))
+        .filter(jac >= tau)
+        .select("i_id", "j_id")
+    )
+    comp = _min_label_components(pairs)
+    return comp.select(
+        F.col("node").alias("url"), F.col("cluster").alias("canonical_url")
+    )
+
+
+def curate(
+    extracted: DataFrame, cfg: CurateConfig = CurateConfig()
+) -> tuple:
+    """extracted(url, text) → (curated, rejected).
+
+    curated(url, text, n_tokens): quality-passing, one representative
+    per near-dup cluster. rejected(url, reason): everything else, with
+    the first failing rule or ``duplicate``. The two partition the
+    input urls exactly (asserted in tests — the consistency-gate
+    discipline of step_6)."""
+    feats = text_features(extracted).localCheckpoint(eager=False)
+    reason = quality_reason(cfg)
+    gated = feats.withColumn("reason", reason)
+    passing = gated.filter(F.col("reason").isNull())
+    dup = near_dup_canonical(passing.select("url", "text"), cfg.jaccard_tau)
+    labeled = passing.join(dup, "url", "left")
+    curated = labeled.filter(
+        F.col("canonical_url").isNull()
+        | (F.col("canonical_url") == F.col("url"))
+    ).select("url", "text", "n_tokens")
+    rejected = gated.filter(F.col("reason").isNotNull()).select(
+        "url", "reason"
+    )
+    dup_rejected = labeled.filter(
+        F.col("canonical_url").isNotNull()
+        & (F.col("canonical_url") != F.col("url"))
+    ).select("url", F.lit(REASON_DUPLICATE).alias("reason"))
+    return curated, rejected.unionByName(dup_rejected)

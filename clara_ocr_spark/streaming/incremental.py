@@ -42,10 +42,13 @@ def run_incremental(
     out_path: str,
     checkpoint_dir: str,
     patterns: Optional[DataFrame] = None,
+    mixed: bool = False,
 ) -> int:
     """Process all not-yet-seen corpus shards; returns the number of
     micro-batches executed.  Safe to call repeatedly (idempotent for
-    already-processed files — the daemon's 'runnable page' test)."""
+    already-processed files — the daemon's 'runnable page' test).
+    ``mixed=True`` routes %PDF- payloads through the layout leg per
+    micro-batch (same semantics as ``pipeline.extract_mixed``)."""
     stream = (
         spark.readStream.schema(PAGES_SPARK_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -56,7 +59,13 @@ def run_incremental(
     def process(batch: DataFrame, epoch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        extract(batch, patterns).write.mode("append").parquet(out_path)
+        if mixed:
+            from ..pipeline import extract_mixed
+
+            out = extract_mixed(batch, patterns)
+        else:
+            out = extract(batch, patterns)
+        out.write.mode("append").parquet(out_path)
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -1,0 +1,121 @@
+"""Composed curation pipeline: extract → quality gate → near-dup
+canonicalize. Injected duplicates must collapse to one canonical,
+rejects must carry the first-failing reason, and the outputs must
+partition the input urls exactly (step_6 consistency discipline)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyspark.sql.functions as F
+import pytest
+
+from clara_ocr_spark.curate import (
+    REASON_DUPLICATE,
+    REASON_TOO_SHORT,
+    REASON_TOP_WORD,
+    CurateConfig,
+    curate,
+    near_dup_canonical,
+    text_features,
+)
+from clara_ocr_spark.pipeline import extract
+from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+
+def _mk_pages(spark, rows):
+    return spark.createDataFrame(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+    )
+
+
+@pytest.fixture(scope="module")
+def curated_rejected(spark):
+    rows = [gen_page(i, seed=51) for i in range(60)]
+    # exact duplicates: same html under three different urls
+    for k, src in enumerate((3, 3, 7)):
+        dup = dict(rows[src])
+        dup["url"] = f"https://dupes.example/copy/{k}"
+        rows.append(dup)
+    # degenerate repetitive page (top-word + short cases)
+    base = dict(rows[0])
+    base["url"] = "https://bad.example/repeat"
+    base["html"] = (
+        b"<html><body><main><p>"
+        + b"spam spam spam spam spam spam spam spam spam spam"
+        + b"</p></main></body></html>"
+    )
+    rows.append(base)
+    short = dict(rows[0])
+    short["url"] = "https://bad.example/short"
+    short["html"] = b"<html><body><main><p>tiny little page</p></main></body></html>"
+    rows.append(short)
+    pages = _mk_pages(spark, rows)
+    curated, rejected = curate(extract(pages))
+    return rows, curated.collect(), rejected.collect()
+
+
+def test_outputs_partition_input(curated_rejected):
+    rows, curated, rejected = curated_rejected
+    got = {r["url"] for r in curated} | {r["url"] for r in rejected}
+    assert got == {r["url"] for r in rows}
+    assert len(curated) + len(rejected) == len(rows)
+
+
+def test_duplicates_collapse_to_one_canonical(curated_rejected):
+    rows, curated, rejected = curated_rejected
+    reasons = {r["url"]: r["reason"] for r in rejected}
+    # rows[3] was duplicated twice, rows[7] once: each family keeps
+    # exactly one representative (the lexicographic-min url — the
+    # dupes.example copies sort before host*.example)
+    fam3 = {rows[3]["url"], "https://dupes.example/copy/0", "https://dupes.example/copy/1"}
+    fam7 = {rows[7]["url"], "https://dupes.example/copy/2"}
+    for fam in (fam3, fam7):
+        kept = fam & {r["url"] for r in curated}
+        assert kept == {min(fam)}, fam
+        for u in fam - kept:
+            assert reasons[u] == REASON_DUPLICATE
+
+
+def test_quality_reasons(curated_rejected):
+    _, _, rejected = curated_rejected
+    reasons = {r["url"]: r["reason"] for r in rejected}
+    assert reasons["https://bad.example/repeat"] == REASON_TOP_WORD
+    assert reasons["https://bad.example/short"] == REASON_TOO_SHORT
+
+
+def test_features_are_row_local(spark):
+    """text_features adds no shuffle: plan has zero Exchange."""
+    df = spark.createDataFrame(
+        [("u1", "a a b"), ("u2", "")], "url string, text string"
+    )
+    plan = (
+        text_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    rows = {r["url"]: r for r in text_features(df).collect()}
+    assert rows["u1"]["n_tokens"] == 3
+    assert rows["u1"]["top_word_frac"] == pytest.approx(2 / 3)
+    assert rows["u2"]["n_tokens"] == 0
+
+
+def test_near_dup_canonical_deterministic(spark):
+    docs = spark.createDataFrame(
+        [
+            ("u/b", "the quick brown fox jumps over the lazy dog"),
+            ("u/a", "the quick brown fox jumps over the lazy dog"),
+            ("u/c", "completely different content about spark pipelines"),
+        ],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: r["canonical_url"]
+        for r in near_dup_canonical(docs, 0.9).collect()
+    }
+    assert got == {"u/a": "u/a", "u/b": "u/a"}
+
+
+def test_config_overrides():
+    cfg = CurateConfig.from_args(["min_tokens=9", "jaccard_tau=0.5"])
+    assert cfg.min_tokens == 9 and cfg.jaccard_tau == 0.5
+    with pytest.raises(ValueError):
+        CurateConfig.from_args(["nope=1"])
