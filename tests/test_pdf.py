@@ -394,6 +394,28 @@ def test_mixed_routing_byte_identity(spark, pdf_rows):
         assert got[row["url"]] == row["text"], row["url"]
 
 
+def test_committed_pdf_goldens(spark):
+    """Byte-identity against COMMITTED goldens (the imre.pbm
+    regression pattern): catches coordinated drift of generator +
+    parser + Spark layout that runtime comparison cannot."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "pdf_extract_seed42_60.json"
+    )
+    with open(path) as f:
+        want = {r["url"]: r["text"] for r in json.load(f)}
+    from clara_ocr_spark.stages.layout import extract_pdf
+
+    rows = [gen_pdf_page(i, seed=42) for i in range(60)]
+    got = {
+        r["url"]: r["text"]
+        for r in extract_pdf(_pages_df(spark, rows)).collect()
+    }
+    assert got == want
+
+
 def test_streaming_incremental_mixed(spark, tmp_path, pdf_rows):
     """The daemon analogue processes mixed HTML+PDF shards and stays
     idempotent for already-seen files (clara.pl -d semantics)."""
