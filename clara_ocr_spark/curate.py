@@ -28,7 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, fields
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .queries import (
     _grams,
@@ -156,31 +156,65 @@ def near_dup_canonical(docs: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def exact_dup_canonical(docs: DataFrame) -> DataFrame:
+    """(url, text) → (url, exact_canonical) by content hash, canonical
+    = lexicographic-min url per identical text. The cheap first tier
+    of production dedup: one hash groupBy collapses byte-identical
+    docs before any minhash work (at web scale the exact-dup rate is
+    high — mirrors, re-crawls — so this shrinks the expensive tier's
+    input substantially)."""
+    return (
+        docs.select("url", F.md5(F.col("text")).alias("h"))
+        .withColumn(
+            "exact_canonical", F.min("url").over(Window.partitionBy("h"))
+        )
+        .select("url", "exact_canonical")
+    )
+
+
 def curate(
     extracted: DataFrame, cfg: CurateConfig = CurateConfig()
 ) -> tuple:
     """extracted(url, text) → (curated, rejected).
 
     curated(url, text, n_tokens): quality-passing, one representative
-    per near-dup cluster. rejected(url, reason): everything else, with
+    per duplicate family. rejected(url, reason): everything else, with
     the first failing rule or ``duplicate``. The two partition the
     input urls exactly (asserted in tests — the consistency-gate
-    discipline of step_6)."""
+    discipline of step_6).
+
+    Dedup is two-tier, the production shape: exact (hash groupBy,
+    cheap, collapses byte-identical docs) then near (minhash/LSH over
+    the exact representatives only — the expensive tier never sees
+    redundant identical inputs). Canonicals compose: a doc's final
+    canonical is its exact representative's near-dup canonical."""
     feats = text_features(extracted).localCheckpoint(eager=False)
-    reason = quality_reason(cfg)
-    gated = feats.withColumn("reason", reason)
+    gated = feats.withColumn("reason", quality_reason(cfg))
     passing = gated.filter(F.col("reason").isNull())
-    dup = near_dup_canonical(passing.select("url", "text"), cfg.jaccard_tau)
-    labeled = passing.join(dup, "url", "left")
-    curated = labeled.filter(
-        F.col("canonical_url").isNull()
-        | (F.col("canonical_url") == F.col("url"))
-    ).select("url", "text", "n_tokens")
+
+    # tier 1: exact duplicates by content hash
+    exact = exact_dup_canonical(passing.select("url", "text"))
+    with_exact = passing.join(exact, "url")
+    reps = with_exact.filter(
+        F.col("exact_canonical") == F.col("url")
+    ).localCheckpoint(eager=False)
+
+    # tier 2: near-duplicates among the exact representatives
+    near = near_dup_canonical(reps.select("url", "text"), cfg.jaccard_tau)
+    rep_final = reps.join(near, "url", "left").select(
+        F.col("url").alias("rep_url"),
+        F.coalesce("canonical_url", "url").alias("final_canonical"),
+    )
+    resolved = with_exact.join(
+        rep_final, with_exact["exact_canonical"] == rep_final["rep_url"]
+    )
+    curated = resolved.filter(F.col("final_canonical") == F.col("url")).select(
+        "url", "text", "n_tokens"
+    )
     rejected = gated.filter(F.col("reason").isNotNull()).select(
         "url", "reason"
     )
-    dup_rejected = labeled.filter(
-        F.col("canonical_url").isNotNull()
-        & (F.col("canonical_url") != F.col("url"))
+    dup_rejected = resolved.filter(
+        F.col("final_canonical") != F.col("url")
     ).select("url", F.lit(REASON_DUPLICATE).alias("reason"))
     return curated, rejected.unionByName(dup_rejected)

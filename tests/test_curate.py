@@ -114,6 +114,31 @@ def test_near_dup_canonical_deterministic(spark):
     assert got == {"u/a": "u/a", "u/b": "u/a"}
 
 
+def test_two_tier_dedup_composes(spark):
+    """Exact copies collapse in tier 1; their representatives link in
+    tier 2; the final canonical is the min url across the WHOLE
+    family (exact ∘ near composition)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    docs = [
+        ("u/03-exact-copy", base),
+        ("u/01-canonical", base),
+        ("u/04-near", near),
+        ("u/02-near-exact-copy", near),
+        ("u/05-other", "totally unrelated text about something else entirely"),
+    ]
+    df = spark.createDataFrame(
+        [(u, "2024-01-01", t) for u, t in docs],
+        "url string, ts string, text string",
+    ).select("url", "text")
+    curated, rejected = curate(df, CurateConfig(jaccard_tau=0.8))
+    kept = {r["url"] for r in curated.collect()}
+    reasons = {r["url"]: r["reason"] for r in rejected.collect()}
+    assert kept == {"u/01-canonical", "u/05-other"}
+    assert set(reasons) == {"u/02-near-exact-copy", "u/03-exact-copy", "u/04-near"}
+    assert set(reasons.values()) == {REASON_DUPLICATE}
+
+
 def test_config_overrides():
     cfg = CurateConfig.from_args(["min_tokens=9", "jaccard_tau=0.5"])
     assert cfg.min_tokens == 9 and cfg.jaccard_tau == 0.5
