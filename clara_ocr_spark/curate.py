@@ -31,11 +31,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from .queries import (
-    _grams,
-    _let,
+    _band_candidates,
+    _dup_2gram_frac,
+    _jaccard_pairs,
     _min_label_components,
-    _minhash_sig,
+    _minhash_bands,
     _tokens,
+    _top_word_frac,
 )
 
 REASON_TOO_SHORT = "too_short"
@@ -68,35 +70,15 @@ class CurateConfig:
 
 def text_features(extracted: DataFrame) -> DataFrame:
     """(url, text) → + n_tokens, top_word_frac, dup_2gram_frac.
-    Pure higher-order array expressions, zero shuffle; token/gram
-    arrays let-bound so Catalyst evaluates each once per row."""
+    Pure higher-order array expressions, zero shuffle — the SAME
+    expressions the oracle-checked ``repetition_filter`` catalog
+    entry uses (queries._top_word_frac / _dup_2gram_frac)."""
     toks = _tokens(F.lower(F.col("text")))
-    n_tok = F.size(toks)
-    top_cnt = _let(
-        toks,
-        lambda ws: F.array_max(
-            F.transform(
-                F.array_distinct(ws),
-                lambda t: F.size(F.filter(ws, lambda w: w == t)),
-            )
-        ),
-    )
-    top_frac = F.when(n_tok > 0, top_cnt.cast("double") / n_tok).otherwise(
-        F.lit(0.0)
-    )
-    dup_frac = _let(
-        _grams(toks),
-        lambda gs: F.when(
-            F.size(gs) > 0,
-            F.lit(1.0)
-            - F.size(F.array_distinct(gs)).cast("double") / F.size(gs),
-        ).otherwise(F.lit(0.0)),
-    )
     return extracted.select(
         "*",
-        n_tok.alias("n_tokens"),
-        top_frac.alias("top_word_frac"),
-        dup_frac.alias("dup_2gram_frac"),
+        F.size(toks).alias("n_tokens"),
+        _top_word_frac(toks).alias("top_word_frac"),
+        _dup_2gram_frac(toks).alias("dup_2gram_frac"),
     )
 
 
@@ -118,38 +100,18 @@ def near_dup_canonical(docs: DataFrame, tau: float) -> DataFrame:
     cluster (canonical = lexicographic-min url, deterministic).
     MinHash over word-2-gram shingles → 2 band buckets (equi-join
     candidates) → exact token-set Jaccard ≥ tau → min-label
-    components. Docs in no cluster are absent from the result."""
+    components — the SAME chain as the oracle-checked
+    ``dedup_canonicalize`` catalog entry, via the shared helpers.
+    Docs in no cluster are absent from the result."""
     toks = _tokens(F.lower(F.col("text")))
-    sig = _minhash_sig(_grams(toks), 4)
-    bands = _let(
-        sig,
-        lambda s: F.array(
-            F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
-            F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
-        ),
-    )
-    b = docs.select("url", F.explode(bands).alias("bucket")).localCheckpoint(
-        eager=False
-    )
-    cand = (
-        b.select(F.col("url").alias("i_id"), "bucket")
-        .join(b.select(F.col("url").alias("j_id"), "bucket"), "bucket")
-        .filter(F.col("i_id") < F.col("j_id"))
-        .select("i_id", "j_id")
-        .dropDuplicates(["i_id", "j_id"])
-    )
+    b = docs.select(
+        "url", F.explode(_minhash_bands(toks)).alias("bucket")
+    ).localCheckpoint(eager=False)
+    cand = _band_candidates(b, "url")
     ws = docs.select(
         "url", F.array_distinct(F.array_sort(toks)).alias("toks")
     ).localCheckpoint(eager=False)
-    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
-        "double"
-    ) / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
-    pairs = (
-        cand.join(ws.alias("a"), F.col("i_id") == F.col("a.url"))
-        .join(ws.alias("b"), F.col("j_id") == F.col("b.url"))
-        .filter(jac >= tau)
-        .select("i_id", "j_id")
-    )
+    pairs = _jaccard_pairs(cand, ws, "url", tau)
     comp = _min_label_components(pairs)
     return comp.select(
         F.col("node").alias("url"), F.col("cluster").alias("canonical_url")

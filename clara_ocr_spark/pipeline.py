@@ -52,9 +52,14 @@ PDF_MAGIC = b"%PDF-"
 
 
 def _is_pdf_col():
+    """NULL-safe: a NULL html payload is NOT a PDF (it must route to
+    the DOM leg, whose parser yields the empty page — otherwise both
+    legs' filters drop the row and the url vanishes from the output)."""
     import pyspark.sql.functions as F
 
-    return F.substring(F.col("html"), 1, 5) == F.lit(PDF_MAGIC)
+    return F.coalesce(
+        F.substring(F.col("html"), 1, 5) == F.lit(PDF_MAGIC), F.lit(False)
+    )
 
 
 def extract_mixed(

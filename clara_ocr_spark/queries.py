@@ -634,6 +634,92 @@ def _let(col: F.Column, fn) -> F.Column:
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
+# -- shared curation expressions (used by the oracle-checked catalog
+# entries AND clara_ocr_spark.curate — single source of truth) --------
+
+
+def _top_word_count(ws: F.Column) -> F.Column:
+    """Max token frequency via sort + longest-equal-run fold —
+    O(n log n) per doc; the transform(distinct, filter-count) shape is
+    O(distinct·n), quadratic on exactly the repetitive docs the
+    quality gate exists to catch."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return _let(
+        F.array_sort(ws), lambda s: F.aggregate(s, init, step)["best"]
+    )
+
+
+def _top_word_frac(toks: F.Column) -> F.Column:
+    n_tok = F.size(toks)
+    return F.when(
+        n_tok > 0, _top_word_count(toks).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_2gram_frac(toks: F.Column) -> F.Column:
+    return _let(
+        _grams(toks),
+        lambda gs: F.when(
+            F.size(gs) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(gs)).cast("double") / F.size(gs),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def _minhash_bands(toks: F.Column) -> F.Column:
+    """Two LSH band keys from the 4-permutation minhash signature."""
+    sig = _minhash_sig(_grams(toks), 4)
+    return _let(
+        sig,
+        lambda s: F.array(
+            F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
+            F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
+        ),
+    )
+
+
+def _band_candidates(b: DataFrame, id_col: str) -> DataFrame:
+    """b(id, bucket) → distinct (i_id < j_id) pairs sharing a bucket.
+    Caller should localCheckpoint b — both join sides read it."""
+    left = b.select(F.col(id_col).alias("i_id"), "bucket")
+    right = b.select(F.col(id_col).alias("j_id"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("i_id") < F.col("j_id"))
+        .select("i_id", "j_id")
+        .dropDuplicates(["i_id", "j_id"])
+    )
+
+
+def _jaccard_pairs(
+    cand: DataFrame, ws: DataFrame, id_col: str, tau: float
+) -> DataFrame:
+    """Exact token-set Jaccard verify over the bounded candidate set
+    (the cheap-filter → expensive-compare split of classify).
+    ws(id, toks) should be localCheckpointed by the caller."""
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+        "double"
+    ) / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    return (
+        cand.join(ws.alias("a"), F.col("i_id") == F.col(f"a.{id_col}"))
+        .join(ws.alias("b"), F.col("j_id") == F.col(f"b.{id_col}"))
+        .filter(jac >= tau)
+        .select("i_id", "j_id")
+    )
+
+
 @q(
     "minhash_signatures",
     f"""
@@ -812,23 +898,25 @@ def simhash(spark, sf_dir):
                from (select doc_id,
                        list_distinct({_TOK_DUCK.format(x='lower(text)')}) as ws
                      from documents)),
-    b as (select doc_id, sh, k, (sh >> (16 * k)) & 65535 as bv
-          from t, generate_series(0, 1) as g(k)),
+    b as (select doc_id, sh, k, (sh >> (8 * k)) & 255 as bv
+          from t, generate_series(0, 3) as g(k)),
     cand as (select distinct a.doc_id as i_id, b.doc_id as j_id
              from b a join b b on a.k = b.k and a.bv = b.bv
                                 and a.doc_id < b.doc_id)
     select i_id, j_id, bit_count(xor(a.sh, b.sh)) as hamming
     from cand join t a on a.doc_id = i_id join t b on b.doc_id = j_id
-    where bit_count(xor(a.sh, b.sh)) <= 4
+    where bit_count(xor(a.sh, b.sh)) <= 3
     """,
 )
 def simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup join: 2 × 16-bit band buckets generate
-    candidates via EQUI joins (a hamming-ball search would be a
-    nested loop), verified by bit_count(xor) ≤ 4 — by pigeonhole,
-    any pair within hamming 1-per-band shares a band, the standard
-    simhash blocking argument. Signatures computed once per doc;
-    only (doc_id, sh) enters the pair shuffle."""
+    """SimHash near-dup join with LOSSLESS blocking: 4 × 8-bit band
+    buckets generate candidates via EQUI joins (a hamming-ball search
+    would be a nested loop), verified by bit_count(xor) ≤ 3. The
+    pigeonhole bound (Manku et al.): ≤ 3 differing bits across 4
+    bands leave at least one band identical, so every qualifying pair
+    IS a candidate — k+1 bands guarantee hamming ≤ k. Signatures
+    computed once per doc; only (doc_id, sh) enters the pair
+    shuffle."""
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", _simhash_col().alias("sh")).localCheckpoint(
         eager=False
@@ -838,11 +926,11 @@ def simhash_near_dup(spark, sf_dir):
             *[
                 F.struct(
                     F.lit(k).alias("k"),
-                    F.shiftright("sh", 16 * k).bitwiseAND(F.lit(65535)).alias(
+                    F.shiftright("sh", 8 * k).bitwiseAND(F.lit(255)).alias(
                         "bv"
                     ),
                 )
-                for k in range(2)
+                for k in range(4)
             ]
         )
     )
@@ -866,7 +954,7 @@ def simhash_near_dup(spark, sf_dir):
         cand.join(F.broadcast(si), "i_id")
         .join(F.broadcast(sj), "j_id")
         .select("i_id", "j_id", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 4)
+        .filter(F.col("hamming") <= 3)
     )
 
 
@@ -925,42 +1013,18 @@ def dedup_canonicalize(spark, sf_dir):
     recursive-CTE transitive closure."""
     d = _t(spark, sf_dir, "documents")
     toks = _tokens(F.lower(F.col("text")))
-    sig = _minhash_sig(_grams(toks), 4)
-    bands = _let(
-        sig,
-        lambda s: F.array(
-            F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
-            F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
-        ),
-    )
     # materialize the signature bands and token sets ONCE — both join
     # sides read them, and Catalyst would otherwise re-tokenize and
     # re-minhash the full corpus per side (the `banded` discipline of
     # _near_dup_pairs; measured ~2× on the composed pipeline)
-    b = d.select("doc_id", F.explode(bands).alias("bucket")).localCheckpoint(
-        eager=False
-    )
-    left = b.select(F.col("doc_id").alias("i_id"), "bucket")
-    right = b.select(F.col("doc_id").alias("j_id"), "bucket")
-    cand = (
-        left.join(right, "bucket")
-        .filter(F.col("i_id") < F.col("j_id"))
-        .select("i_id", "j_id")
-        .dropDuplicates(["i_id", "j_id"])
-    )
+    b = d.select(
+        "doc_id", F.explode(_minhash_bands(toks)).alias("bucket")
+    ).localCheckpoint(eager=False)
+    cand = _band_candidates(b, "doc_id")
     ws = d.select(
         "doc_id", F.array_distinct(F.array_sort(toks)).alias("toks")
     ).localCheckpoint(eager=False)
-    jac = (
-        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-        / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
-    )
-    pairs = (
-        cand.join(ws.alias("a"), F.col("i_id") == F.col("a.doc_id"))
-        .join(ws.alias("b"), F.col("j_id") == F.col("b.doc_id"))
-        .filter(jac >= 0.7)
-        .select("i_id", "j_id")
-    )
+    pairs = _jaccard_pairs(cand, ws, "doc_id", 0.7)
     comp = _min_label_components(pairs)
     return d.select("doc_id").join(
         comp, d["doc_id"] == comp["node"], "left"
@@ -1385,7 +1449,6 @@ def ivf_topk(spark, sf_dir):
                 F.collect_list(F.struct(F.col("label").alias("cell"), "cv"))
             ).alias("cents")
         )
-        .localCheckpoint(eager=False)  # probe reads assignment twice
     )
     # nearest-centroid assignment as a higher-order argmax: score each
     # centroid once (transform), fold to the best (aggregate) — zero
@@ -1414,6 +1477,9 @@ def ivf_topk(spark, sf_dir):
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", best["cell"].alias("cell"))
+        # both probe sides (query broadcast + corpus scan) read the
+        # assignment; materialize so the 64-centroid argmax runs once
+        .localCheckpoint(eager=False)
     )
     qs = F.broadcast(
         assigned.filter(F.col("vec_id") < 10).select(
@@ -2259,27 +2325,8 @@ def repetition_filter(spark, sf_dir):
     Catalyst evaluates them once (see _let)."""
     d = _t(spark, sf_dir, "documents")
     toks = _tokens(F.lower(F.col("text")))
-    top_cnt = _let(
-        toks,
-        lambda ws: F.array_max(
-            F.transform(
-                F.array_distinct(ws),
-                lambda t: F.size(F.filter(ws, lambda w: w == t)),
-            )
-        ),
-    )
-    n_tok = F.size(toks)
-    top_frac = F.when(
-        n_tok > 0, top_cnt.cast("double") / n_tok
-    ).otherwise(F.lit(0.0))
-    dup_frac = _let(
-        _grams(toks),
-        lambda gs: F.when(
-            F.size(gs) > 0,
-            F.lit(1.0)
-            - F.size(F.array_distinct(gs)).cast("double") / F.size(gs),
-        ).otherwise(F.lit(0.0)),
-    )
+    top_frac = _top_word_frac(toks)
+    dup_frac = _dup_2gram_frac(toks)
     return d.select(
         "doc_id",
         "lang",
@@ -2345,9 +2392,11 @@ def lm_quality_scores(spark, sf_dir):
     gram hash — at 100 TB the LM table is hash-partitioned, never
     collected); docs with no grams score -1."""
     d = _t(spark, sf_dir, "documents")
+    # materialize the exploded grams once — both the LM-count agg and
+    # the score join read them (the dedup_canonicalize discipline)
     g = d.select(
         "doc_id", F.explode(_grams(_tokens(F.lower(F.col("text"))))).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     scores = (
         g.join(counts, "gram")

@@ -168,26 +168,29 @@ SHARD_DOCS = 256  # ≈ one WARC segment; yields many input splits
 
 
 def _write_shard(args) -> None:
-    tmp, shard, lo, hi, seed = args
-    rows = [gen_page(i, seed) for i in range(lo, hi)]
+    tmp, shard, lo, hi, seed, gen = args
+    rows = [gen(i, seed) for i in range(lo, hi)]
     pq.write_table(
         pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
         os.path.join(tmp, f"part-{shard:05d}.parquet"),
     )
 
 
-def ensure_corpus(path: str, n: int, seed: int = 42) -> str:
+def ensure_corpus(path: str, n: int, seed: int = 42, gen=None) -> str:
     """Write the corpus once as a DIRECTORY of parquet shards
     (SHARD_DOCS docs each) — mirrors Common Crawl's many-files layout
     so the scan parallelizes naturally (a single file caps the parse
     stage at one task per row-group byte range). Cached by path.
     Per-doc RNGs make generation order-independent, so shards are
-    written by a process pool."""
+    written by a process pool. ``gen(i, seed) -> row`` defaults to
+    the HTML page generator; pass ``pdfgen.gen_pdf_page`` (via
+    ``ensure_pdf_corpus``) for the layout corpus."""
+    gen = gen or gen_page
     if not os.path.exists(path):
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         jobs = [
-            (tmp, shard, lo, min(lo + SHARD_DOCS, n), seed)
+            (tmp, shard, lo, min(lo + SHARD_DOCS, n), seed, gen)
             for shard, lo in enumerate(range(0, n, SHARD_DOCS))
         ]
         if len(jobs) > 4:

@@ -203,46 +203,12 @@ def _assemble_pdf(page_streams: List[bytes], rng: random.Random) -> bytes:
 
 
 def ensure_pdf_corpus(path: str, n: int, seed: int = 42) -> str:
-    """Sharded parquet PDF corpus (same layout discipline as
-    ``corpus.ensure_corpus``: SHARD_DOCS docs per file so the scan
-    parallelizes; per-doc RNGs make shards order-independent)."""
-    import os
+    """Sharded parquet PDF corpus — ``corpus.ensure_corpus`` with the
+    PDF row generator (same shard layout, pool fan-out, atomic
+    rename)."""
+    from .corpus import ensure_corpus
 
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        from .corpus import SHARD_DOCS
-
-        jobs = [
-            (tmp, shard, lo, min(lo + SHARD_DOCS, n), seed)
-            for shard, lo in enumerate(range(0, n, SHARD_DOCS))
-        ]
-        if len(jobs) > 4:
-            from multiprocessing import Pool
-
-            with Pool(min(16, os.cpu_count() or 4)) as pool:
-                pool.map(_write_pdf_shard, jobs)
-        else:
-            for j in jobs:
-                _write_pdf_shard(j)
-        os.replace(tmp, path)
-    return path
-
-
-def _write_pdf_shard(args) -> None:
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from .corpus import PAGES_SCHEMA
-
-    tmp, shard, lo, hi, seed = args
-    rows = [gen_pdf_page(i, seed) for i in range(lo, hi)]
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
-        os.path.join(tmp, f"part-{shard:05d}.parquet"),
-    )
+    return ensure_corpus(path, n, seed, gen=gen_pdf_page)
 
 
 def gen_pdf_page(i: int, seed: int = 42) -> dict:

@@ -383,11 +383,20 @@ def test_spark_layout_byte_identity(spark, pdf_rows):
 
 
 def test_mixed_routing_byte_identity(spark, pdf_rows):
-    """HTML and PDF payloads in ONE pages table, routed by magic."""
+    """HTML and PDF payloads in ONE pages table, routed by magic;
+    NULL payloads must survive to the output as empty pages (a NULL
+    predicate would silently drop them from BOTH legs)."""
     from clara_ocr_spark.pipeline import extract_mixed
 
     html_rows = [gen_page(i) for i in range(40)]
-    rows = html_rows + pdf_rows[:40]
+    null_row = {
+        "url": "https://bad.example/null-html",
+        "warc_ts": html_rows[0]["warc_ts"],
+        "html": None,
+        "text": "",
+        "lang": "en",
+    }
+    rows = html_rows + pdf_rows[:40] + [null_row]
     got = {r["url"]: r["text"] for r in extract_mixed(_pages_df(spark, rows)).collect()}
     assert set(got) == {r["url"] for r in rows}
     for row in rows:
