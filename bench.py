@@ -135,14 +135,17 @@ def run_pdf_extraction(spark, warmups: int = 2, runs: int = 4) -> float:
     return min(times)
 
 
-def extract_only(cores: int, n_docs: int | None = None) -> None:
+def extract_only(cores: int, n_docs: int | None = None, pdf: bool = False) -> None:
     from clara_ocr_spark.session import get_spark
 
-    n_docs = n_docs or BENCH_DOCS
-    path = corpus_path(n_docs)
     spark = get_spark(f"bench-extract-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    secs = run_extraction(spark, path)
+    if pdf:
+        n_docs = n_docs or PDF_BENCH_DOCS
+        secs = run_pdf_extraction(spark)
+    else:
+        n_docs = n_docs or BENCH_DOCS
+        secs = run_extraction(spark, corpus_path(n_docs))
     spark.stop()
     print(json.dumps({"cores": cores, "docs": n_docs, "secs": secs}))
 
@@ -176,25 +179,29 @@ def _raw_work(rng_range):
     return sum(len(reference_extract(gen_page(i)["html"])) for i in range(lo, hi))
 
 
-def scaling(lo: int = 8, hi: int = 32) -> None:
-    """Same job, two parallelism levels, separate JVMs → efficiency."""
-    corpus_path(SCALING_DOCS)  # build the corpus once, outside the timed runs
+def scaling(lo: int = 8, hi: int = 32, pdf: bool = False) -> None:
+    """Same job, two parallelism levels, separate JVMs → efficiency.
+    ``pdf=True`` runs the layout leg instead of the DOM leg."""
+    n_docs = PDF_BENCH_DOCS if pdf else SCALING_DOCS
+    if not pdf:
+        corpus_path(SCALING_DOCS)  # build once, outside the timed runs
     res = {}
     for cores in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extract-only",
-             "--cores", str(cores), "--docs", str(SCALING_DOCS)],
-            capture_output=True, text=True, check=True,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--extract-only",
+               "--cores", str(cores), "--docs", str(n_docs)]
+        if pdf:
+            cmd.append("--pdf")
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-    tlo = SCALING_DOCS / res[lo]["secs"]
-    thi = SCALING_DOCS / res[hi]["secs"]
+    tlo = n_docs / res[lo]["secs"]
+    thi = n_docs / res[hi]["secs"]
     eff = (thi / tlo) / (hi / lo)
     ceiling = raw_ceiling(lo, hi)
     print(
         json.dumps(
             {
-                "docs": SCALING_DOCS,
+                "docs": n_docs,
+                "leg": "pdf" if pdf else "html",
                 f"docs_per_sec_local[{lo}]": round(tlo, 1),
                 f"docs_per_sec_local[{hi}]": round(thi, 1),
                 "speedup": round(thi / tlo, 3),
@@ -212,15 +219,17 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pdf", action="store_true",
+                    help="run the PDF layout leg in --extract-only/--scaling")
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
     args = ap.parse_args()
 
     if args.extract_only:
-        extract_only(args.cores or 8, args.docs)
+        extract_only(args.cores or 8, args.docs, pdf=args.pdf)
         return
     if args.scaling:
-        scaling(args.lo, args.hi)
+        scaling(args.lo, args.hi, pdf=args.pdf)
         return
 
     from clara_ocr_spark.queries import REGISTRY
