@@ -67,6 +67,7 @@ HEADLINE = [
     "repetition_filter",
     "stratified_sample",
     "lm_quality_scores",
+    "bpe_token_stats",
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

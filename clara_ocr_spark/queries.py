@@ -475,6 +475,56 @@ def token_stats(spark, sf_dir):
     )
 
 
+#: BPE-style pre-tokenizer (GPT-2 family, simplified to the subset
+#: RE2 AND Java regex share — no lookahead): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs.
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@q(
+    "bpe_token_stats",
+    f"""
+    with t as (select lang,
+                 len(regexp_extract_all(text, '{_BPE_RE_SQL}')) as n_bpe,
+                 len({_TOK_DUCK.format(x='text')}) as n_ws
+               from documents)
+    select lang, count(*) as n_docs,
+           sum(n_bpe) as total_bpe_tokens,
+           round(avg(n_bpe), 3) as avg_bpe_tokens,
+           round(avg(case when n_ws > 0
+                          then cast(n_bpe as double) / n_ws end), 4)
+             as bpe_per_word
+    from t group by lang
+    """,
+)
+def bpe_token_stats(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (the
+    training-token budget estimator): subword-ish segment counts per
+    doc and the BPE-per-whitespace-word ratio per language. The
+    pattern is the lookahead-free GPT-2 shape, valid in both Java
+    regex (Spark) and RE2 (DuckDB), so the oracle checks the exact
+    same segmentation. Map-side only + one agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    n_ws = F.size(_tokens(F.col("text")))
+    t = d.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe"), 3).alias("avg_bpe_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("n_ws") > 0,
+                    F.col("n_bpe").cast("double") / F.col("n_ws"),
+                )
+            ),
+            4,
+        ).alias("bpe_per_word"),
+    )
+
+
 _STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
 _STOP_DE = ["der", "die", "das", "und", "ist", "ein", "mit"]
 _STOP_ES = ["el", "la", "los", "y", "de", "en", "es"]
