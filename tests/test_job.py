@@ -52,3 +52,23 @@ def test_extract_job_mixed(tmp_path):
     }
     want = {r["url"]: r["text"] for r in rows}
     assert got == want
+
+    # --incremental + --mixed together: replay must be a no-op (the
+    # high-water-mark anti-join sees every url already extracted)
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp),
+            "--output", str(out),
+            "--mixed",
+            "--incremental",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    n = duckdb.sql(f"select count(*) from '{out}/*.parquet'").fetchone()[0]
+    assert n == len(rows)
