@@ -4,6 +4,12 @@ import os
 
 import pytest
 
+# Shuffle/spill on tmpfs: the sandbox's virtio disk adds erratic
+# multi-second stalls (see bench.py note); tests only need determinism
+# and speed. Honors a pre-set SPARK_LOCAL_DIRS.
+if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+    os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local-tests"
+
 from clara_ocr_spark.session import get_spark
 from clara_ocr_spark.sources.corpus import ensure_corpus
 

@@ -403,6 +403,18 @@ def test_mixed_routing_byte_identity(spark, pdf_rows):
         assert got[row["url"]] == row["text"], row["url"]
 
 
+def test_layout_partitioning_invariance(spark, pdf_rows):
+    """Determinism under arbitrary repartitioning (SURVEY hard-part 2:
+    every ordering is a strict total order, so the plan's output is
+    partition-count-independent)."""
+    from clara_ocr_spark.stages.layout import extract_pdf
+
+    df = _pages_df(spark, pdf_rows[:60])
+    a = {r["url"]: r["text"] for r in extract_pdf(df.repartition(1)).collect()}
+    b = {r["url"]: r["text"] for r in extract_pdf(df.repartition(17)).collect()}
+    assert a == b
+
+
 def test_committed_pdf_goldens(spark):
     """Byte-identity against COMMITTED goldens (the imre.pbm
     regression pattern): catches coordinated drift of generator +
