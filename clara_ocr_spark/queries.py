@@ -2336,6 +2336,91 @@ def corr_value_hour(spark, sf_dir):
     )
 
 
+@q(
+    "df_stopwords",
+    f"""
+    with g as (select distinct doc_id, lang, t.w
+               from (select doc_id, lang,
+                            {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents), unnest(ws) as t(w)),
+    df as (select lang, w, count(*) as n_docs from g group by lang, w),
+    r as (select lang, w, n_docs,
+                 row_number() over (partition by lang
+                                    order by n_docs desc, w) as rn
+          from df)
+    select lang, w as token, n_docs, rn as rank
+    from r where rn <= 5
+    """,
+)
+def df_stopwords(spark, sf_dir):
+    """Corpus-driven stopword induction: top-5 tokens per language by
+    DOCUMENT frequency (distinct doc containment, not raw counts —
+    repetition inside one doc must not promote a word). This is how
+    the language-ID stoplists are trained rather than hand-picked at
+    corpus scale. explode → distinct → two-phase agg → top-k window."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "lang", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    ).dropDuplicates(["doc_id", "lang", "w"])
+    df = g.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("w"))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", F.col("w").alias("token"), "n_docs", "rank")
+    )
+
+
+@q(
+    "url_canonical_groups",
+    """
+    with u as (select doc_id,
+                 'https://H' || cast(doc_id % 7 as varchar)
+                   || '.Example/p/' || cast(doc_id // 11 as varchar)
+                   || '/?utm_source=feed&ref=' || cast(doc_id % 5 as varchar)
+                 as url
+               from documents),
+    c as (select doc_id,
+                 rtrim(regexp_replace(lower(url),
+                                      '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+                       '?/') as canon
+          from u)
+    select canon, count(*) as n_urls, min(doc_id) as first_doc
+    from c group by canon having count(*) > 1
+    """,
+)
+def url_canonical_groups(spark, sf_dir):
+    """URL canonicalization + crawl-dedup grouping (the web-pipeline
+    sibling of content dedup): lowercase, strip tracking params
+    (utm_*, ref), trim trailing '/'/'?', group identical canonical
+    urls. Urls are synthesized deterministically from doc_id so the
+    oracle sees the same inputs; pure regexp column expressions +
+    one agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://H"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example/p/"),
+        F.floor(F.col("doc_id") / 11).cast("bigint").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"[?&](utm_[a-z]+|ref)=[^&]*", ""),
+        r"[?/]+$",
+        "",
+    )
+    return (
+        d.select(F.col("doc_id"), canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )
+
+
 # ---------------------------------------------------------------------
 # Corpus-curation operators (training-data pipeline, beyond the
 # reference): repetition filtering, deterministic stratified sampling,
