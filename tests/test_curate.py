@@ -139,6 +139,29 @@ def test_two_tier_dedup_composes(spark):
     assert set(reasons.values()) == {REASON_DUPLICATE}
 
 
+def test_curate_partitioning_invariance(spark):
+    """The composed pipeline's outputs (including which member of a
+    duplicate family is elected canonical) are identical at any
+    partition count — all orderings are strict total orders."""
+    rows = [gen_page(i, seed=91) for i in range(40)]
+    for k in (2, 9):
+        dup = dict(rows[k])
+        dup["url"] = f"https://dupes.example/{k}"
+        rows.append(dup)
+    df = _mk_pages(spark, rows)
+    outs = []
+    for parts in (1, 13):
+        ex = extract(df.repartition(parts))
+        curated, rejected = curate(ex)
+        outs.append(
+            (
+                {(r["url"], r["text"]) for r in curated.collect()},
+                {(r["url"], r["reason"]) for r in rejected.collect()},
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 def test_config_overrides():
     cfg = CurateConfig.from_args(["min_tokens=9", "jaccard_tau=0.5"])
     assert cfg.min_tokens == 9 and cfg.jaccard_tau == 0.5
