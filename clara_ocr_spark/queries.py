@@ -2544,6 +2544,45 @@ def lm_quality_scores(spark, sf_dir):
     )
 
 
+@q(
+    "source_quality_report",
+    f"""
+    with t as (select source,
+                 len({_TOK_DUCK.format(x='lower(text)')}) as n_tok,
+                 case when len({_TOK_DUCK.format(x='lower(text)')}) > 0 then
+                   cast(list_max(list_transform(
+                          list_distinct({_TOK_DUCK.format(x='lower(text)')}),
+                          t2 -> len(list_filter(
+                                  {_TOK_DUCK.format(x='lower(text)')},
+                                  w -> w = t2)))) as double)
+                   / len({_TOK_DUCK.format(x='lower(text)')})
+                 else 0.0 end as twf
+               from documents)
+    select source, count(*) as n_docs,
+           sum(n_tok) as total_tokens,
+           round(avg(twf), 4) as avg_top_word_frac,
+           sum(case when twf > 0.2 then 1 else 0 end) as n_flagged
+    from t group by source
+    """,
+)
+def source_quality_report(spark, sf_dir):
+    """Per-source corpus health report (the write_report analogue,
+    clara.c:2469-2484, over curation metrics): doc/token volume,
+    mean top-word repetition, flagged count per source — the
+    monitoring table a 100 TB curation run emits per ingest feed.
+    Row-local feature expressions + one agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    twf = _top_word_frac(toks)
+    t = d.select("source", F.size(toks).alias("n_tok"), twf.alias("twf"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("twf"), 4).alias("avg_top_word_frac"),
+        F.sum(F.when(F.col("twf") > 0.2, 1).otherwise(0)).alias("n_flagged"),
+    )
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
