@@ -78,7 +78,7 @@ def pricing_summary(spark, sf_dir):
 @q(
     "top_sources_by_chars",
     """
-    select source, count(*) as n_docs, sum(n_chars) as total_chars
+    select source, count(*) as n_docs, cast(sum(n_chars) as bigint) as total_chars
     from documents group by source order by total_chars desc, source limit 10
     """,
 )
@@ -135,11 +135,11 @@ def point_lookup(spark, sf_dir):
     "interval_overlap",
     """
     select l_returnflag,
-           sum(case when least(cast(l_quantity as int) + 10, 30)
+           cast(sum(case when least(cast(l_quantity as int) + 10, 30)
                          - greatest(cast(l_quantity as int), 15) + 1 > 0
-                    then 1 else 0 end)  as n_overlapping,
-           sum(greatest(least(cast(l_quantity as int) + 10, 30)
-                         - greatest(cast(l_quantity as int), 15) + 1, 0)) as total_overlap
+                    then 1 else 0 end) as bigint) as n_overlapping,
+           cast(sum(greatest(least(cast(l_quantity as int) + 10, 30)
+                         - greatest(cast(l_quantity as int), 15) + 1, 0)) as bigint) as total_overlap
     from lineitem group by l_returnflag
     """,
 )
@@ -248,7 +248,7 @@ def neighbor_gap(spark, sf_dir):
                     > 1800 or lag(ts) over (partition by user_id order by ts, event_id)
                     is null then 1 else 0 end as new_s
       from events)
-    select user_id, sum(new_s) as n_sessions, count(*) as n_events
+    select user_id, cast(sum(new_s) as bigint) as n_sessions, count(*) as n_events
     from g group by user_id
     """,
 )
@@ -455,7 +455,7 @@ _TOK_DUCK = (
     f"""
     with t as (select lang, len({_TOK_DUCK.format(x='text')}) as n_tok
                from documents)
-    select lang, count(*) as n_docs, sum(n_tok) as total_tokens,
+    select lang, count(*) as n_docs, cast(sum(n_tok) as bigint) as total_tokens,
            round(avg(n_tok), 3) as avg_tokens
     from t group by lang
     """,
@@ -490,7 +490,7 @@ _BPE_RE_SQL = _BPE_RE.replace("'", "''")
                  len({_TOK_DUCK.format(x='text')}) as n_ws
                from documents)
     select lang, count(*) as n_docs,
-           sum(n_bpe) as total_bpe_tokens,
+           cast(sum(n_bpe) as bigint) as total_bpe_tokens,
            round(avg(n_bpe), 3) as avg_bpe_tokens,
            round(avg(case when n_ws > 0
                           then cast(n_bpe as double) / n_ws end), 4)
@@ -590,7 +590,8 @@ def lang_id_confusion(spark, sf_dir):
     select source, count(*) as n_docs,
            round(avg(case when n_tok = 0 then 0.0
                           else n_chars::double / n_tok end), 3) as avg_chars_per_tok,
-           sum(case when n_tok between 20 and 1000 then 1 else 0 end) as n_good_len
+           cast(sum(case when n_tok between 20 and 1000 then 1 else 0 end)
+                as bigint) as n_good_len
     from t group by source
     """,
 )
@@ -1628,7 +1629,8 @@ def top_suppliers_per_nation(spark, sf_dir):
     """
     select event_type,
            count(*) as n,
-           sum(cast(json_extract_string(props, '$.k') as bigint)) as k_sum,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+                as bigint) as k_sum,
            count(distinct cast(json_extract_string(props, '$.k') as bigint) // 10)
              as k_decades
     from events
@@ -1662,7 +1664,8 @@ def json_props_stats(spark, sf_dir):
     f"""
     with grid as (select unnest(generate_series(5, 50, 5)) as t),
     d as (select len({_TOK_DUCK.format(x='text')}) as n_tok from documents)
-    select t, sum(case when n_tok >= t then 1 else 0 end) as n_docs_kept
+    select t, cast(sum(case when n_tok >= t then 1 else 0 end) as bigint)
+             as n_docs_kept
     from grid cross join d group by t
     """,
 )
@@ -1771,7 +1774,7 @@ def asof_attach(spark, sf_dir):
     "rollup_metrics",
     """
     select coalesce(lang, '<all>') as lang, coalesce(source, '<all>') as source,
-           count(*) as n, sum(n_chars) as chars
+           count(*) as n, cast(sum(n_chars) as bigint) as chars
     from documents group by rollup(lang, source)
     """,
 )
@@ -2146,8 +2149,8 @@ _GEOM_SQL = """
                               order by y desc, x, x_end, event_id) as prev_y
           from runs)
     select page,
-           sum(case when prev_y is null or prev_y - y > 2.0
-                    then 1 else 0 end) as n_lines,
+           cast(sum(case when prev_y is null or prev_y - y > 2.0
+                    then 1 else 0 end) as bigint) as n_lines,
            count(*) as n_runs
     from s group by page
     """,
@@ -2559,9 +2562,9 @@ def lm_quality_scores(spark, sf_dir):
                  else 0.0 end as twf
                from documents)
     select source, count(*) as n_docs,
-           sum(n_tok) as total_tokens,
+           cast(sum(n_tok) as bigint) as total_tokens,
            round(avg(twf), 4) as avg_top_word_frac,
-           sum(case when twf > 0.2 then 1 else 0 end) as n_flagged
+           cast(sum(case when twf > 0.2 then 1 else 0 end) as bigint) as n_flagged
     from t group by source
     """,
 )
