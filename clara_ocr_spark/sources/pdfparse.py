@@ -65,7 +65,7 @@ def is_pdf(raw: Optional[bytes]) -> bool:
 
 # -- content-stream tokenizer ---------------------------------------------
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_STREAM_BODY_RE = re.compile(rb"(>>)\s*stream\r?\n(.*?)endstream", re.S)
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -82,17 +82,43 @@ _ESCAPES = {
 }
 
 
+def _own_dict(raw: bytes, close: int) -> bytes:
+    """The stream's OWN parameter dict: scan backward from the ``>>``
+    that adjoins ``stream`` to its matching ``<<``, counting nested
+    dict marks.  Pairing the first ``<<`` in the file with the next
+    ``>>stream`` (the old one-regex approach) made the params span
+    every preceding object dict, so a ``FlateDecode`` mention in an
+    unrelated dict (an image XObject, say) wrongly decompressed an
+    uncompressed text stream.  Returns ``b''`` when no matching ``<<``
+    exists (malformed input → treat as no filter)."""
+    depth, i = 1, close
+    while depth and i > 0:
+        po = raw.rfind(b"<<", 0, i)
+        pc = raw.rfind(b">>", 0, i)
+        if po < 0:
+            return b""
+        if pc > po:
+            depth += 1
+            i = pc
+        else:
+            depth -= 1
+            i = po
+    return raw[i + 2 : close] if depth == 0 else b""
+
+
 def _decode_streams(raw: bytes) -> List[bytes]:
     """All decoded stream payloads, in file order (page order for the
     supported one-content-stream-per-page subset)."""
     out = []
-    for m in _STREAM_RE.finditer(raw):
-        params, data = m.group(1), m.group(2)
+    for m in _STREAM_BODY_RE.finditer(raw):
+        data = m.group(2)
+        params = _own_dict(raw, m.start(1))
         if b"FlateDecode" in params:
             try:
                 data = zlib.decompress(data)
             except zlib.error:
-                continue  # corrupt stream: skip, keep the rest of the doc
+                pass  # corrupt stream: keep raw bytes; the tokenizer
+                # extracts what it can (find_thing recovery discipline)
         out.append(data)
     return out
 

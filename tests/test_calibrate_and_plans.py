@@ -143,3 +143,69 @@ def test_ivf_probe_plan_shape(spark, sf001):
     plan = _plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dup_no_corpus_broadcast_hint(spark, sf001):
+    """The vector re-attach in _near_dup_pairs must NOT carry a
+    broadcast hint: the signature table is corpus-sized, so a forced
+    broadcast OOMs at scale (VERDICT r1 #5). AQE may still choose a
+    broadcast at sf — we pin the absence of the HINT in the analyzed
+    logical plan, not the physical strategy."""
+    from clara_ocr_spark.queries import _near_dup_pairs
+
+    df = _near_dup_pairs(spark, sf001, 0.40)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
+def test_simhash_verify_no_broadcast_hint(spark, sf001):
+    """Same discipline for simhash_near_dup's verify joins (ADVICE r2):
+    only the narrow (doc_id, sh) relation may enter the pair shuffle,
+    never a forced corpus broadcast."""
+    df = REGISTRY["simhash_near_dup"][0](spark, sf001)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
+def test_n_planes_refines_lsh_buckets(spark, sf001):
+    """n_planes is a real parameter (VERDICT r1 #5): more planes →
+    finer band buckets, with distinct-bucket counts bounded by
+    2^(n_planes/2) per band and strictly refined by widening."""
+    import pyspark.sql.functions as F
+
+    from clara_ocr_spark.queries import _emb, _lsh_bits
+
+    e = _emb(spark, sf001).select("vec_id", "v")
+
+    def n_buckets(n_planes: int) -> int:
+        bits = _lsh_bits(F.col("v"), n_planes)
+        half = n_planes // 2
+        band0 = F.concat_ws("", *[b.cast("string") for b in bits[:half]])
+        return e.select(band0.alias("b")).distinct().count()
+
+    n8, n12 = n_buckets(8), n_buckets(12)
+    assert n8 <= 2**4 and n12 <= 2**6
+    # widening the code refines the partition: strictly more distinct
+    # buckets on this corpus (prefix property: the first 4 of 6 bits
+    # are the same planes, so each 4-bit bucket splits or persists)
+    assert n12 > n8
+
+
+def test_emb_width_gate_raises(spark, tmp_path):
+    """A wrong-width embedding must raise loudly, not silently NULL
+    every cosine / collapse IVF assignment (ADVICE r2)."""
+    import pytest
+
+    from clara_ocr_spark.queries import REGISTRY
+
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3], 0), (2, [0.4, 0.5, 0.6], 1)],
+        "vec_id bigint, embedding array<float>, label bigint",
+    )
+    bad.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    # the raise may fire at plan-construction time (the lazy checkpoint
+    # inside ivf_topk) or at collect — both are "loudly", so cover both
+    with pytest.raises(Exception, match="64-dim"):
+        REGISTRY["ivf_topk"][0](spark, str(tmp_path)).collect()

@@ -131,7 +131,9 @@ class TestTokenizer:
         )
         assert [r.text for r in parse_pdf_runs(raw)] == ["Zip"]
 
-    def test_corrupt_flate_skipped(self):
+    def test_corrupt_flate_falls_back_to_raw(self):
+        # a corrupt FlateDecode stream keeps its raw bytes (which here
+        # tokenize to no text runs) instead of aborting the document
         raw = (
             b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
             b"not-zlib-data endstream\nendobj\n"
@@ -139,6 +141,39 @@ class TestTokenizer:
             b"BT /F1 12 Tf 72 700 Td (ok) Tj ET\nendstream\nendobj\n%%EOF"
         )
         assert [r.text for r in parse_pdf_runs(raw)] == ["ok"]
+
+    def test_unrelated_flate_dict_does_not_poison_plain_stream(self):
+        # regression (ADVICE r2): a non-stream object dict mentioning
+        # FlateDecode (an image XObject, say) sits between two streams;
+        # the plain text stream after it must NOT be zlib-decompressed
+        # (the old first-<<-to->>stream pairing captured the image dict
+        # in the text stream's params and silently dropped the page)
+        raw = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Length 33 >>\nstream\n"
+            b"BT /F1 12 Tf 72 700 Td (p1) Tj ET\nendstream\nendobj\n"
+            b"2 0 obj\n<< /Type /XObject /Subtype /Image "
+            b"/Filter /FlateDecode /Width 8 /Height 8 >>\nendobj\n"
+            b"3 0 obj\n<< /Length 33 >>\nstream\n"
+            b"BT /F1 12 Tf 72 700 Td (p2) Tj ET\nendstream\nendobj\n%%EOF"
+        )
+        assert [r.text for r in parse_pdf_runs(raw)] == ["p1", "p2"]
+        assert pdf_reference_extract(raw) == "p1\np2"
+
+    def test_nested_dict_params_anchor_to_own_stream(self):
+        # the stream's own dict nests a sub-dict; backward scan must
+        # match << >> pairs, not stop at the first <<
+        data = b"BT /F1 12 Tf 72 700 Td (zipped) Tj ET"
+        comp = zlib.compress(data)
+        raw = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(comp)).encode()
+            + b" /DecodeParms << /Predictor 1 >> /Filter /FlateDecode >>"
+            + b"\nstream\n"
+            + comp
+            + b"endstream\nendobj\n%%EOF"
+        )
+        assert [r.text for r in parse_pdf_runs(raw)] == ["zipped"]
 
     @pytest.mark.parametrize(
         "raw", [None, b"", b"<html><p>x</p></html>", b"%PDF", b"\x00" * 64]
