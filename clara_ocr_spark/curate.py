@@ -124,14 +124,17 @@ def exact_dup_canonical(docs: DataFrame) -> DataFrame:
     of production dedup: one hash groupBy collapses byte-identical
     docs before any minhash work (at web scale the exact-dup rate is
     high — mirrors, re-crawls — so this shrinks the expensive tier's
-    input substantially)."""
-    return (
-        docs.select("url", F.md5(F.col("text")).alias("h"))
-        .withColumn(
-            "exact_canonical", F.min("url").over(Window.partitionBy("h"))
-        )
-        .select("url", "exact_canonical")
-    )
+    input substantially).
+
+    Skew shape (VERDICT r1 #6): groupBy + join, NOT a window over
+    partitionBy(h). At web scale, boilerplate-identical texts (and
+    empty docs) form massive hot hash values; a window materializes
+    every row of a hot key in one task, while groupBy applies partial
+    (map-side) aggregation so each partition contributes one row per
+    key to the shuffle, and AQE skew-join handles the re-attach."""
+    hashed = docs.select("url", F.md5(F.col("text")).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("url").alias("exact_canonical"))
+    return hashed.join(canon, "h").select("url", "exact_canonical")
 
 
 def curate(

@@ -301,17 +301,24 @@ def latest_wins(spark, sf_dir):
 )
 def topk_doubts(spark, sf_dir):
     """step_14 doubt ranking (clara.c:3447-3487): rank by uncertainty
-    (here price), strict tie-break, cap at max_doubts (limit)."""
+    (here price), strict tie-break, cap at max_doubts.
+
+    Scale shape (VERDICT r1 #4): ``orderBy().limit()`` FIRST — Spark
+    compiles it to TakeOrderedAndProject (per-partition partial top-k,
+    no global single-task sort) — then rank() over only the ≤ 100
+    survivors. Ranking the survivor set equals the global rank for
+    kept rows: every row ordered above a survivor is itself a
+    survivor under the same strict total order."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    top = o.select("o_orderkey", "o_totalprice").orderBy(*order).limit(100)
+    w = Window.orderBy(*order)  # rank on the RAW price, like the oracle
     return (
-        o.select(
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("total"),
-            F.rank().over(w).alias("rnk"),
+        top.withColumn("rnk", F.rank().over(w))
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rnk"
         )
         .orderBy("rnk")
-        .limit(100)
     )
 
 

@@ -36,20 +36,29 @@ ACTS_SCHEMA = (
 
 
 def doubts(blocks: DataFrame, max_doubts: int = 1000) -> DataFrame:
-    """Uncertain blocks ranked for human revision (step_14)."""
+    """Uncertain blocks ranked for human revision (step_14).
+
+    Scale shape (VERDICT r1 #4): the cap runs as ``orderBy().limit()``
+    — Spark compiles that to TakeOrderedAndProject, a per-partition
+    partial top-k merged on the driver, so no row ever shuffles to a
+    single-task global sort. Only the ≤ max_doubts survivors (human
+    review scale) pass through the rank window, whose unpartitioned
+    frame is then trivially small. Tie-break stays the strict total
+    order (score asc, text_len desc, url, pos)."""
     uncertain = blocks.filter(
         (F.col("score") < STRONG_MATCH) & (F.col("pos") >= 0)
     )
-    w = Window.orderBy(
+    order = [
         F.asc("score"), F.desc("text_len"), F.asc("url"), F.asc("pos")
-    )
-    return (
+    ]
+    top = (
         uncertain.select(
             "url", "pos", "tag_path", "label", "score", "text_len"
         )
-        .withColumn("doubt_rank", F.row_number().over(w))
-        .filter(F.col("doubt_rank") <= max_doubts)
+        .orderBy(*order)
+        .limit(max_doubts)
     )
+    return top.withColumn("doubt_rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def elect_labels(acts: DataFrame) -> DataFrame:

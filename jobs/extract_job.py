@@ -80,7 +80,8 @@ def main(argv: list[str] | None = None) -> None:
     from clara_ocr_spark.stages.classify import classify
     from clara_ocr_spark.stages.consist import (
         append_metrics,
-        assert_consistent,
+        assert_observed,
+        observe_consistency,
         partition_lineage,
     )
     from clara_ocr_spark.stages.feedback import apply_feedback
@@ -116,7 +117,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.acts:
         blocks = apply_feedback(blocks, spark.read.parquet(args.acts))
 
-    assert_consistent(blocks)  # step_6 gate: fatal on violation
+    # step_6 gate as a CollectMetrics observation: the violation sums
+    # ride the output-write job itself, so the mapInPandas parse (the
+    # dominant cost) executes ONCE per job instead of twice
+    blocks, consist_obs = observe_consistency(blocks)
 
     extracted = assemble(blocks)
     if args.mixed:
@@ -126,11 +130,19 @@ def main(argv: list[str] | None = None) -> None:
         extracted = extracted.unionByName(
             extract_pdf(pages.filter(_is_pdf_col()))
         )
+    if args.metrics:
+        # lineage re-reads `extracted`; cache it through the write so
+        # the metrics pass reads the materialized increment instead of
+        # re-running the parse (the same single-execution discipline
+        # as the observe() gate)
+        extracted = extracted.persist()
     append_increment(extracted, args.output)
+    assert_observed(consist_obs)  # step_6 gate: fatal on violation
     if args.metrics:
         append_metrics(
             partition_lineage(extracted, args.run_id, "extract"), args.metrics
         )
+        extracted.unpersist()
     spark.stop()
 
 

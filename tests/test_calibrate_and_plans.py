@@ -145,6 +145,32 @@ def test_ivf_probe_plan_shape(spark, sf001):
     assert "CartesianProduct" not in plan
 
 
+def test_topk_doubts_plan_no_global_window(spark, sf001):
+    """The doubt cap compiles to TakeOrderedAndProject; the rank
+    window sits above it, over ≤ 100 rows (VERDICT r1 #4)."""
+    plan = _plan(REGISTRY["topk_doubts"][0](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_exact_dup_partial_aggregation(spark):
+    """Tier-1 exact dedup must be a groupBy (partial_min map-side)
+    + join, never a window over partitionBy(h) — hot hash values
+    (boilerplate-identical texts) would pile into one task
+    (VERDICT r1 #6)."""
+    from clara_ocr_spark.curate import exact_dup_canonical
+
+    docs = spark.createDataFrame(
+        [("u1", "same"), ("u2", "same"), ("u3", "other")], "url string, text string"
+    )
+    df = exact_dup_canonical(docs)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    got = {r.url: r.exact_canonical for r in df.collect()}
+    assert got == {"u1": "u1", "u2": "u1", "u3": "u3"}
+
+
 def test_near_dup_no_corpus_broadcast_hint(spark, sf001):
     """The vector re-attach in _near_dup_pairs must NOT carry a
     broadcast hint: the signature table is corpus-sized, so a forced

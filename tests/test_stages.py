@@ -19,7 +19,9 @@ from clara_ocr_spark.plans.checkpoint import (
 from clara_ocr_spark.stages.classify import classify
 from clara_ocr_spark.stages.consist import (
     assert_consistent,
+    assert_observed,
     check_blocks,
+    observe_consistency,
     partition_lineage,
 )
 from clara_ocr_spark.stages.feedback import (
@@ -127,6 +129,21 @@ def test_doubts_ranked_and_capped(spark, labeled):
     assert all(r.pos >= 0 for r in d)  # sentinels never surface
 
 
+def test_doubts_plan_topk_not_global_window(spark, labeled):
+    """The cap must compile to TakeOrderedAndProject (per-partition
+    partial top-k); the rank window may only ever see the ≤ max_doubts
+    survivors — no corpus-wide single-task sort (VERDICT r1 #4)."""
+    plan = (
+        doubts(labeled, max_doubts=25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the Window must sit ABOVE the top-k, never on the raw corpus
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 # -- consistency + lineage ----------------------------------------------
 
 
@@ -142,6 +159,37 @@ def test_consistency_catches_violation(spark):
     ).withColumn("text_len", F.lit(1))
     rows = {r.invariant: r.violations for r in check_blocks(bad).collect()}
     assert rows["bad_label"] == 1 and rows["score_range"] == 1
+
+
+def test_observe_consistency_rides_the_write(spark, labeled):
+    """The observed gate is a CollectMetrics node INSIDE the written
+    plan (no separate action → the parse runs once per job,
+    VERDICT r1 #3); a clean corpus passes after the action."""
+    observed, obs = observe_consistency(labeled)
+    plan = observed._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan
+    observed.write.format("noop").mode("overwrite").save()
+    assert_observed(obs)  # must not raise
+
+
+def test_observe_consistency_catches_violation(spark):
+    bad = spark.createDataFrame(
+        [("u", 0, 5, "x", "weird", 99, 0, "p")],
+        "url string, pos int, zone int, text string, label string, "
+        "score int, link_text_len int, tag_path string",
+    ).withColumn("text_len", F.lit(1))
+    observed, obs = observe_consistency(bad)
+    observed.write.format("noop").mode("overwrite").save()
+    with pytest.raises(AssertionError, match="bad_label"):
+        assert_observed(obs)
+
+
+def test_observe_consistency_empty_frame(spark, labeled):
+    """Sums over an empty increment must read as 0 violations (the
+    same coalesce contract as check_blocks)."""
+    observed, obs = observe_consistency(labeled.filter(F.lit(False)))
+    observed.write.format("noop").mode("overwrite").save()
+    assert_observed(obs)  # must not raise
 
 
 def test_partition_lineage_counts(spark, labeled):
