@@ -19,6 +19,8 @@ def extract(
     pages: DataFrame,
     patterns: DataFrame | None = None,
     engine: str | None = None,
+    min_text_len: int | None = None,
+    link_density_max: float | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted(url, text).
 
@@ -43,8 +45,103 @@ def extract(
             "score", heuristic_score()
         )
     else:
-        labeled = classify(blocks, patterns)
+        from .extract_rules import LINK_DENSITY_MAX, MIN_TEXT_LEN
+
+        labeled = classify(
+            blocks,
+            patterns,
+            min_text_len if min_text_len is not None else MIN_TEXT_LEN,
+            link_density_max
+            if link_density_max is not None
+            else LINK_DENSITY_MAX,
+        )
     return assemble(labeled)
+
+
+def extract_hqbin(
+    pages: DataFrame,
+    patterns: DataFrame | None = None,
+    min_tokens: int = 5,
+    loose_min_text_len: int = 3,
+    loose_link_density_max: float = 0.75,
+) -> DataFrame:
+    """hqbin-style second-pass re-parse (reference preproc.c:672-721,
+    ``bin_method`` selector common.h:297-299; VERDICT r1 missing #4):
+    extract with the strict (byte-identity) strategy first; documents
+    whose extraction fails the quality gate (< ``min_tokens``
+    whitespace tokens) are re-parsed with the looser thresholds, and
+    the re-parse is kept only when it recovers STRICTLY more tokens.
+
+    Output: ``(url, text, hq_reparsed)``. Gate-passing documents are
+    untouched — their text is byte-identical to :func:`extract` by
+    construction (pinned by test). The residual pattern is the proven
+    PNT1→PNT2 two-pass shape: the second pass scans only the failing
+    slice (left-semi join), so its cost is proportional to the
+    residual, not the corpus."""
+    return hqbin_second_pass(
+        extract(pages, patterns),
+        pages,
+        patterns,
+        min_tokens,
+        loose_min_text_len,
+        loose_link_density_max,
+    )
+
+
+def hqbin_second_pass(
+    extracted: DataFrame,
+    pages: DataFrame,
+    patterns: DataFrame | None = None,
+    min_tokens: int = 5,
+    loose_min_text_len: int = 3,
+    loose_link_density_max: float = 0.75,
+) -> DataFrame:
+    """The hqbin residual pass given an existing first-pass extraction
+    (so a job can keep its own first-pass plan — acts, observations —
+    and only bolt the re-parse on top). See :func:`extract_hqbin`."""
+    import pyspark.sql.functions as F
+
+    def ntok(c):
+        return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(c), r"\s+"))
+        )
+
+    first = extracted.select("url", "text").withColumn(
+        "_n1", ntok(F.col("text"))
+    )
+    passing = first.filter(F.col("_n1") >= min_tokens).select(
+        "url", "text", F.lit(False).alias("hq_reparsed")
+    )
+    failing = first.filter(F.col("_n1") < min_tokens)
+    retry_pages = pages.join(failing.select("url"), "url", "left_semi")
+    second = extract(
+        retry_pages,
+        patterns,
+        min_text_len=loose_min_text_len,
+        link_density_max=loose_link_density_max,
+    ).select("url", F.col("text").alias("_t2"))
+    second = second.withColumn("_n2", ntok(F.col("_t2")))
+    better = F.coalesce(F.col("_n2") > F.col("_n1"), F.lit(False))
+    resolved = failing.join(second, "url", "left").select(
+        "url",
+        F.when(better, F.col("_t2")).otherwise(F.col("text")).alias("text"),
+        better.alias("hq_reparsed"),
+    )
+    return passing.unionByName(resolved)
+
+
+def extract_encap(
+    pages: DataFrame, patterns: DataFrame | None = None
+) -> DataFrame:
+    """Encapsulated output variant (reference OE_ENCAP_HTML / DJVU
+    with coordinates, html.c:1966-1973): ``(url, text, blocks)`` where
+    ``text`` is byte-identical to :func:`extract` and ``blocks`` gives
+    every block's label/score and character span inside ``text``
+    (start = end = -1 for excluded blocks) — the machine-readable
+    format the doubts-revision UI consumes."""
+    from .stages.assemble import assemble_encap
+
+    return assemble_encap(classify(segment(pages), patterns))
 
 
 #: PDF magic (first five payload bytes) — JVM-side routing predicate.

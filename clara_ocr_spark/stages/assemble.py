@@ -43,3 +43,68 @@ def assemble(blocks: DataFrame) -> DataFrame:
             "\n",
         ).alias("text")
     )
+
+
+#: accumulator/encap entry type for assemble_encap's offset fold
+_ENC_BLOCK = (
+    "zone int, pos int, label string, score int, start int, end int"
+)
+
+
+def assemble_encap(blocks: DataFrame) -> DataFrame:
+    """Encapsulated output variant (reference OE_ENCAP_HTML /
+    OE_DJVU-with-coordinates, html.c:1966-1973; block spans from
+    ``wprops`` word flags, build.c:585-685): alongside the plain
+    assembled ``text`` (byte-identical to :func:`assemble`, pinned by
+    test), a ``blocks`` struct array gives every non-sentinel block's
+    label, score, and its character span [start, end) INSIDE the
+    assembled text — the coordinates the doubts-revision UI needs to
+    highlight a block in place. Excluded blocks (boilerplate/noise/
+    empty) carry start = end = -1.
+
+    Same scale shape as assemble: ONE aggregation on url; the span
+    arithmetic is a driver-free array fold inside the aggregate."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct("zone", "pos", "text", "label", "score"))
+    )
+    agg = blocks.groupBy("url").agg(ordered.alias("_ord"))
+    non_sentinel = F.filter(F.col("_ord"), lambda s: s["pos"] != SENTINEL_POS)
+    is_kept = lambda s: (s["label"] == LABEL_CONTENT) & (s["text"] != "")  # noqa: E731
+    text = F.array_join(
+        F.transform(
+            F.filter(non_sentinel, is_kept), lambda s: s["text"]
+        ),
+        "\n",
+    )
+    # offset fold: off = chars emitted so far (0 ⇔ nothing yet, since
+    # kept texts are never empty); a kept block starts at off (first)
+    # or off+1 (after a '\n' separator)
+    acc0 = F.struct(
+        F.lit(0).alias("off"),
+        F.array().cast(f"array<struct<{_ENC_BLOCK}>>").alias("out"),
+    )
+    def step(acc, s):
+        start = F.when(
+            is_kept(s),
+            F.when(acc["off"] == 0, F.lit(0)).otherwise(acc["off"] + 1),
+        ).otherwise(F.lit(-1))
+        end = F.when(is_kept(s), start + F.length(s["text"])).otherwise(
+            F.lit(-1)
+        )
+        entry = F.struct(
+            s["zone"].alias("zone"),
+            s["pos"].alias("pos"),
+            s["label"].alias("label"),
+            s["score"].alias("score"),
+            start.cast("int").alias("start"),
+            end.cast("int").alias("end"),
+        )
+        return F.struct(
+            F.when(is_kept(s), end).otherwise(acc["off"]).cast("int").alias("off"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    folded = F.aggregate(non_sentinel, acc0, step)
+    return agg.select(
+        "url", text.alias("text"), folded["out"].alias("blocks")
+    )

@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--run-id", default="adhoc")
     ap.add_argument("--patterns", default=None)
     ap.add_argument("--acts", default=None)
+    ap.add_argument(
+        "--struct-acts",
+        default=None,
+        help="structural revision acts parquet (merge/split block "
+        "corrections, applied after label acts against original "
+        "positions)",
+    )
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument(
         "--engine",
@@ -68,8 +75,17 @@ def main(argv: list[str] | None = None) -> None:
         help="route %%PDF- payloads through the geometric layout leg "
         "(mixed-content capture tables)",
     )
+    ap.add_argument(
+        "--hqbin",
+        action="store_true",
+        help="second-pass re-parse: docs failing the quality gate are "
+        "re-extracted with the loose strategy and kept when better "
+        "(preproc.c hqbin analogue; default DOM path only)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
+    if args.hqbin and (args.engine or args.mixed):
+        ap.error("--hqbin composes with the default DOM path only")
 
     from clara_ocr_spark.config import ExtractConfig
     from clara_ocr_spark.plans.checkpoint import (
@@ -84,7 +100,10 @@ def main(argv: list[str] | None = None) -> None:
         observe_consistency,
         partition_lineage,
     )
-    from clara_ocr_spark.stages.feedback import apply_feedback
+    from clara_ocr_spark.stages.feedback import (
+        apply_feedback,
+        apply_structural_acts,
+    )
     from clara_ocr_spark.stages.segment import segment
 
     ExtractConfig.from_args(args.overrides)  # validate overrides early
@@ -116,6 +135,10 @@ def main(argv: list[str] | None = None) -> None:
         blocks = classify(segment(dom_pages, full_features=False), patterns)
     if args.acts:
         blocks = apply_feedback(blocks, spark.read.parquet(args.acts))
+    if args.struct_acts:
+        blocks = apply_structural_acts(
+            blocks, spark.read.parquet(args.struct_acts)
+        )
 
     # step_6 gate as a CollectMetrics observation: the violation sums
     # ride the output-write job itself, so the mapInPandas parse (the
@@ -123,6 +146,15 @@ def main(argv: list[str] | None = None) -> None:
     blocks, consist_obs = observe_consistency(blocks)
 
     extracted = assemble(blocks)
+    if args.hqbin:
+        # residual second pass over THIS job's gate failures (keeps the
+        # first-pass plan — acts, consistency observation — intact);
+        # output schema stays (url, text) so increments keep appending
+        from clara_ocr_spark.pipeline import hqbin_second_pass
+
+        extracted = hqbin_second_pass(extracted, dom_pages, patterns).select(
+            "url", "text"
+        )
     if args.mixed:
         from clara_ocr_spark.pipeline import _is_pdf_col
         from clara_ocr_spark.stages.layout import extract_pdf

@@ -55,6 +55,47 @@ def test_extract_job_mixed(tmp_path):
 
     # --incremental + --mixed together: replay must be a no-op (the
     # high-water-mark anti-join sees every url already extracted)
+    # --hqbin on a corpus with a known strict-pass failure: the tiny
+    # paragraph is recovered by the loose second pass, everything else
+    # stays byte-identical
+    rows_hq = [gen_page(i, seed=22) for i in range(20)]
+    tiny = dict(rows_hq[0])
+    tiny["url"] = "https://tiny.example/p"
+    tiny["html"] = b"<p>abc def</p>"
+    tiny["text"] = ""
+    rows_hq.append(tiny)
+    inp_hq = tmp_path / "pages_hq.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(rows_hq, schema=PAGES_SCHEMA), str(inp_hq)
+    )
+    out_hq = tmp_path / "out_hq"
+    proc_hq = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp_hq),
+            "--output", str(out_hq),
+            "--hqbin",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert proc_hq.returncode == 0, proc_hq.stderr[-2000:]
+    import duckdb as _duck
+
+    got_hq = {
+        r[0]: r[1]
+        for r in _duck.sql(
+            f"select url, text from '{out_hq}/*.parquet'"
+        ).fetchall()
+    }
+    assert got_hq["https://tiny.example/p"] == "abc def"  # recovered
+    for r in rows_hq[:20]:
+        if len(r["text"].split()) >= 5:
+            assert got_hq[r["url"]] == r["text"]
+
     proc2 = subprocess.run(
         [
             sys.executable,

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from clara_ocr_spark.pipeline import extract, read_pages
+from clara_ocr_spark.pipeline import (
+    extract,
+    extract_encap,
+    extract_hqbin,
+    read_pages,
+)
 
 
 def test_byte_identity_vs_reference(spark, corpus_path):
@@ -81,6 +86,98 @@ def test_identity_on_adversarial_rows(spark):
     got = {r.url: r.text for r in extract(df).collect()}
     want = {u: t for u, _, _, t, _ in rows}
     assert got == want
+
+
+def test_encap_text_byte_identical_and_spans_reconstruct(spark, corpus_path):
+    """The encap variant's text must equal plain extract byte-for-byte,
+    and the content spans must tile it exactly: slicing text by each
+    kept block's [start, end) and re-joining with '\\n' reproduces the
+    document; excluded blocks carry start = end = -1."""
+    pages = read_pages(spark, corpus_path)
+    plain = {r.url: r.text for r in extract(pages).collect()}
+    enc = extract_encap(pages).collect()
+    assert {r.url: r.text for r in enc} == plain
+    for r in enc:
+        kept = [b for b in r.blocks if b.start >= 0]
+        assert all(b.end <= len(r.text) and b.start < b.end for b in kept)
+        assert "\n".join(r.text[b.start : b.end] for b in kept) == r.text
+        assert all(
+            b.end == -1 for b in r.blocks if b.start == -1
+        )
+        # spans appear in reading order and never overlap
+        for a, b in zip(kept, kept[1:]):
+            assert b.start == a.end + 1
+
+
+def test_hqbin_passing_docs_untouched(spark, corpus_path):
+    """Docs that pass the strict quality gate are byte-identical to
+    plain extract and never flagged; every url appears exactly once."""
+    pages = read_pages(spark, corpus_path)
+    base = {r.url: r.text for r in extract(pages).collect()}
+    rows = extract_hqbin(pages).collect()
+    hq = {r.url: (r.text, r.hq_reparsed) for r in rows}
+    assert len(rows) == len(hq) == len(base)
+    for url, text in base.items():
+        n = len(text.split()) if text.strip() else 0
+        if n >= 5:
+            assert hq[url] == (text, False)
+
+
+def test_hqbin_recovers_low_quality_doc(spark):
+    """A page whose only paragraph is shorter than the strict
+    min_text_len extracts empty under the strict pass but is recovered
+    by the loose second pass; a healthy page is untouched."""
+    import datetime
+
+    from clara_ocr_spark.streaming.incremental import PAGES_SPARK_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("u_tiny", ts, b"<p>abc def</p>", "", "en"),  # 9 chars < 10
+        (
+            "u_ok",
+            ts,
+            b"<p>" + b"solid content words here " * 4 + b"</p>",
+            "",
+            "en",
+        ),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SPARK_SCHEMA)
+    got = {r.url: (r.text, r.hq_reparsed) for r in extract_hqbin(df).collect()}
+    assert got["u_tiny"] == ("abc def", True)
+    assert got["u_ok"][1] is False
+    base = {r.url: r.text for r in extract(df).collect()}
+    assert base["u_tiny"] == ""  # strict pass really did fail it
+    assert got["u_ok"][0] == base["u_ok"]
+
+
+def test_committed_encap_golden(spark):
+    """Committed golden for the encap format (same discipline as
+    extract_seed42_60.json): pins text AND span coordinates."""
+    import datetime
+    import json
+    import os
+
+    from clara_ocr_spark.sources.corpus import gen_page
+    from clara_ocr_spark.streaming.incremental import PAGES_SPARK_SCHEMA
+
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "encap_seed42_60.json"
+    )
+    with open(path) as f:
+        want = {r["url"]: r for r in json.load(f)}
+    ts = datetime.datetime(2026, 1, 1)
+    pages = [gen_page(i, seed=42) for i in range(60)]
+    df = spark.createDataFrame(
+        [(p["url"], ts, p["html"], "", "en") for p in pages],
+        PAGES_SPARK_SCHEMA,
+    )
+    got = extract_encap(df).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r.url]
+        assert r.text == w["text"]
+        assert [list(b) for b in r.blocks] == w["blocks"]
 
 
 def test_committed_goldens(spark, tmp_path):

@@ -26,7 +26,9 @@ from clara_ocr_spark.stages.consist import (
 )
 from clara_ocr_spark.stages.feedback import (
     ACTS_SCHEMA,
+    STRUCT_ACTS_SCHEMA,
     apply_feedback,
+    apply_structural_acts,
     doubts,
     elect_labels,
     merge_acts,
@@ -114,6 +116,109 @@ def test_merge_acts_existing_wins(spark):
     )
     got = {r.act_id: r.label for r in merge_acts(old, new).collect()}
     assert got == {1: "content", 2: "noise"}
+
+
+# -- structural acts (revision.c:405-589 analogues) --------------------
+
+BLOCKS_SCHEMA = (
+    "url string, zone int, pos int, text string, tag_path string, "
+    "label string, score int, text_len int, link_text_len int"
+)
+
+
+def _blocks(spark, rows):
+    return spark.createDataFrame(rows, BLOCKS_SCHEMA)
+
+
+def _sacts(spark, rows):
+    return spark.createDataFrame(rows, STRUCT_ACTS_SCHEMA)
+
+
+def _empty_sacts(spark):
+    return spark.createDataFrame([], STRUCT_ACTS_SCHEMA)
+
+
+def test_structural_empty_acts_preserves_bytes(spark, labeled):
+    """With an empty acts log the transform only re-keys positions
+    (order-preserving), so the assembled text is byte-identical."""
+    from clara_ocr_spark.stages.assemble import assemble
+
+    base = {r.url: r.text for r in assemble(labeled).collect()}
+    out = apply_structural_acts(labeled, _empty_sacts(spark))
+    got = {r.url: r.text for r in assemble(out).collect()}
+    assert got == base
+
+
+def test_structural_merge_collapses_range(spark):
+    blocks = _blocks(
+        spark,
+        [
+            ("u", 0, -1, "", "", "content", 5, 0, 0),  # sentinel
+            ("u", 0, 0, "head", "html/h1", "boilerplate", 6, 4, 0),
+            ("u", 0, 1, "body", "html/p", "content", 5, 4, 2),
+            ("u", 0, 2, "tail", "html/p", "content", 5, 4, 0),
+        ],
+    )
+    acts = _sacts(
+        spark,
+        [(1, "u", "merge", 0, 1, None, "content", "trusted", TS)],
+    )
+    out = {r.pos: r for r in apply_structural_acts(blocks, acts).collect()}
+    assert set(out) == {-1, 0, 2000}
+    m = out[0]
+    assert m.text == "head\nbody" and m.label == "content" and m.score == 10
+    assert m.text_len == 9 and m.link_text_len == 2
+    assert m.tag_path == "html/h1"  # first member's
+    assert out[2000].text == "tail"  # untouched, re-keyed
+    assert out[-1].text == ""  # sentinel untouched, pos kept
+
+
+def test_structural_merge_election_privilege(spark):
+    """Two overlapping merge ranges: every contested block follows the
+    arbiter's act (privilege beats recency)."""
+    blocks = _blocks(
+        spark,
+        [
+            ("u", 0, 0, "a", "p", "content", 5, 1, 0),
+            ("u", 0, 1, "b", "p", "content", 5, 1, 0),
+            ("u", 0, 2, "c", "p", "content", 5, 1, 0),
+        ],
+    )
+    acts = _sacts(
+        spark,
+        [
+            (1, "u", "merge", 0, 2, None, None, "trusted", TS),
+            (2, "u", "merge", 1, 2, None, None, "arbiter", TS),
+        ],
+    )
+    out = {r.pos: r.text for r in apply_structural_acts(blocks, acts).collect()}
+    # blocks 1-2 follow the arbiter (merge at pos 1); block 0 still
+    # follows the trusted act alone
+    assert out == {0: "a", 1000: "b\nc"}
+
+
+def test_structural_split_offsets_sanitized(spark):
+    blocks = _blocks(
+        spark,
+        [("u", 0, 0, "abcdef", "p", "content", 5, 6, 4)],
+    )
+    acts = _sacts(
+        spark,
+        # offsets out of range (-1, 0, 6, 99) are dropped; 4 and the
+        # duplicate 2 survive → fragments ab|cd|ef
+        [(1, "u", "split", 0, 0, [4, -1, 2, 0, 2, 6, 99], None, "anon", TS)],
+    )
+    rows = sorted(
+        apply_structural_acts(blocks, acts).collect(), key=lambda r: r.pos
+    )
+    assert [(r.pos, r.text, r.score) for r in rows] == [
+        (0, "ab", 10),
+        (1, "cd", 10),
+        (2, "ef", 10),
+    ]
+    assert rows[0].link_text_len == 2  # clamped to fragment length
+    assert rows[1].link_text_len == 0 and rows[2].link_text_len == 0
+    assert all(r.text_len == 2 for r in rows)
 
 
 # -- doubts ------------------------------------------------------------
