@@ -68,6 +68,8 @@ HEADLINE = [
     "stratified_sample",
     "lm_quality_scores",
     "bpe_token_stats",
+    "structural_acts",  # added r2: merge/split revision acts
+    "hqbin_residual",  # added r2: second-pass re-parse accounting
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -1117,18 +1117,22 @@ _HALF = N_PLANES // 2
 def _emb(spark, sf_dir: str) -> DataFrame:
     """``embeddings`` with the vector cast to array<double> as ``v``,
     width-gated: a row of any width other than EMB_DIM raises instead
-    of silently NULL-ing every cosine downstream."""
+    of silently NULL-ing every cosine downstream.
+
+    The gate is a FILTER (one size() check per row) and ``v`` stays a
+    plain cast: wrapping the cast in the conditional made Catalyst
+    re-evaluate guard+cast at every element_at — 64× per row in the
+    IVF centroid build (measured 2× on ivf_topk)."""
     e = _t(spark, sf_dir, "embeddings")
-    v = F.when(
-        F.size("embedding") == EMB_DIM,
-        F.col("embedding").cast("array<double>"),
-    ).otherwise(
+    ok = F.when(F.size("embedding") == EMB_DIM, F.lit(True)).otherwise(
         F.raise_error(
             f"embeddings.embedding must be {EMB_DIM}-dim — update "
             "queries.EMB_DIM (shared with every vector oracle)"
-        ).cast("array<double>")
+        ).cast("boolean")
     )
-    return e.withColumn("v", v)
+    return e.filter(ok).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
 
 
 _COS_DUCK = f"""

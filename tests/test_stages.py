@@ -118,6 +118,42 @@ def test_merge_acts_existing_wins(spark):
     assert got == {1: "content", 2: "noise"}
 
 
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE INTO over the checkpoint API: insert when absent, update
+    when matched (incoming wins), untouched rows survive, idempotent
+    on replay."""
+    from clara_ocr_spark.plans.checkpoint import merge_upsert
+
+    path = str(tmp_path / "acts_table")
+    base = _acts(
+        spark,
+        [
+            (1, "u1", 0, "content", "anon", TS),
+            (2, "u2", 1, "noise", "anon", TS),
+        ],
+    )
+    merge_upsert(spark, path, base, "act_id")
+    upd = _acts(
+        spark,
+        [
+            (2, "u2", 1, "content", "arbiter", TS),  # matched → update
+            (3, "u3", 2, "boilerplate", "trusted", TS),  # new → insert
+        ],
+    )
+    merge_upsert(spark, path, upd, "act_id")
+    got = {
+        r.act_id: (r.label, r.reviewer_type)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("content", "anon"),
+        2: ("content", "arbiter"),
+        3: ("boilerplate", "trusted"),
+    }
+    merge_upsert(spark, path, upd, "act_id")  # replay: no change
+    assert spark.read.parquet(path).count() == 3
+
+
 # -- structural acts (revision.c:405-589 analogues) --------------------
 
 BLOCKS_SCHEMA = (
