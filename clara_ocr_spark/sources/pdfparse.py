@@ -43,6 +43,12 @@ LINE_TOL = 2.0  #: max |Δy| between runs of one line (≈ w_pair vertical test)
 KERN_TOL = 1.0  #: gaps ≤ this are kerning splits, joined without a space
 COL_GAP = 48.0  #: min white-river width for a column split (≈ vlines2)
 MIN_SIDE_RUNS = 2  #: runs required on each side of a split candidate
+#: cf_block analogue (symbol.c:4892-4965): the reference's alternative
+#: splitter cuts at TALL separator symbols instead of white rivers
+#: (dictionary scans use vertical rules between columns). Tall = font
+#: size ≥ this template-specific constant; glyphs below.
+TALL_SEP_SIZE = 30.0
+TALL_SEP_GLYPHS = frozenset("|│¦")
 NOSPACE_BEFORE = frozenset(".,;:!?)]»")  #: ≈ DOT/COMMA rule html.c:2069-2083
 
 PDF_MAGIC = b"%PDF-"
@@ -542,6 +548,37 @@ def column_split(page_runs: List[Run]) -> Optional[float]:
     return None if best is None else -best[1]
 
 
+def is_tall_separator(r: Run) -> bool:
+    """A run that IS a column rule: every glyph a vertical-bar
+    character and the font tall enough (cf_block's tall-symbol test,
+    symbol.c:4892-4965)."""
+    return (
+        r.size >= TALL_SEP_SIZE
+        and bool(r.text)
+        and all(c in TALL_SEP_GLYPHS for c in r.text)
+    )
+
+
+def column_split_tall(page_runs: List[Run]) -> Optional[float]:
+    """cf_block-analogue splitter: cut at a tall separator glyph run
+    instead of a white river (the template-specific strategy for
+    dictionary-style scans whose columns sit too close for a COL_GAP
+    river). A candidate needs ≥ MIN_SIDE_RUNS non-separator runs
+    strictly left AND right of its x; smallest x wins (same tie rule
+    as the river splitter). Returns the split x, or None."""
+    body = [r for r in page_runs if not is_tall_separator(r)]
+    best: Optional[float] = None
+    for s in page_runs:
+        if not is_tall_separator(s):
+            continue
+        n_left = sum(1 for r in body if r.x < s.x)
+        n_right = sum(1 for r in body if r.x > s.x)
+        if n_left >= MIN_SIDE_RUNS and n_right >= MIN_SIDE_RUNS:
+            if best is None or s.x < best:
+                best = s.x
+    return best
+
+
 def group_lines(zone_runs: List[Run]) -> List[List[Run]]:
     """Chain runs into lines: sorted by (y desc, x, x_end, text), a new
     line starts when the vertical step exceeds LINE_TOL (transitive
@@ -574,12 +611,18 @@ def join_words(line: List[Run]) -> str:
     return "".join(parts)
 
 
-def pdf_reference_extract(raw: Optional[bytes]) -> str:
+def pdf_reference_extract(raw: Optional[bytes], splitter: str = "river") -> str:
     """PDF bytes → reading-order text (single-node oracle).
 
     Order: page asc, zone asc (left column first), line y desc, run x
     asc; lines joined by ``\\n``; empty lines skipped (html.c:2255-2261
-    analogue); no runs → ``''``."""
+    analogue); no runs → ``''``.
+
+    ``splitter`` selects the column strategy (the cf_block dispatch):
+    ``"river"`` = widest white gap (default, vlines2 analogue);
+    ``"tall"`` = tall separator glyphs (cf_block analogue) — separator
+    runs themselves are dropped from the text, matching the
+    reference's discard of rule symbols."""
     runs = parse_pdf_runs(raw)
     if not runs:
         return ""
@@ -587,7 +630,11 @@ def pdf_reference_extract(raw: Optional[bytes]) -> str:
     out: List[str] = []
     for p in pages:
         prs = [r for r in runs if r.page == p]
-        split = column_split(prs)
+        if splitter == "tall":
+            split = column_split_tall(prs)
+            prs = [r for r in prs if not is_tall_separator(r)]
+        else:
+            split = column_split(prs)
         zones = [
             [r for r in prs if split is None or r.x < split],
             [] if split is None else [r for r in prs if r.x >= split],

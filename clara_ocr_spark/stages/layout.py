@@ -48,6 +48,8 @@ from ..sources.pdfparse import (
     LINE_TOL,
     MIN_SIDE_RUNS,
     NOSPACE_BEFORE,
+    TALL_SEP_GLYPHS,
+    TALL_SEP_SIZE,
     parse_pdf_runs,
 )
 
@@ -127,6 +129,67 @@ def assign_zones(runs: DataFrame) -> DataFrame:
     )
 
 
+def _is_tall_sep() -> F.Column:
+    """JVM twin of pdfparse.is_tall_separator: every glyph a
+    vertical-bar character, font ≥ TALL_SEP_SIZE."""
+    glyphs = "".join(sorted(TALL_SEP_GLYPHS))
+    return (
+        (F.col("size") >= F.lit(TALL_SEP_SIZE))
+        & (F.length("text") > 0)
+        & F.col("text").rlike(f"^[{glyphs}]+$")
+    )
+
+
+def assign_zones_tall(runs: DataFrame) -> DataFrame:
+    """cf_block-analogue splitter (symbol.c:4892-4965): split each
+    page at the leftmost tall separator glyph run that has ≥
+    MIN_SIDE_RUNS non-separator runs strictly on each side; separator
+    runs are dropped from the output (the reference discards rule
+    symbols).
+
+    Scale shape: one (url, page) aggregate collects the page's body
+    xs (bounded by runs-per-page, same bound as the per-line collect
+    in join_words) and the few separator xs; candidate validation is
+    a higher-order filter over those arrays; the split re-attaches by
+    an equi-join on the SAME (url, page) keys, so the partitioning
+    from the parse exchange is reused."""
+    sep = _is_tall_sep()
+    stats = runs.groupBy("url", "page").agg(
+        F.sort_array(
+            F.collect_list(F.when(~sep, F.col("x")))
+        ).alias("_bx"),
+        F.array_sort(
+            F.collect_set(F.when(sep, F.col("x")))
+        ).alias("_sxs"),
+    )
+    n_lt = lambda sx: F.size(  # noqa: E731
+        F.filter(F.col("_bx"), lambda b: b < sx)
+    )
+    n_gt = lambda sx: F.size(  # noqa: E731
+        F.filter(F.col("_bx"), lambda b: b > sx)
+    )
+    valid = F.filter(
+        F.col("_sxs"),
+        lambda sx: (n_lt(sx) >= MIN_SIDE_RUNS) & (n_gt(sx) >= MIN_SIDE_RUNS),
+    )
+    split = stats.select(
+        "url", "page", F.array_min(valid).alias("split_x")
+    )
+    return (
+        runs.filter(~sep)
+        .join(split, ["url", "page"], "left")
+        .withColumn(
+            "zone",
+            F.when(
+                F.col("split_x").isNotNull()
+                & (F.col("x") >= F.col("split_x")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("split_x")
+    )
+
+
 def group_lines(zoned: DataFrame) -> DataFrame:
     """Vertical sessionization into lines (w_pair analogue): new line
     when the downward step exceeds LINE_TOL; transitive chaining via
@@ -197,6 +260,12 @@ def assemble_layout(lines: DataFrame) -> DataFrame:
     )
 
 
-def extract_pdf(pages: DataFrame) -> DataFrame:
-    """pages(url, …, html=PDF bytes) → extracted(url, text)."""
-    return assemble_layout(join_words(group_lines(assign_zones(parse_runs(pages)))))
+def extract_pdf(pages: DataFrame, splitter: str = "river") -> DataFrame:
+    """pages(url, …, html=PDF bytes) → extracted(url, text).
+
+    ``splitter``: ``"river"`` (default, vlines2 white-gap analogue) or
+    ``"tall"`` (cf_block tall-separator analogue) — the same dispatch
+    as ``pdf_reference_extract``."""
+    runs = parse_runs(pages)
+    zoned = assign_zones_tall(runs) if splitter == "tall" else assign_zones(runs)
+    return assemble_layout(join_words(group_lines(zoned)))

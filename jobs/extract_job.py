@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> None:
         "(mixed-content capture tables)",
     )
     ap.add_argument(
+        "--pdf-splitter",
+        default="river",
+        choices=["river", "tall"],
+        help="PDF column strategy: white-river (vlines2 analogue) or "
+        "tall separator glyphs (cf_block analogue, dictionary scans)",
+    )
+    ap.add_argument(
         "--hqbin",
         action="store_true",
         help="second-pass re-parse: docs failing the quality gate are "
@@ -160,7 +167,7 @@ def main(argv: list[str] | None = None) -> None:
         from clara_ocr_spark.stages.layout import extract_pdf
 
         extracted = extracted.unionByName(
-            extract_pdf(pages.filter(_is_pdf_col()))
+            extract_pdf(pages.filter(_is_pdf_col()), args.pdf_splitter)
         )
     if args.metrics:
         # lineage re-reads `extracted`; cache it through the write so

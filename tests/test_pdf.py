@@ -372,6 +372,92 @@ def test_layout_random_geometry_identity(spark):
     assert got == docs
 
 
+# -- cf_block analogue: tall-separator column splitter ---------------------
+
+#: two close-set columns (river gap ≪ COL_GAP) divided by a 40 pt
+#: vertical bar — the dictionary-scan shape cf_block exists for
+_TALL_CONTENT = (
+    "BT /F1 12 Tf "
+    "1 0 0 1 72 700 Tm (la) Tj 1 0 0 1 72 686 Tm (lb) Tj "
+    "/F1 40 Tf 1 0 0 1 110 660 Tm (|) Tj /F1 12 Tf "
+    "1 0 0 1 120 700 Tm (ra) Tj 1 0 0 1 120 686 Tm (rb) Tj ET"
+)
+
+
+class TestTallSplitter:
+    def test_split_found_at_bar(self):
+        from clara_ocr_spark.sources.pdfparse import column_split_tall
+
+        runs = _runs(_TALL_CONTENT)
+        assert column_split_tall(runs) == 110.0
+
+    def test_min_side_guard(self):
+        from clara_ocr_spark.sources.pdfparse import column_split_tall
+
+        # only one body run right of the bar → no split
+        rs = _runs(
+            "BT /F1 12 Tf 1 0 0 1 72 700 Tm (la) Tj "
+            "1 0 0 1 72 686 Tm (lb) Tj /F1 40 Tf "
+            "1 0 0 1 110 660 Tm (|) Tj /F1 12 Tf "
+            "1 0 0 1 120 700 Tm (ra) Tj ET"
+        )
+        assert column_split_tall(rs) is None
+
+    def test_small_font_bar_not_a_separator(self):
+        from clara_ocr_spark.sources.pdfparse import column_split_tall
+
+        rs = _runs(_TALL_CONTENT.replace("/F1 40 Tf", "/F1 12 Tf"))
+        assert column_split_tall(rs) is None
+
+    def test_reference_extract_tall_vs_river(self):
+        raw = _mk_pdf(_TALL_CONTENT.encode("latin-1"))
+        # tall splitter: left column first, bar dropped
+        assert pdf_reference_extract(raw, splitter="tall") == "la\nlb\nra\nrb"
+        # river splitter: 36 pt gap < COL_GAP → one zone, y-interleaved,
+        # the bar glyph survives as text
+        assert pdf_reference_extract(raw) == "la ra\nlb rb\n|"
+
+    def test_spark_tall_byte_identity(self, spark):
+        """Spark assign_zones_tall ≡ single-node tall oracle over tall
+        docs, generator docs (no bars → no split), and empty payloads."""
+        import datetime
+
+        from clara_ocr_spark.stages.layout import extract_pdf
+
+        ts = datetime.datetime(2026, 1, 1)
+        rows = []
+        raw = _mk_pdf(_TALL_CONTENT.encode("latin-1"))
+        rows.append(
+            {
+                "url": "https://tall.example/1",
+                "warc_ts": ts,
+                "html": raw,
+                "text": pdf_reference_extract(raw, splitter="tall"),
+                "lang": "en",
+            }
+        )
+        for i in range(30):
+            p = gen_pdf_page(i, seed=33)
+            p["text"] = pdf_reference_extract(p["html"], splitter="tall")
+            rows.append(p)
+        rows.append(
+            {
+                "url": "https://tall.example/empty",
+                "warc_ts": ts,
+                "html": b"%PDF-1.4\n%%EOF",
+                "text": "",
+                "lang": "en",
+            }
+        )
+        got = {
+            r["url"]: r["text"]
+            for r in extract_pdf(
+                _pages_df(spark, rows), splitter="tall"
+            ).collect()
+        }
+        assert got == {r["url"]: r["text"] for r in rows}
+
+
 # -- Spark layout stage: byte identity + plan shape ------------------------
 
 
