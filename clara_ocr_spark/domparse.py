@@ -62,6 +62,12 @@ VOID_TAGS = frozenset(
     "br hr img input meta link area base col embed source track wbr".split()
 )
 
+#: Inline emphasis (≈ the reference's italic/bold word flags,
+#: ``wprops`` build.c:585-685, emitted as <I>/<B> spans in HTML
+#: output html.c:1966-1973).
+EMPH_I_TAGS = frozenset({"i", "em"})
+EMPH_B_TAGS = frozenset({"b", "strong"})
+
 _PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]«»–—]")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -91,10 +97,73 @@ class Block:
     text: str  # whitespace-normalized block text
     link_text_len: int  # chars contributed inside <a> (≈ ink typing)
     n_runs: int  # number of raw text runs merged (≈ cldesc count)
+    #: emphasis spans over ``text``: (start, end, kind) with kind in
+    #: {"i", "b", "bi"} — per-WORD flags merged across contiguous
+    #: same-flag words, the wprops analogue (build.c:585-685). A word
+    #: is flagged when ANY contributing raw char sat inside the
+    #: emphasis element.
+    emph: Tuple[Tuple[int, int, str], ...] = ()
 
     @property
     def text_len(self) -> int:
         return len(self.text)
+
+
+_KIND = {1: "i", 2: "b", 3: "bi"}
+
+
+def _emph_spans(
+    runs: List[str], flags: List[int]
+) -> Tuple[Tuple[int, int, str], ...]:
+    """Per-word emphasis spans over the NORMALIZED text.
+
+    Words are the whitespace-separated tokens of the concatenated raw
+    runs (identical to ``" ".join(raw.split())`` segmentation, which
+    uses ``str.isspace``); a word's flag ORs the flags of every raw
+    run overlapping it (a word split across ``<b>bo</b>ld`` counts as
+    bold — the reference flags a word from ANY of its symbols).
+    Contiguous same-flag words merge into one span, separator space
+    included. Only called for blocks that saw an emphasis tag."""
+    raw = "".join(runs)
+    # word boundaries in raw coordinates (str.split semantics)
+    words: List[Tuple[int, int]] = []
+    i, n = 0, len(raw)
+    while i < n:
+        if raw[i].isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and not raw[j].isspace():
+            j += 1
+        words.append((i, j))
+        i = j
+    # run boundaries in raw coordinates
+    bounds: List[Tuple[int, int, int]] = []
+    off = 0
+    for r, f in zip(runs, flags):
+        bounds.append((off, off + len(r), f))
+        off += len(r)
+    # word flags via a single forward pointer over the runs
+    ri = 0
+    spans: List[List] = []  # [start, end, flag] in normalized coords
+    norm_off = 0
+    for k, (ws, we) in enumerate(words):
+        while ri < len(bounds) and bounds[ri][1] <= ws:
+            ri += 1
+        fl = 0
+        t = ri
+        while t < len(bounds) and bounds[t][0] < we:
+            fl |= bounds[t][2]
+            t += 1
+        start = norm_off if k == 0 else norm_off + 1
+        end = start + (we - ws)
+        norm_off = end
+        if fl:
+            if spans and spans[-1][2] == fl and spans[-1][1] == start - 1:
+                spans[-1][1] = end  # merge across the single space
+            else:
+                spans.append([start, end, fl])
+    return tuple((s, e, _KIND[f]) for s, e, f in spans)
 
 
 class _BlockParser(HTMLParser):
@@ -107,8 +176,11 @@ class _BlockParser(HTMLParser):
         self.zone_stack: List[int] = []
         self.skip_depth = 0
         self.link_depth = 0
+        self.emph_i = 0
+        self.emph_b = 0
         self.blocks: List[Block] = []
         self._cur_runs: List[str] = []
+        self._cur_flags: List[int] = []  # bit0 = italic, bit1 = bold
         self._cur_link_chars = 0
         self._cur_path: Optional[str] = None
         self._cur_depth = 0
@@ -122,6 +194,9 @@ class _BlockParser(HTMLParser):
         raw = "".join(self._cur_runs)
         text = " ".join(raw.split())
         if text:
+            emph: Tuple[Tuple[int, int, str], ...] = ()
+            if any(self._cur_flags):
+                emph = _emph_spans(self._cur_runs, self._cur_flags)
             self.blocks.append(
                 Block(
                     pos=self._pos,
@@ -131,10 +206,12 @@ class _BlockParser(HTMLParser):
                     text=text,
                     link_text_len=min(self._cur_link_chars, len(raw)),
                     n_runs=len(self._cur_runs),
+                    emph=emph,
                 )
             )
             self._pos += 1
         self._cur_runs = []
+        self._cur_flags = []
         self._cur_link_chars = 0
         self._cur_path = None
 
@@ -151,6 +228,10 @@ class _BlockParser(HTMLParser):
             self._flush()
         if tag == "a":
             self.link_depth += 1
+        if tag in EMPH_I_TAGS:
+            self.emph_i += 1
+        elif tag in EMPH_B_TAGS:
+            self.emph_b += 1
         zone = None
         if attrs:
             for k, v in attrs:
@@ -178,6 +259,10 @@ class _BlockParser(HTMLParser):
                     self.skip_depth -= 1
                 if t == "a" and self.link_depth > 0:
                     self.link_depth -= 1
+                if t in EMPH_I_TAGS and self.emph_i > 0:
+                    self.emph_i -= 1
+                elif t in EMPH_B_TAGS and self.emph_b > 0:
+                    self.emph_b -= 1
                 if t == tag:
                     break
 
@@ -189,6 +274,9 @@ class _BlockParser(HTMLParser):
             self._cur_depth = len(self.stack)
             self._cur_zone = self.zone_stack[-1] if self.zone_stack else 0
         self._cur_runs.append(data)
+        self._cur_flags.append(
+            (1 if self.emph_i else 0) | (2 if self.emph_b else 0)
+        )
         if self.link_depth > 0:
             self._cur_link_chars += len(data)
 

@@ -88,3 +88,48 @@ def reference_extract(
         if label == LABEL_CONTENT:
             keep.append((b.zone, b.pos, b.text))
     return assemble_text(keep)
+
+
+#: emphasis span → markup wrapper (the reference's <I>/<B> word spans,
+#: build.c:585-685, emitted in HTML output html.c:1966-1973)
+_EMPH_WRAP = {
+    "i": ("<i>", "</i>"),
+    "b": ("<b>", "</b>"),
+    "bi": ("<b><i>", "</i></b>"),
+}
+
+
+def markup_text(text: str, emph) -> str:
+    """Insert <i>/<b> wrappers at the block's emphasis spans."""
+    out: List[str] = []
+    off = 0
+    for s, e, kind in emph:
+        pre, post = _EMPH_WRAP[kind]
+        out.append(text[off:s])
+        out.append(pre)
+        out.append(text[s:e])
+        out.append(post)
+        off = e
+    out.append(text[off:])
+    return "".join(out)
+
+
+def reference_extract_markup(
+    html: bytes, patterns: Optional[Dict[str, str]] = None
+) -> str:
+    """Single-node oracle for the marked-up output variant
+    (OE_FULL_HTML's <I>/<B> spans, html.c:1966-1973): identical block
+    selection and reading order as :func:`reference_extract`, each
+    block's text wrapped at its emphasis spans. With no emphasis in
+    the document the output equals ``reference_extract`` byte-for-
+    byte."""
+    patterns = patterns or {}
+    keep: List[Tuple[int, int, str]] = []
+    for b in parse_blocks(html):
+        link_density, _, _, _, _ = block_features(b)
+        label, _score = classify_block(
+            b.tag_path, b.text_len, link_density, patterns.get(b.tag_path)
+        )
+        if label == LABEL_CONTENT:
+            keep.append((b.zone, b.pos, markup_text(b.text, b.emph)))
+    return assemble_text(keep)

@@ -130,6 +130,22 @@ def hqbin_second_pass(
     return passing.unionByName(resolved)
 
 
+def extract_markup(
+    pages: DataFrame, patterns: DataFrame | None = None
+) -> DataFrame:
+    """Marked-up output variant (OE_FULL_HTML's <I>/<B> spans,
+    html.c:1966-1973): ``(url, text)`` with inline <i>/<b> wrappers at
+    the emphasis spans the parser recorded (wprops word-flag analogue,
+    build.c:585-685). Byte-identical to
+    ``extract_rules.reference_extract_markup`` per url, and to plain
+    :func:`extract` on emphasis-free documents."""
+    from .stages.assemble import assemble_markup
+
+    return assemble_markup(
+        classify(segment(pages, full_features=False, with_emph=True), patterns)
+    )
+
+
 def extract_encap(
     pages: DataFrame, patterns: DataFrame | None = None
 ) -> DataFrame:

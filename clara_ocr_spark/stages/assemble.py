@@ -45,6 +45,57 @@ def assemble(blocks: DataFrame) -> DataFrame:
     )
 
 
+def assemble_markup(blocks: DataFrame) -> DataFrame:
+    """Marked-up output variant (the reference's <I>/<B> emphasis
+    spans from wprops word flags, build.c:585-685, emitted in HTML
+    output html.c:1966-1973): identical block selection and reading
+    order as :func:`assemble`, each block's text wrapped at its
+    emphasis spans BEFORE assembly — all JVM-side (a fold over the
+    span array; spans per block are few). Requires blocks from
+    ``segment(..., with_emph=True)``. With no emphasis anywhere the
+    output equals :func:`assemble` byte-for-byte (pinned by test)."""
+    spans = F.transform(
+        F.col("emph"),
+        lambda x: F.struct(
+            F.split(x, ":")[0].cast("int").alias("s"),
+            F.split(x, ":")[1].cast("int").alias("e"),
+            F.split(x, ":")[2].alias("k"),
+        ),
+    )
+    pre = lambda k: (  # noqa: E731
+        F.when(k == "i", F.lit("<i>"))
+        .when(k == "b", F.lit("<b>"))
+        .otherwise(F.lit("<b><i>"))
+    )
+    post = lambda k: (  # noqa: E731
+        F.when(k == "i", F.lit("</i>"))
+        .when(k == "b", F.lit("</b>"))
+        .otherwise(F.lit("</i></b>"))
+    )
+    acc0 = F.struct(F.lit(0).alias("off"), F.lit("").alias("out"))
+    marked = F.aggregate(
+        spans,
+        acc0,
+        lambda a, sp: F.struct(
+            sp["e"].alias("off"),
+            F.concat(
+                a["out"],
+                F.substring(F.col("text"), a["off"] + 1, sp["s"] - a["off"]),
+                pre(sp["k"]),
+                F.substring(F.col("text"), sp["s"] + 1, sp["e"] - sp["s"]),
+                post(sp["k"]),
+            ).alias("out"),
+        ),
+        lambda a: F.concat(
+            a["out"],
+            F.substring(
+                F.col("text"), a["off"] + 1, F.length("text") - a["off"]
+            ),
+        ),
+    )
+    return assemble(blocks.withColumn("text", marked))
+
+
 #: accumulator/encap entry type for assemble_encap's offset fold
 _ENC_BLOCK = (
     "zone int, pos int, label string, score int, start int, end int"

@@ -17,6 +17,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     StringType,
@@ -45,6 +46,11 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
+#: emphasis column: "start:end:kind" strings over the block text
+#: (the wprops word-flag spans, build.c:585-685) — emitted only when
+#: with_emph=True so the extraction hot path's shuffle stays narrow
+EMPH_FIELD = StructField("emph", ArrayType(StringType(), False), False)
+
 #: Sentinel block emitted once per document (pos = -1): guarantees
 #: every url survives to the assembly aggregate even when no real
 #: block exists, without re-joining the pages table (one scan, one
@@ -52,7 +58,12 @@ BLOCKS_SCHEMA = StructType(
 SENTINEL_POS = -1
 
 
-def _make_segment_fn(full_features: bool):
+def _make_segment_fn(full_features: bool, with_emph: bool = False):
+    schema = StructType(
+        BLOCKS_SCHEMA.fields + ([EMPH_FIELD] if with_emph else [])
+    )
+    cols = [f.name for f in schema.fields]
+
     def _segment_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -61,9 +72,10 @@ def _make_segment_fn(full_features: bool):
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
-                rows.append(
-                    (url, 0, SENTINEL_POS, "", 0, "", 0, 0, 0, 0.0, 0.0, 0.0, 0)
+                sentinel = (
+                    url, 0, SENTINEL_POS, "", 0, "", 0, 0, 0, 0.0, 0.0, 0.0, 0,
                 )
+                rows.append((sentinel + ([],)) if with_emph else sentinel)
                 for b in parse_blocks_fast(html):
                     if full_features:
                         ld, pr, sr, nw, _ = block_features(b)
@@ -74,33 +86,40 @@ def _make_segment_fn(full_features: bool):
                         ld = min(b.link_text_len / max(b.text_len, 1), 1.0)
                         pr = sr = 0.0
                         nw = 0
-                    rows.append(
-                        (
-                            url,
-                            b.zone,
-                            b.pos,
-                            b.tag_path,
-                            b.depth,
-                            b.text,
-                            b.text_len,
-                            b.link_text_len,
-                            b.n_runs,
-                            ld,
-                            pr,
-                            sr,
-                            nw,
-                        )
+                    row = (
+                        url,
+                        b.zone,
+                        b.pos,
+                        b.tag_path,
+                        b.depth,
+                        b.text,
+                        b.text_len,
+                        b.link_text_len,
+                        b.n_runs,
+                        ld,
+                        pr,
+                        sr,
+                        nw,
                     )
-            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+                    if with_emph:
+                        row = row + (
+                            [f"{s}:{e}:{k}" for s, e, k in b.emph],
+                        )
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return _segment_batches
+    return _segment_batches, schema
 
 
-_segment_full = _make_segment_fn(True)
-_segment_min = _make_segment_fn(False)
+_segment_full, _ = _make_segment_fn(True)
+_segment_min, _ = _make_segment_fn(False)
+_segment_full_emph, _EMPH_SCHEMA_FULL = _make_segment_fn(True, True)
+_segment_min_emph, _EMPH_SCHEMA_MIN = _make_segment_fn(False, True)
 
 
-def segment(pages: DataFrame, full_features: bool = True) -> DataFrame:
+def segment(
+    pages: DataFrame, full_features: bool = True, with_emph: bool = False
+) -> DataFrame:
     """pages(url, html, …) → blocks, one row per segmented block.
 
     Column-prunes to (url, html) before the Python boundary so the
@@ -109,10 +128,16 @@ def segment(pages: DataFrame, full_features: bool = True) -> DataFrame:
 
     ``full_features=False`` skips punct/stopword/word statistics the
     extraction rule chain never reads (quality/calibration stages want
-    them; the extract() hot path does not).
+    them; the extract() hot path does not). ``with_emph=True`` adds
+    the per-block emphasis spans (for the marked-up output variant).
     """
-    fn = _segment_full if full_features else _segment_min
-    return pages.select("url", "html").mapInPandas(fn, schema=BLOCKS_SCHEMA)
+    if with_emph:
+        fn = _segment_full_emph if full_features else _segment_min_emph
+        schema = _EMPH_SCHEMA_FULL if full_features else _EMPH_SCHEMA_MIN
+    else:
+        fn = _segment_full if full_features else _segment_min
+        schema = BLOCKS_SCHEMA
+    return pages.select("url", "html").mapInPandas(fn, schema=schema)
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:

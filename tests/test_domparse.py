@@ -143,3 +143,58 @@ def test_reference_extract_zone_order():
 
 def test_reference_extract_empty_doc():
     assert reference_extract(b"<body><nav><a href='/'>only nav</a></nav></body>") == ""
+
+
+# -- emphasis spans (wprops word flags, build.c:585-685) -----------------
+
+
+def test_emph_spans_basic():
+    from clara_ocr_spark.domparse import parse_blocks
+
+    (b,) = parse_blocks(b"<p>plain <i>ital word</i> mid <b>bold</b> end</p>")
+    assert b.text == "plain ital word mid bold end"
+    assert b.emph == ((6, 15, "i"), (20, 24, "b"))
+    # spans slice back to the emphasized words
+    assert b.text[6:15] == "ital word" and b.text[20:24] == "bold"
+
+
+def test_emph_word_split_across_tag():
+    from clara_ocr_spark.domparse import parse_blocks
+
+    (b,) = parse_blocks(b"<p><b>bo</b>ld split</p>")
+    # a word partially inside <b> is flagged whole (ANY-symbol rule)
+    assert b.text == "bold split" and b.emph == ((0, 4, "b"),)
+
+
+def test_emph_nested_and_adjacent_merge():
+    from clara_ocr_spark.domparse import parse_blocks
+
+    (b,) = parse_blocks(b"<p>nested <b>bold <i>both</i></b> tail</p>")
+    assert b.emph == ((7, 11, "b"), (12, 16, "bi"))
+    (c,) = parse_blocks(b"<p><em>a</em> <em>b</em> c</p>")
+    # contiguous same-flag words merge across the separator space
+    assert c.emph == ((0, 3, "i"),)
+
+
+def test_emph_unclosed_tag_resets_at_block_boundary():
+    from clara_ocr_spark.domparse import parse_blocks
+
+    blocks = parse_blocks(b"<p>unclosed <b>bold runs</p><p>clean</p>")
+    assert blocks[0].emph == ((9, 18, "b"),)
+    assert blocks[1].emph == ()
+
+
+def test_emph_fast_slow_parity():
+    from clara_ocr_spark.domparse import parse_blocks
+    from clara_ocr_spark.fastparse import parse_blocks_fast
+
+    cases = [
+        b"<p>plain <i>ital word</i> mid <b>bold</b> end</p>",
+        b"<p><b>bo</b>ld split</p>",
+        b"<p><em>a</em> <em>b</em> c <strong>d</strong></p>",
+        b"<p>nested <b>bold <i>both</i></b> tail</p>",
+        b"<p>unclosed <b>bold runs on</p><p>next block clean</p>",
+        "<p>café <i>straße</i> t</p>".encode("utf-8"),
+    ]
+    for h in cases:
+        assert parse_blocks(h) == parse_blocks_fast(h), h

@@ -15,6 +15,7 @@ from clara_ocr_spark.pipeline import (
     extract,
     extract_encap,
     extract_hqbin,
+    extract_markup,
     read_pages,
 )
 
@@ -107,6 +108,43 @@ def test_encap_text_byte_identical_and_spans_reconstruct(spark, corpus_path):
         # spans appear in reading order and never overlap
         for a, b in zip(kept, kept[1:]):
             assert b.start == a.end + 1
+
+
+def test_markup_byte_identity_vs_reference(spark, corpus_path):
+    """The <I>/<B> output variant: Spark extract_markup ≡ single-node
+    reference_extract_markup per url — over emphasis-bearing documents
+    AND the full (emphasis-free) corpus, where it must also equal
+    plain extract byte-for-byte."""
+    import datetime
+
+    from clara_ocr_spark.extract_rules import reference_extract_markup
+    from clara_ocr_spark.streaming.incremental import PAGES_SPARK_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    payloads = [
+        b"<p>plain <i>ital word</i> mid <b>bold</b> end of paragraph</p>",
+        b"<p><b>bo</b>ld split word and more words here</p>",
+        b"<p>nested <b>bold <i>both kinds</i></b> tail words follow</p>",
+        b"<div><p>unclosed <b>bold runs on here</p><p>next block clean"
+        b" and long enough</p></div>",
+        b"<p><em>a</em> <em>b</em> c <strong>d</strong> padding words"
+        b" to pass the length gate</p>",
+        "<p>café <i>straße — motörhead</i> tail"
+        " words here</p>".encode("utf-8"),
+    ]
+    rows = [
+        (f"e{i}", ts, h, reference_extract_markup(h), "en")
+        for i, h in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, PAGES_SPARK_SCHEMA)
+    got = {r.url: r.text for r in extract_markup(df).collect()}
+    assert got == {u: t for u, _, _, t, _ in rows}
+    assert any("<i>" in t or "<b>" in t for t in got.values())
+
+    pages = read_pages(spark, corpus_path)
+    plain = {r.url: r.text for r in extract(pages).collect()}
+    marked = {r.url: r.text for r in extract_markup(pages).collect()}
+    assert marked == plain  # corpus has no emphasis tags
 
 
 def test_hqbin_passing_docs_untouched(spark, corpus_path):
