@@ -2730,13 +2730,21 @@ def hqbin_residual(spark, sf_dir):
       union all
       select url, pos*1000, text, 'content', 10
       from rest where user_id % 2 = 0 and pos = 2 and length(text) <= 2),
+    linked as (
+      select url, 2000 as pos,
+             string_agg(text, '' order by pos) as text,
+             'content' as label, 10 as score
+      from rest where user_id % 2 = 1 and pos between 2 and 3
+      group by url),
     untouched as (
       select url, pos*1000 as pos, text, 'content' as label, 5 as score
-      from rest where not (user_id % 2 = 0 and pos = 2))
+      from rest where not (user_id % 2 = 0 and pos = 2)
+                 and not (user_id % 2 = 1 and pos between 2 and 3))
     select url, cast(pos as int) as pos, text, label,
            cast(score as int) as score
     from (select * from merged
           union all select * from split_rows
+          union all select * from linked
           union all select * from untouched)
     """,
 )
@@ -2745,10 +2753,13 @@ def structural_acts(spark, sf_dir):
     revision.c:405-589; VERDICT r1 missing #2): a deterministic block
     table + acts log synthesized from ``events`` (every user's first
     two event-blocks merged by a trusted reviewer; even users' third
-    block split at char offset 2 by an arbiter), pushed through the
-    REAL ``apply_structural_acts`` stage. The oracle replays merge
-    (string_agg in pos order), split (substring halves) and the
-    pos*1000 re-keying in pure SQL. Election itself is pin-tested in
+    block split at char offset 2 by an arbiter; odd users' third and
+    fourth blocks linked — concatenated with no separator, the
+    review_slink/alink analogue — by a trusted reviewer), pushed
+    through the REAL ``apply_structural_acts`` stage. The oracle
+    replays merge (string_agg in pos order), link (string_agg with
+    '' separator), split (substring halves) and the pos*1000
+    re-keying in pure SQL. Election itself is pin-tested in
     test_stages; here the full DataFrame plumbing is driver-checked."""
     from .stages.feedback import apply_structural_acts
 
@@ -2791,7 +2802,20 @@ def structural_acts(spark, sf_dir):
         F.lit("arbiter").alias("reviewer_type"),
         ts.alias("submitted_at"),
     )
-    out = apply_structural_acts(blocks, macts.unionByName(sacts))
+    lacts = users.filter(F.col("user_id") % 2 == 1).select(
+        (F.col("user_id") * 10 + 3).alias("act_id"),
+        "url",
+        F.lit("link").alias("act_type"),
+        F.lit(2).alias("pos_from"),
+        F.lit(3).alias("pos_to"),
+        F.lit(None).cast("array<int>").alias("offsets"),
+        F.lit("content").alias("label"),
+        F.lit("trusted").alias("reviewer_type"),
+        ts.alias("submitted_at"),
+    )
+    out = apply_structural_acts(
+        blocks, macts.unionByName(sacts).unionByName(lacts)
+    )
     return out.select(
         "url",
         F.col("pos").cast("int").alias("pos"),

@@ -105,7 +105,9 @@ def apply_feedback(blocks: DataFrame, acts: DataFrame) -> DataFrame:
 
 #: structural acts (reference revision.c:405-589): ``merge`` =
 #: review_merge closure-set merge (collapse a pos range into one
-#: block), ``split`` = review_dis disassemble + preferred-partition
+#: block), ``link`` = review_slink/review_alink symbol→word /
+#: accent→symbol attachment (same collapse, no text separator),
+#: ``split`` = review_dis disassemble + preferred-partition
 #: update (cut one block at character offsets).
 STRUCT_ACTS_SCHEMA = (
     "act_id bigint, url string, act_type string, pos_from int, "
@@ -140,13 +142,17 @@ def apply_structural_acts(blocks: DataFrame, sacts: DataFrame) -> DataFrame:
       ``pos_from`` — non-empty member texts joined by ``\\n`` in
       (zone, pos) order, label = the act's label (falling back to the
       first member's), score 10 (human-authoritative).
+    * ``link`` (≈ review_slink/review_alink, revision.c:492,516): like
+      ``merge`` but the member texts concatenate with NO separator —
+      the symbol→word / accent→symbol attachment analogue: re-joining
+      one word the segmenter split across markup fragments.
     * ``split`` (≈ review_dis): the block at ``pos_from`` is cut at
       the given character ``offsets`` (sanitized: sorted, deduped,
       interior only); fragments inherit label/zone/tag_path, score 10.
 
     Election per target block is the same strict total order as label
     acts (privilege desc, submitted_at desc, act_id desc) — a block
-    claimed by several merge ranges follows the winning act only.
+    claimed by several merge/link ranges follows the winning act only.
 
     Positions are re-keyed ``pos → pos*POS_KEY (+ fragment idx)`` for
     every non-sentinel block, which preserves reading order exactly —
@@ -159,10 +165,11 @@ def apply_structural_acts(blocks: DataFrame, sacts: DataFrame) -> DataFrame:
     split is a map-side posexplode. No corpus-wide window."""
     keyed = F.col("pos") * POS_KEY
 
-    # --- merge assignment: winning merge act per (url, pos) ---------
-    m = sacts.filter(F.col("act_type") == "merge").select(
+    # --- merge/link assignment: winning act per (url, pos) ----------
+    m = sacts.filter(F.col("act_type").isin("merge", "link")).select(
         F.col("act_id").alias("m_act_id"),
         F.col("url").alias("m_url"),
+        F.col("act_type").alias("m_type"),
         "pos_from",
         "pos_to",
         F.col("label").alias("m_label"),
@@ -187,16 +194,21 @@ def apply_structural_acts(blocks: DataFrame, sacts: DataFrame) -> DataFrame:
 
     merged_members = assigned.filter(F.col("m_act_id").isNotNull())
     rest = assigned.filter(F.col("m_act_id").isNull()).drop(
-        "m_act_id", "pos_from", "pos_to", "m_label"
+        "m_act_id", "m_type", "pos_from", "pos_to", "m_label"
     )
 
     # --- merge: one block per (url, act) -----------------------------
     member = F.struct("zone", "pos", "text", "label", "tag_path")
     ordered = F.array_sort(F.collect_list(member))
     texts = F.filter(F.col("_mem"), lambda s: s["text"] != "")
-    mtext = F.array_join(F.transform(texts, lambda s: s["text"]), "\n")
+    member_texts = F.transform(texts, lambda s: s["text"])
+    mtext = F.when(
+        F.col("m_type") == "link", F.array_join(member_texts, "")
+    ).otherwise(F.array_join(member_texts, "\n"))
     merged = (
-        merged_members.groupBy("url", "m_act_id", "pos_from", "m_label")
+        merged_members.groupBy(
+            "url", "m_act_id", "m_type", "pos_from", "m_label"
+        )
         .agg(
             ordered.alias("_mem"),
             F.min("zone").alias("zone"),

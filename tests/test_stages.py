@@ -233,6 +233,41 @@ def test_structural_merge_election_privilege(spark):
     assert out == {0: "a", 1000: "b\nc"}
 
 
+def test_structural_link_joins_without_separator(spark):
+    """link (review_slink/alink analogue): members concatenate with NO
+    separator — re-joining a word the segmenter fragmented — and a
+    link contested by a merge follows the strict election order."""
+    blocks = _blocks(
+        spark,
+        [
+            ("u", 0, 0, "hyphen", "p", "content", 5, 6, 0),
+            ("u", 0, 1, "ated", "p", "content", 5, 4, 0),
+            ("u", 0, 2, "tail", "p", "content", 5, 4, 0),
+            ("v", 0, 0, "x", "p", "content", 5, 1, 0),
+            ("v", 0, 1, "y", "p", "content", 5, 1, 0),
+        ],
+    )
+    acts = _sacts(
+        spark,
+        [
+            (1, "u", "link", 0, 1, None, None, "trusted", TS),
+            # v: merge and link claim the same range — arbiter's merge
+            # outranks the trusted link, so v joins with "\n"
+            (2, "v", "link", 0, 1, None, None, "trusted", TS),
+            (3, "v", "merge", 0, 1, None, None, "arbiter", TS),
+        ],
+    )
+    out = {
+        (r.url, r.pos): r.text
+        for r in apply_structural_acts(blocks, acts).collect()
+    }
+    assert out == {
+        ("u", 0): "hyphenated",
+        ("u", 2000): "tail",
+        ("v", 0): "x\ny",
+    }
+
+
 def test_structural_split_offsets_sanitized(spark):
     blocks = _blocks(
         spark,
