@@ -13,6 +13,7 @@ Cluster usage (north_rule launch shape):
         [--patterns s3://bucket/patterns/]    \\
         [--acts s3://bucket/acts/]            \\
         [--incremental]                       \\
+        [--format text|markup|encap]          \\
         [--set min_text_len=10 --set link_density_max=0.5]
 
 Local smoke: spark-submit --master local[8] jobs/extract_job.py ...
@@ -89,17 +90,39 @@ def main(argv: list[str] | None = None) -> None:
         "re-extracted with the loose strategy and kept when better "
         "(preproc.c hqbin analogue; default DOM path only)",
     )
+    ap.add_argument(
+        "--format",
+        default="text",
+        choices=["text", "markup", "encap"],
+        help="output variant (html.c:1966-1973 analogues): plain text; "
+        "markup = inline <i>/<b> at parser emphasis spans (wprops "
+        "word flags); encap = text + per-block label/score/char-span "
+        "struct column (the DJVU-with-coordinates shape)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.hqbin and (args.engine or args.mixed):
         ap.error("--hqbin composes with the default DOM path only")
+    if args.format != "text" and args.hqbin:
+        ap.error("--hqbin re-extracts plain text; use --format text")
+    if args.format == "encap" and args.mixed:
+        ap.error("--format encap output schema has no PDF-leg analogue")
+    if args.format == "markup" and args.struct_acts:
+        ap.error(
+            "--struct-acts rebuilds block text and drops emphasis "
+            "spans; use --format text"
+        )
 
     from clara_ocr_spark.config import ExtractConfig
     from clara_ocr_spark.plans.checkpoint import (
         append_increment,
         incremental_delta,
     )
-    from clara_ocr_spark.stages.assemble import assemble
+    from clara_ocr_spark.stages.assemble import (
+        assemble,
+        assemble_encap,
+        assemble_markup,
+    )
     from clara_ocr_spark.stages.classify import classify
     from clara_ocr_spark.stages.consist import (
         append_metrics,
@@ -133,13 +156,26 @@ def main(argv: list[str] | None = None) -> None:
 
         blocks = (
             classify_scored(
-                segment(dom_pages, full_features=True), patterns, args.engine
+                segment(
+                    dom_pages,
+                    full_features=True,
+                    with_emph=args.format == "markup",
+                ),
+                patterns,
+                args.engine,
             )
             .withColumn("label", heuristic_label())
             .withColumn("score", heuristic_score())
         )
     else:
-        blocks = classify(segment(dom_pages, full_features=False), patterns)
+        blocks = classify(
+            segment(
+                dom_pages,
+                full_features=False,
+                with_emph=args.format == "markup",
+            ),
+            patterns,
+        )
     if args.acts:
         blocks = apply_feedback(blocks, spark.read.parquet(args.acts))
     if args.struct_acts:
@@ -152,7 +188,12 @@ def main(argv: list[str] | None = None) -> None:
     # dominant cost) executes ONCE per job instead of twice
     blocks, consist_obs = observe_consistency(blocks)
 
-    extracted = assemble(blocks)
+    assembler = {
+        "text": assemble,
+        "markup": assemble_markup,
+        "encap": assemble_encap,
+    }[args.format]
+    extracted = assembler(blocks)
     if args.hqbin:
         # residual second pass over THIS job's gate failures (keeps the
         # first-pass plan — acts, consistency observation — intact);

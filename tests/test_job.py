@@ -96,6 +96,61 @@ def test_extract_job_mixed(tmp_path):
         if len(r["text"].split()) >= 5:
             assert got_hq[r["url"]] == r["text"]
 
+    # --format markup / encap in a fresh interpreter: markup wraps
+    # emphasis spans (plain text elsewhere); encap keeps text
+    # byte-identical and adds the per-block span column
+    from clara_ocr_spark.extract_rules import reference_extract_markup
+
+    rows_fm = [gen_page(i, seed=23) for i in range(15)]
+    emph = dict(rows_fm[0])
+    emph["url"] = "https://emph.example/p"
+    emph["html"] = (
+        b"<p>lead words <i>italic run</i> middle <b>bold</b> and "
+        b"enough padding words to pass the length gate</p>"
+    )
+    emph["text"] = ""
+    rows_fm.append(emph)
+    inp_fm = tmp_path / "pages_fm.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(rows_fm, schema=PAGES_SCHEMA), str(inp_fm)
+    )
+    for fmt, outdir in (("markup", "out_mk"), ("encap", "out_enc")):
+        proc_fm = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "jobs", "extract_job.py"),
+                "--input", str(inp_fm),
+                "--output", str(tmp_path / outdir),
+                "--format", fmt,
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=300,
+        )
+        assert proc_fm.returncode == 0, proc_fm.stderr[-2000:]
+    import duckdb as _d
+
+    got_mk = {
+        r[0]: r[1]
+        for r in _d.sql(
+            f"select url, text from '{tmp_path}/out_mk/*.parquet'"
+        ).fetchall()
+    }
+    assert got_mk["https://emph.example/p"] == reference_extract_markup(
+        emph["html"]
+    )
+    assert "<i>italic run</i>" in got_mk["https://emph.example/p"]
+    for r in rows_fm[:15]:
+        assert got_mk[r["url"]] == r["text"]  # emphasis-free ⇒ plain
+    enc = _d.sql(
+        f"select url, text, len(blocks) from '{tmp_path}/out_enc/*.parquet'"
+    ).fetchall()
+    got_enc = {r[0]: (r[1], r[2]) for r in enc}
+    for r in rows_fm[:15]:
+        assert got_enc[r["url"]][0] == r["text"]
+        assert got_enc[r["url"]][1] >= 1
+
     proc2 = subprocess.run(
         [
             sys.executable,
