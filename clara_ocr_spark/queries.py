@@ -2825,6 +2825,109 @@ def structural_acts(spark, sf_dir):
     )
 
 
+@q(
+    "pattern_acts",
+    f"""
+    with pats as (
+      select 'html/body/'||source||'/'||lang as fingerprint,
+             'content' as label, count(*) as matches
+      from documents group by source, lang),
+    acts as (
+      select {H60_DUCK.format(x="fingerprint||'#ov'")} as act_id,
+             fingerprint, 'noise' as label,
+             'trusted' as reviewer_type,
+             timestamp '2024-05-01 12:00:00' as submitted_at
+      from pats where fingerprint like 'html/body/src0/%'
+      union all
+      select {H60_DUCK.format(x="fingerprint||'#an'")}, fingerprint,
+             'boiler', 'anon', timestamp '2024-05-02 12:00:00'
+      from pats where fingerprint like 'html/body/src0/%'
+      union all
+      select {H60_DUCK.format(x="fingerprint||'#rt'")}, fingerprint,
+             cast(null as varchar), 'arbiter',
+             timestamp '2024-04-01 12:00:00'
+      from pats where fingerprint like '%/zh'
+      union all
+      select {H60_DUCK.format(x="'html/body/nav/'||source||'#in'")},
+             'html/body/nav/'||source, 'nav', 'trusted',
+             timestamp '2024-05-01 12:00:00'
+      from (select distinct source from documents)),
+    elected as (
+      select fingerprint, label from (
+        select fingerprint, label,
+               row_number() over (partition by fingerprint order by
+                 case reviewer_type when 'arbiter' then 3
+                      when 'trusted' then 2 when 'anon' then 1
+                      else 0 end desc,
+                 submitted_at desc, act_id desc) as rn
+        from acts) where rn = 1)
+    select coalesce(p.fingerprint, e.fingerprint) as fingerprint,
+           coalesce(e.label, p.label) as label,
+           cast(coalesce(p.matches, 0) as bigint) as matches
+    from pats p full outer join elected e
+      on p.fingerprint = e.fingerprint
+    where e.fingerprint is null or e.label is not null
+    """,
+)
+def pattern_acts(spark, sf_dir):
+    """Pattern-library edit acts end-to-end (reference ``review_patt``,
+    revision.c:359-397; the last missing act type of the REV_* family):
+    a library derived from ``documents`` (one pattern per
+    (source, lang) tag path) plus a synthetic acts log exercising all
+    three outcomes AND the election order — src0 fingerprints get a
+    trusted override to 'noise' plus a LATER anon act to 'boiler'
+    (privilege beats recency: 'noise' wins), every '/zh' fingerprint
+    gets an EARLIER arbiter retire act (privilege beats both: the
+    pattern dies, including src0/zh where override and retire
+    collide), and a 'html/body/nav/<source>' fingerprint absent from
+    the library is inserted with matches = 0.  Pushed through the REAL
+    ``apply_pattern_acts`` stage; the oracle replays the election and
+    full-outer apply in pure SQL."""
+    from .stages.patterns import apply_pattern_acts
+
+    d = _t(spark, sf_dir, "documents")
+    pats = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("matches")
+    ).select(
+        F.concat(F.lit("html/body/"), "source", F.lit("/"), "lang").alias(
+            "fingerprint"
+        ),
+        F.lit("content").alias("label"),
+        "matches",
+    )
+    def act(fp, suffix, label, reviewer, ts):
+        return F.struct(
+            spark_hash60(F.concat(fp, F.lit(suffix))).alias("act_id"),
+            fp.alias("fingerprint"),
+            label.alias("label"),
+            F.lit(reviewer).alias("reviewer_type"),
+            F.to_timestamp(F.lit(ts)).alias("submitted_at"),
+        )
+    fp = F.col("fingerprint")
+    ov = pats.filter(fp.startswith("html/body/src0/")).select(
+        act(fp, "#ov", F.lit("noise"), "trusted", "2024-05-01 12:00:00").alias("a")
+    )
+    an = pats.filter(fp.startswith("html/body/src0/")).select(
+        act(fp, "#an", F.lit("boiler"), "anon", "2024-05-02 12:00:00").alias("a")
+    )
+    rt = pats.filter(fp.endswith("/zh")).select(
+        act(
+            fp, "#rt", F.lit(None).cast("string"), "arbiter",
+            "2024-04-01 12:00:00",
+        ).alias("a")
+    )
+    ins = d.select("source").distinct().select(
+        act(
+            F.concat(F.lit("html/body/nav/"), "source"), "#in",
+            F.lit("nav"), "trusted", "2024-05-01 12:00:00",
+        ).alias("a")
+    )
+    pacts = ov.unionByName(an).unionByName(rt).unionByName(ins).select("a.*")
+    return apply_pattern_acts(pats, pacts).select(
+        "fingerprint", "label", F.col("matches").cast("bigint").alias("matches")
+    )
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -16,7 +16,7 @@ stays small (distinct tag paths), so it broadcasts.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..extract_rules import MIN_TEXT_LEN
 
@@ -68,6 +68,80 @@ def grow_patterns(
         existing.select("fingerprint"), "fingerprint", "left_anti"
     )
     return existing.unionByName(new_only)
+
+
+#: pattern-edit acts (reference ``review_patt``, revision.c:359-397 +
+#: REV_PATT dispatch revision.c:659-660): a human edits the pattern
+#: library itself — ``update_pattern(-1, a->tr, ...)`` changes the
+#: class transliteration (upserting the pattern when absent), and the
+#: SHAPE votes of every symbol in the class are resubmitted, i.e. the
+#: edit propagates to all blocks classified by that fingerprint on the
+#: next classify pass.  ``label NULL`` retires the pattern (removes a
+#: bogus auto-grown entry, the bf_auto eraser).
+PATT_ACTS_SCHEMA = (
+    "act_id bigint, fingerprint string, label string, "
+    "reviewer_type string, submitted_at timestamp"
+)
+
+
+def apply_pattern_acts(patterns: DataFrame, pacts: DataFrame) -> DataFrame:
+    """Apply human pattern-library edits (≈ review_patt).
+
+    Election per fingerprint is the same strict total order as label
+    acts (stages/feedback.py): reviewer privilege desc, submitted_at
+    desc, act_id desc — deterministic and idempotent, the ``review``
+    reapplication property.  The winning act then:
+
+    * label non-NULL, fingerprint in library  → override the label
+      (``update_pattern`` transliteration change; ``matches`` kept);
+    * label non-NULL, fingerprint NOT in library → insert with
+      ``matches = 0`` (the ``cdfc = -1`` insert path);
+    * label NULL → retire the pattern entirely.
+
+    "Resubmitting the SHAPE votes" needs no extra pass here: the
+    library is re-broadcast to ``classify``, so every block of the
+    class picks up the edited label on the next classification.
+
+    Scale shape: the acts log and the library are both human/
+    dictionary-scale (distinct tag paths), so the election window
+    partitions by fingerprint (high-cardinality, no skew) and the
+    apply join broadcasts the elected edits."""
+    from .feedback import REVIEWER_RANK
+
+    priv = F.coalesce(
+        *[
+            F.when(F.col("reviewer_type") == k, F.lit(v))
+            for k, v in REVIEWER_RANK.items()
+        ],
+        F.lit(0),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("priv"), F.desc("submitted_at"), F.desc("act_id")
+    )
+    elected = (
+        pacts.withColumn("priv", priv)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("fingerprint").alias("_ef"),
+            F.col("label").alias("_elabel"),
+        )
+    )
+    j = patterns.join(
+        F.broadcast(elected),
+        patterns["fingerprint"] == elected["_ef"],
+        "full_outer",
+    )
+    edited = j.filter(
+        # retire: an elected NULL label kills the row; rows never
+        # touched by an act (_ef NULL) pass through
+        F.col("_ef").isNull() | F.col("_elabel").isNotNull()
+    ).select(
+        F.coalesce("fingerprint", "_ef").alias("fingerprint"),
+        F.coalesce("_elabel", "label").alias("label"),
+        F.coalesce("matches", F.lit(0)).cast("bigint").alias("matches"),
+    )
+    return edited
 
 
 def bootstrap_patterns(spark, rows: list[tuple[str, str]]) -> DataFrame:

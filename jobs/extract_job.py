@@ -12,6 +12,7 @@ Cluster usage (north_rule launch shape):
         --run-id 2026-08-16-a                 \\
         [--patterns s3://bucket/patterns/]    \\
         [--acts s3://bucket/acts/]            \\
+        [--patt-acts s3://bucket/patt_acts/]  \\
         [--incremental]                       \\
         [--format text|markup|encap]          \\
         [--set min_text_len=10 --set link_density_max=0.5]
@@ -63,6 +64,13 @@ def main(argv: list[str] | None = None) -> None:
         "corrections, applied after label acts against original "
         "positions)",
     )
+    ap.add_argument(
+        "--patt-acts",
+        default=None,
+        help="pattern-library edit acts parquet (review_patt analogue: "
+        "override/retire/insert library entries before classification; "
+        "requires --patterns)",
+    )
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument(
         "--engine",
@@ -112,6 +120,8 @@ def main(argv: list[str] | None = None) -> None:
             "--struct-acts rebuilds block text and drops emphasis "
             "spans; use --format text"
         )
+    if args.patt_acts and not args.patterns:
+        ap.error("--patt-acts edits the --patterns library; none given")
 
     from clara_ocr_spark.config import ExtractConfig
     from clara_ocr_spark.plans.checkpoint import (
@@ -145,6 +155,12 @@ def main(argv: list[str] | None = None) -> None:
     patterns = (
         spark.read.parquet(args.patterns) if args.patterns else None
     )
+    if args.patt_acts:
+        from clara_ocr_spark.stages.patterns import apply_pattern_acts
+
+        patterns = apply_pattern_acts(
+            patterns, spark.read.parquet(args.patt_acts)
+        )
     dom_pages = pages
     if args.mixed:
         from clara_ocr_spark.pipeline import _is_pdf_col

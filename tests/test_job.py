@@ -151,6 +151,77 @@ def test_extract_job_mixed(tmp_path):
         assert got_enc[r["url"]][0] == r["text"]
         assert got_enc[r["url"]][1] >= 1
 
+    # --patt-acts: a library entry marking the content template path
+    # 'noise' would suppress extraction; an arbiter retire act removes
+    # it, so the output returns to the reference text (review_patt
+    # end-to-end through the job surface)
+    import datetime as _dt
+
+    lib_path = tmp_path / "patterns.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "fingerprint": ["html/body/main/article/p"],
+                "label": ["noise"],
+                "matches": pa.array([5], type=pa.int64()),
+            }
+        ),
+        str(lib_path),
+    )
+    pacts_path = tmp_path / "patt_acts.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "act_id": pa.array([1], type=pa.int64()),
+                "fingerprint": ["html/body/main/article/p"],
+                "label": pa.array([None], type=pa.string()),
+                "reviewer_type": ["arbiter"],
+                "submitted_at": pa.array(
+                    [_dt.datetime(2024, 5, 1, 12)], type=pa.timestamp("us")
+                ),
+            }
+        ),
+        str(pacts_path),
+    )
+    for outdir_pa, extra, expect_plain in (
+        ("out_pa0", ["--patterns", str(lib_path)], False),
+        (
+            "out_pa1",
+            [
+                "--patterns", str(lib_path),
+                "--patt-acts", str(pacts_path),
+            ],
+            True,
+        ),
+    ):
+        proc_pa = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "jobs", "extract_job.py"),
+                "--input", str(inp_fm),
+                "--output", str(tmp_path / outdir_pa),
+                *extra,
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=300,
+        )
+        assert proc_pa.returncode == 0, proc_pa.stderr[-2000:]
+        got_pa = {
+            r[0]: r[1]
+            for r in _d.sql(
+                f"select url, text from '{tmp_path}/{outdir_pa}/*.parquet'"
+            ).fetchall()
+        }
+        matches_ref = sum(
+            got_pa.get(r["url"]) == r["text"] for r in rows_fm[:15]
+        )
+        if expect_plain:
+            assert matches_ref == 15  # retire act restored extraction
+        else:
+            assert matches_ref < 15  # the noise pattern suppressed text
+
     proc2 = subprocess.run(
         [
             sys.executable,

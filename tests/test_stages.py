@@ -33,7 +33,12 @@ from clara_ocr_spark.stages.feedback import (
     elect_labels,
     merge_acts,
 )
-from clara_ocr_spark.stages.patterns import bootstrap_patterns, grow_patterns
+from clara_ocr_spark.stages.patterns import (
+    PATT_ACTS_SCHEMA,
+    apply_pattern_acts,
+    bootstrap_patterns,
+    grow_patterns,
+)
 from clara_ocr_spark.stages.segment import segment
 
 TS = dt.datetime(2024, 5, 1, 12, 0, 0)
@@ -394,6 +399,84 @@ def test_grow_patterns_existing_wins(spark, labeled):
     grown = grow_patterns(labeled, seed, min_support=5)
     got = {r.fingerprint: r.label for r in grown.collect()}
     assert got["html/body/main/article/p"] == "noise"  # not overwritten
+
+
+def test_apply_pattern_acts_election_and_outcomes(spark):
+    """review_patt analogue (revision.c:359-397): override / retire /
+    insert, elected by privilege desc, recency desc, act_id desc."""
+    lib = spark.createDataFrame(
+        [("p/a", "content", 7), ("p/b", "content", 3), ("p/c", "nav", 1)],
+        "fingerprint string, label string, matches bigint",
+    )
+    later = TS + dt.timedelta(days=1)
+    pacts = spark.createDataFrame(
+        [
+            # p/a: trusted override beats a LATER anon act
+            (1, "p/a", "noise", "trusted", TS),
+            (2, "p/a", "boiler", "anon", later),
+            # p/b: arbiter retire beats an (earlier-submitted) trusted
+            # override despite the trusted act's higher act_id
+            (4, "p/b", "content2", "trusted", TS),
+            (3, "p/b", None, "arbiter", TS),
+            # p/d: insert of an absent fingerprint
+            (5, "p/d", "header", "trusted", TS),
+            # p/e: retire of an absent fingerprint is a no-op
+            (6, "p/e", None, "arbiter", TS),
+        ],
+        PATT_ACTS_SCHEMA,
+    )
+    out = apply_pattern_acts(lib, pacts)
+    got = {r.fingerprint: (r.label, r.matches) for r in out.collect()}
+    assert got == {
+        "p/a": ("noise", 7),   # override keeps matches
+        "p/c": ("nav", 1),     # untouched passes through
+        "p/d": ("header", 0),  # insert starts at 0
+    }
+    # idempotent: reapplying the same acts changes nothing
+    again = {
+        r.fingerprint: (r.label, r.matches)
+        for r in apply_pattern_acts(out, pacts).collect()
+    }
+    assert again == got
+    # equal privilege + timestamp: act_id desc breaks the tie
+    tie = spark.createDataFrame(
+        [(10, "p/c", "x", "trusted", TS), (11, "p/c", "y", "trusted", TS)],
+        PATT_ACTS_SCHEMA,
+    )
+    got_tie = {
+        r.fingerprint: r.label
+        for r in apply_pattern_acts(lib, tie).collect()
+    }
+    assert got_tie["p/c"] == "y"
+
+
+def test_apply_pattern_acts_propagates_to_classify(spark):
+    """The "resubmit SHAPE votes" half of review_patt: the edited
+    library re-labels every block of the class on the next classify
+    pass — no per-block act needed."""
+    lib = bootstrap_patterns(
+        spark, [("html/body/main/article/p", "content")]
+    )
+    pacts = spark.createDataFrame(
+        [(1, "html/body/main/article/p", "noise", "arbiter", TS)],
+        PATT_ACTS_SCHEMA,
+    )
+    edited = apply_pattern_acts(lib, pacts)
+    blocks = spark.createDataFrame(
+        [
+            ("u1", 0, 0, "body text", "html/body/main/article/p", 40, 0.0),
+            ("u2", 0, 0, "more text", "html/body/main/article/p", 40, 0.0),
+        ],
+        "url string, zone int, pos int, text string, "
+        "tag_path string, text_len int, link_density double",
+    )
+    labels = {
+        (r.url): r.pattern_label
+        for r in classify(blocks, edited)
+        .select("url", "pattern_label")
+        .collect()
+    }
+    assert labels == {"u1": "noise", "u2": "noise"}
 
 
 def test_two_pass_classify_stable(spark, corpus_path):
