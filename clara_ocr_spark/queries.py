@@ -2826,6 +2826,185 @@ def structural_acts(spark, sf_dir):
 
 
 @q(
+    "decontaminate",
+    """
+    with t as (
+      select doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 4, 1)),
+               i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+               as grams
+      from (select doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') as ws
+            from documents)),
+    ev as (
+      select distinct unnest(grams) as g from t where doc_id % 97 = 0),
+    tr as (select * from t where doc_id % 97 <> 0),
+    hits as (
+      select x.doc_id, count(*) as n_hit
+      from (select doc_id, unnest(grams) as g from tr) x
+      join ev on x.g = ev.g
+      group by x.doc_id)
+    select tr.doc_id,
+           cast(len(tr.grams) as bigint) as n_shingles,
+           cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
+           coalesce(h.n_hit, 0) > 0 as contaminated
+    from tr left join hits h on tr.doc_id = h.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word-5-gram with a held-out eval set (the Gopher/GPT-3 n-gram
+    overlap procedure; a first-class training-pipeline op with no
+    reference analogue — the eval set here is the deterministic
+    doc_id % 97 slice, so the check is self-contained).
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs
+    even at web scale), so its distinct shingle set BROADCASTS and the
+    train side's exploded shingles probe it map-side — the only
+    shuffle is the per-doc hit-count groupBy, on pre-filtered hits
+    (partial aggregation applies).  The 5-gram array is built from a
+    let-bound token array (one tokenize per doc, not per gram)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.array_distinct(
+        _let(
+            ws,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(5))),
+            ),
+        )
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    ev = (
+        t.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    tr = t.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        tr.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tr.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@q(
+    "pii_redact",
+    """
+    with injected as (
+      select doc_id, source,
+             text || case when doc_id % 3 = 0
+                          then ' contact user' || doc_id || '@example.com'
+                          else '' end
+                  || case when doc_id % 5 = 0
+                          then ' from 10.' || doc_id % 256 || '.0.'
+                               || doc_id % 100
+                          else '' end as text
+      from documents),
+    redacted as (
+      select doc_id, source,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+')) as n_email,
+             len(regexp_extract_all(text,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               as n_ip,
+             length(text) - length(
+               regexp_replace(regexp_replace(text,
+                 '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IP>', 'g')) as chars_delta
+      from injected)
+    select source,
+           count(*) as n_docs,
+           cast(sum(n_email) as bigint) as total_emails,
+           cast(sum(n_ip) as bigint) as total_ips,
+           cast(sum(case when n_email + n_ip > 0 then 1 else 0 end)
+                as bigint) as n_docs_with_pii,
+           cast(sum(chars_delta) as bigint) as chars_redacted_delta
+    from redacted group by source
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction scrub + audit, a first-class training-pipeline op
+    (no reference analogue): emails and IPv4 literals are replaced by
+    typed placeholders and the audit reports per-source match counts
+    and the redaction size delta.  The synthetic corpus carries no
+    PII, so deterministic fakes are injected in-query (doc_id % 3 →
+    an email, doc_id % 5 → an IP) identically in both engines — the
+    regexes and the replacement are the op under test.
+
+    Scale shape: pure row-local regexp expressions (JVM codegen, no
+    Python) followed by one per-source partial aggregation — the same
+    single-shuffle shape as the quality-score queries."""
+    d = _t(spark, sf_dir, "documents")
+    email_re = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = _let(
+        text,
+        lambda t: F.struct(
+            F.size(F.regexp_extract_all(t, F.lit(email_re), 0)).alias(
+                "n_email"
+            ),
+            F.size(F.regexp_extract_all(t, F.lit(ip_re), 0)).alias("n_ip"),
+            (
+                F.length(t)
+                - F.length(
+                    F.regexp_replace(
+                        F.regexp_replace(t, email_re, "<EMAIL>"),
+                        ip_re,
+                        "<IP>",
+                    )
+                )
+            ).alias("chars_delta"),
+        ),
+    )
+    r = d.select("source", redacted.alias("r"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("r.n_email").cast("bigint").alias("total_emails"),
+        F.sum("r.n_ip").cast("bigint").alias("total_ips"),
+        F.sum(
+            F.when(F.col("r.n_email") + F.col("r.n_ip") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("r.chars_delta").cast("bigint").alias("chars_redacted_delta"),
+    )
+
+
+@q(
     "deskew_search",
     """
     with lens as (
