@@ -146,6 +146,19 @@ def extract_markup(
     )
 
 
+def extract_full_html(
+    pages: DataFrame, patterns: DataFrame | None = None
+) -> DataFrame:
+    """Full-document HTML output variant (reference OE_FULL_HTML,
+    html.c:1966-1973): ``(url, html)`` — a complete entity-escaped
+    HTML document per url with the kept/total block-count stats
+    comment (the "Symbols: n/m" page-header analogue,
+    clara.c:3361-3381)."""
+    from .stages.assemble import assemble_full_html
+
+    return assemble_full_html(classify(segment(pages), patterns))
+
+
 def extract_encap(
     pages: DataFrame, patterns: DataFrame | None = None
 ) -> DataFrame:

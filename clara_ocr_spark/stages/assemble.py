@@ -96,6 +96,60 @@ def assemble_markup(blocks: DataFrame) -> DataFrame:
     return assemble(blocks.withColumn("text", marked))
 
 
+def _html_escape(t: F.Column) -> F.Column:
+    """&, <, > → entities ('&' first so entities aren't re-escaped)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, "&", "&amp;"), "<", "&lt;"),
+        ">",
+        "&gt;",
+    )
+
+
+def assemble_full_html(blocks: DataFrame) -> DataFrame:
+    """Full-document HTML output variant (reference OE_FULL_HTML,
+    html.c:1966-1973: ``mk_page_output`` wraps the page in a complete
+    HTML document whose header carries the per-page stats line —
+    "Symbols: n/m (rate)", clara.c:3361-3381).  Here: one document per
+    url, kept content blocks as ``<p>`` elements (entity-escaped),
+    and the stats comment gives kept/total block counts.
+
+    Same scale shape as :func:`assemble`: ONE aggregation on url, all
+    counting/wrapping/escaping inside the aggregate — join-free,
+    JVM-only."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct("zone", "pos", "text", "label"))
+    )
+    agg = blocks.groupBy("url").agg(ordered.alias("_ord"))
+    non_sentinel = F.filter(F.col("_ord"), lambda s: s["pos"] != SENTINEL_POS)
+    kept = F.filter(
+        non_sentinel,
+        lambda s: (s["label"] == LABEL_CONTENT) & (s["text"] != ""),
+    )
+    body = F.array_join(
+        F.transform(
+            kept,
+            lambda s: F.concat(
+                F.lit("<p>"), _html_escape(s["text"]), F.lit("</p>")
+            ),
+        ),
+        "\n",
+    )
+    doc = F.concat(
+        F.lit("<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"),
+        F.lit("<title>"),
+        _html_escape(F.col("url")),
+        F.lit("</title></head>\n<body>\n<!-- blocks: "),
+        F.size(kept).cast("string"),
+        F.lit("/"),
+        F.size(non_sentinel).cast("string"),
+        F.lit(" -->\n"),
+        body,
+        F.when(F.size(kept) > 0, F.lit("\n")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return agg.select("url", doc.alias("html"))
+
+
 #: accumulator/encap entry type for assemble_encap's offset fold
 _ENC_BLOCK = (
     "zone int, pos int, label string, score int, start int, end int"

@@ -14,7 +14,7 @@ Cluster usage (north_rule launch shape):
         [--acts s3://bucket/acts/]            \\
         [--patt-acts s3://bucket/patt_acts/]  \\
         [--incremental]                       \\
-        [--format text|markup|encap]          \\
+        [--format text|markup|encap|full_html] \\
         [--set min_text_len=10 --set link_density_max=0.5]
 
 Local smoke: spark-submit --master local[8] jobs/extract_job.py ...
@@ -101,11 +101,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--format",
         default="text",
-        choices=["text", "markup", "encap"],
+        choices=["text", "markup", "encap", "full_html"],
         help="output variant (html.c:1966-1973 analogues): plain text; "
         "markup = inline <i>/<b> at parser emphasis spans (wprops "
         "word flags); encap = text + per-block label/score/char-span "
-        "struct column (the DJVU-with-coordinates shape)",
+        "struct column (the DJVU-with-coordinates shape); full_html = "
+        "complete entity-escaped HTML document per url (OE_FULL_HTML)",
     )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
@@ -113,8 +114,8 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--hqbin composes with the default DOM path only")
     if args.format != "text" and args.hqbin:
         ap.error("--hqbin re-extracts plain text; use --format text")
-    if args.format == "encap" and args.mixed:
-        ap.error("--format encap output schema has no PDF-leg analogue")
+    if args.format in ("encap", "full_html") and args.mixed:
+        ap.error(f"--format {args.format} output schema has no PDF-leg analogue")
     if args.format == "markup" and args.struct_acts:
         ap.error(
             "--struct-acts rebuilds block text and drops emphasis "
@@ -131,6 +132,7 @@ def main(argv: list[str] | None = None) -> None:
     from clara_ocr_spark.stages.assemble import (
         assemble,
         assemble_encap,
+        assemble_full_html,
         assemble_markup,
     )
     from clara_ocr_spark.stages.classify import classify
@@ -208,6 +210,7 @@ def main(argv: list[str] | None = None) -> None:
         "text": assemble,
         "markup": assemble_markup,
         "encap": assemble_encap,
+        "full_html": assemble_full_html,
     }[args.format]
     extracted = assembler(blocks)
     if args.hqbin:

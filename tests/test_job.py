@@ -114,7 +114,11 @@ def test_extract_job_mixed(tmp_path):
     pq.write_table(
         pa.Table.from_pylist(rows_fm, schema=PAGES_SCHEMA), str(inp_fm)
     )
-    for fmt, outdir in (("markup", "out_mk"), ("encap", "out_enc")):
+    for fmt, outdir in (
+        ("markup", "out_mk"),
+        ("encap", "out_enc"),
+        ("full_html", "out_fh"),
+    ):
         proc_fm = subprocess.run(
             [
                 sys.executable,
@@ -150,6 +154,22 @@ def test_extract_job_mixed(tmp_path):
     for r in rows_fm[:15]:
         assert got_enc[r["url"]][0] == r["text"]
         assert got_enc[r["url"]][1] >= 1
+    import re as _re
+
+    got_fh = {
+        r[0]: r[1]
+        for r in _d.sql(
+            f"select url, html from '{tmp_path}/out_fh/*.parquet'"
+        ).fetchall()
+    }
+    for r in rows_fm[:15]:
+        html = got_fh[r["url"]]
+        assert html.startswith("<!DOCTYPE html>")
+        blocks = _re.findall(r"<p>(.*?)</p>", html, flags=_re.S)
+        unesc = lambda s: (  # noqa: E731
+            s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+        )
+        assert "\n".join(unesc(b) for b in blocks) == r["text"]
 
     # --patt-acts: a library entry marking the content template path
     # 'noise' would suppress extraction; an arbiter retire act removes

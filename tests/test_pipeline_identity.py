@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from clara_ocr_spark.pipeline import (
     extract,
     extract_encap,
+    extract_full_html,
     extract_hqbin,
     extract_markup,
     read_pages,
@@ -108,6 +109,30 @@ def test_encap_text_byte_identical_and_spans_reconstruct(spark, corpus_path):
         # spans appear in reading order and never overlap
         for a, b in zip(kept, kept[1:]):
             assert b.start == a.end + 1
+
+
+def test_full_html_wraps_plain_extract(spark, corpus_path):
+    """The OE_FULL_HTML variant: unwrapping the <p> elements and
+    undoing entity escaping must reproduce plain extract byte-for-byte,
+    and the stats comment must carry the kept block count."""
+    import re
+
+    pages = read_pages(spark, corpus_path)
+    plain = {r.url: r.text for r in extract(pages).collect()}
+    full = {r.url: r.html for r in extract_full_html(pages).collect()}
+    assert set(full) == set(plain)
+    unesc = lambda s: (  # noqa: E731
+        s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    )
+    for url, html in full.items():
+        assert html.startswith("<!DOCTYPE html>\n<html><head>")
+        assert html.endswith("</body></html>")
+        assert "<title>" in html
+        blocks = re.findall(r"<p>(.*?)</p>", html, flags=re.S)
+        assert "\n".join(unesc(b) for b in blocks) == plain[url]
+        m = re.search(r"<!-- blocks: (\d+)/(\d+) -->", html)
+        assert m and int(m.group(1)) == len(blocks)
+        assert int(m.group(2)) >= int(m.group(1))
 
 
 def test_markup_byte_identity_vs_reference(spark, corpus_path):
