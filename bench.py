@@ -70,6 +70,10 @@ HEADLINE = [
     "bpe_token_stats",
     "structural_acts",  # added r2: merge/split revision acts
     "hqbin_residual",  # added r2: second-pass re-parse accounting
+    "pattern_acts",  # added r2: pattern-library edit acts
+    "deskew_search",  # added r2: per-doc grid argmax (pp_deskew)
+    "decontaminate",  # added r2: eval-set n-gram overlap
+    "pii_redact",  # added r2: scrub + audit
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -2832,8 +2832,7 @@ def structural_acts(spark, sf_dir):
       select doc_id,
              list_distinct(list_transform(
                generate_series(1, greatest(len(ws) - 4, 1)),
-               i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
-               as grams
+               i -> {h60_gram})) as grams
       from (select doc_id,
                    regexp_split_to_array(trim(text), '\\s+') as ws
             from documents)),
@@ -2850,7 +2849,10 @@ def structural_acts(spark, sf_dir):
            cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
            coalesce(h.n_hit, 0) > 0 as contaminated
     from tr left join hits h on tr.doc_id = h.doc_id
-    """,
+    """.replace(
+        "{h60_gram}",
+        H60_DUCK.format(x="array_to_string(list_slice(ws, i, i + 4), ' ')"),
+    ),
 )
 def decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing any
@@ -2863,8 +2865,12 @@ def decontaminate(spark, sf_dir):
     even at web scale), so its distinct shingle set BROADCASTS and the
     train side's exploded shingles probe it map-side — the only
     shuffle is the per-doc hit-count groupBy, on pre-filtered hits
-    (partial aggregation applies).  The 5-gram array is built from a
-    let-bound token array (one tokenize per doc, not per gram)."""
+    (partial aggregation applies).  Shingles travel as the portable
+    60-bit hash, never the string — the broadcast set and the probe
+    rows carry 8 bytes per shingle instead of ~30 (and the same md5
+    derivation on both engines keeps the oracle exact).  The 5-gram
+    array is built from a let-bound token array (one tokenize per
+    doc, not per gram)."""
     d = _t(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.array_distinct(
@@ -2872,7 +2878,9 @@ def decontaminate(spark, sf_dir):
             ws,
             lambda w: F.transform(
                 F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(5))),
+                lambda i: spark_hash60(
+                    F.concat_ws(" ", F.slice(w, i, F.lit(5)))
+                ),
             ),
         )
     )
