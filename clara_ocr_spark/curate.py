@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from .queries import (
     _band_candidates,
     _dup_2gram_frac,
+    _gram5_hashes,
     _jaccard_pairs,
     _min_label_components,
     _minhash_bands,
@@ -44,6 +45,7 @@ REASON_TOO_SHORT = "too_short"
 REASON_TOP_WORD = "repetitive_top_word"
 REASON_DUP_2GRAM = "repetitive_2gram"
 REASON_DUPLICATE = "duplicate"
+REASON_CONTAMINATED = "contaminated"
 
 
 @dataclass(frozen=True)
@@ -137,8 +139,34 @@ def exact_dup_canonical(docs: DataFrame) -> DataFrame:
     return hashed.join(canon, "h").select("url", "exact_canonical")
 
 
+def contaminated_urls(
+    docs: DataFrame, eval_texts: DataFrame
+) -> DataFrame:
+    """urls of ``docs(url, text)`` sharing at least one word-5-gram
+    with ``eval_texts(text)`` — the benchmark-decontamination probe
+    (same shingle unit and portable hash as the oracle-checked
+    ``decontaminate`` catalog query; queries._gram5_hashes is the
+    single source of truth).
+
+    Scale shape: the eval side is benchmark-sized at any corpus scale,
+    so its distinct hashed shingle set broadcasts; the corpus side
+    probes it map-side and only matching (url, shingle) rows reach the
+    distinct."""
+    ev = (
+        eval_texts.select(F.explode(_gram5_hashes()).alias("g")).distinct()
+    )
+    return (
+        docs.select("url", F.explode(_gram5_hashes()).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("url")
+        .distinct()
+    )
+
+
 def curate(
-    extracted: DataFrame, cfg: CurateConfig = CurateConfig()
+    extracted: DataFrame,
+    cfg: CurateConfig = CurateConfig(),
+    eval_texts: DataFrame | None = None,
 ) -> tuple:
     """extracted(url, text) → (curated, rejected).
 
@@ -152,10 +180,25 @@ def curate(
     cheap, collapses byte-identical docs) then near (minhash/LSH over
     the exact representatives only — the expensive tier never sees
     redundant identical inputs). Canonicals compose: a doc's final
-    canonical is its exact representative's near-dup canonical."""
+    canonical is its exact representative's near-dup canonical.
+
+    With ``eval_texts``, quality-passing docs sharing a word-5-gram
+    with the eval set are rejected as ``contaminated`` BEFORE dedup,
+    so a contaminated doc can never be elected canonical for a clean
+    family (quality reasons still win when both apply — the gate runs
+    first)."""
     feats = text_features(extracted).localCheckpoint(eager=False)
     gated = feats.withColumn("reason", quality_reason(cfg))
     passing = gated.filter(F.col("reason").isNull())
+    cont_rejected = None
+    if eval_texts is not None:
+        cont = contaminated_urls(
+            passing.select("url", "text"), eval_texts
+        ).localCheckpoint(eager=False)
+        cont_rejected = cont.select(
+            "url", F.lit(REASON_CONTAMINATED).alias("reason")
+        )
+        passing = passing.join(cont, "url", "left_anti")
 
     # tier 1: exact duplicates by content hash
     exact = exact_dup_canonical(passing.select("url", "text"))
@@ -182,4 +225,7 @@ def curate(
     dup_rejected = resolved.filter(
         F.col("final_canonical") != F.col("url")
     ).select("url", F.lit(REASON_DUPLICATE).alias("reason"))
-    return curated, rejected.unionByName(dup_rejected)
+    all_rejected = rejected.unionByName(dup_rejected)
+    if cont_rejected is not None:
+        all_rejected = all_rejected.unionByName(cont_rejected)
+    return curated, all_rejected

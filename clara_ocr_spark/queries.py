@@ -2825,6 +2825,25 @@ def structural_acts(spark, sf_dir):
     )
 
 
+def _gram5_hashes() -> F.Column:
+    """Distinct word-5-gram 60-bit hashes of ``text`` (the
+    decontamination shingle unit, shared with curate.contaminated_urls
+    — single source of truth). Token array let-bound: one tokenize
+    per doc, not per gram."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return F.array_distinct(
+        _let(
+            ws,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
+                lambda i: spark_hash60(
+                    F.concat_ws(" ", F.slice(w, i, F.lit(5)))
+                ),
+            ),
+        )
+    )
+
+
 @q(
     "decontaminate",
     """
@@ -2872,19 +2891,7 @@ def decontaminate(spark, sf_dir):
     array is built from a let-bound token array (one tokenize per
     doc, not per gram)."""
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.array_distinct(
-        _let(
-            ws,
-            lambda w: F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
-                lambda i: spark_hash60(
-                    F.concat_ws(" ", F.slice(w, i, F.lit(5)))
-                ),
-            ),
-        )
-    )
-    t = d.select("doc_id", grams.alias("grams"))
+    t = d.select("doc_id", _gram5_hashes().alias("grams"))
     ev = (
         t.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("g"))

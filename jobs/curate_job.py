@@ -9,6 +9,7 @@
         --curated s3://bucket/curated/ \\
         --rejects s3://bucket/rejects/ \\
         [--metrics s3://bucket/metrics/] [--run-id r1] [--mixed] \\
+        [--decontaminate s3://bucket/eval_texts/] \\
         [--set min_tokens=5 --set jaccard_tau=0.9]
 
 Every input url lands in exactly one of curated/rejected (the step_6
@@ -21,9 +22,19 @@ import argparse
 import os
 import sys
 
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# Python workers are separate processes and resolve imports from env,
+# not the driver's sys.path: without this, running the job from any
+# cwd outside the repo dies with ModuleNotFoundError on the first
+# mapInPandas batch (same hook as session.get_spark; on a real
+# cluster --py-files ships the package instead).
+if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _ROOT
+        + (os.pathsep + os.environ["PYTHONPATH"]
+           if os.environ.get("PYTHONPATH") else "")
+    )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -34,6 +45,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--run-id", default="adhoc")
     ap.add_argument("--mixed", action="store_true")
+    ap.add_argument(
+        "--decontaminate",
+        default=None,
+        help="parquet of eval-benchmark texts (column `text`); "
+        "quality-passing docs sharing a word-5-gram with it are "
+        "rejected as `contaminated` before dedup",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
 
@@ -47,7 +65,12 @@ def main(argv: list[str] | None = None) -> None:
     spark = build_session()
     pages = spark.read.parquet(args.input)
     extracted = (extract_mixed if args.mixed else extract)(pages)
-    curated, rejected = curate(extracted, cfg)
+    eval_texts = (
+        spark.read.parquet(args.decontaminate)
+        if args.decontaminate
+        else None
+    )
+    curated, rejected = curate(extracted, cfg, eval_texts=eval_texts)
     curated.write.mode("overwrite").parquet(args.curated)
     rejected.write.mode("overwrite").parquet(args.rejects)
 

@@ -153,6 +153,17 @@ def test_topk_doubts_plan_no_global_window(spark, sf001):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_decontaminate_plan_broadcasts_eval_side(spark, sf001):
+    """The eval shingle set is benchmark-sized and must broadcast; the
+    corpus probe may never sort-merge against it (that would shuffle
+    every exploded shingle), and there is no pair scan."""
+    df = REGISTRY["decontaminate"][0](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dup_partial_aggregation(spark):
     """Tier-1 exact dedup must be a groupBy (partial_min map-side)
     + join, never a window over partitionBy(h) — hot hash values

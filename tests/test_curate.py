@@ -83,6 +83,42 @@ def test_quality_reasons(curated_rejected):
     assert reasons["https://bad.example/short"] == REASON_TOO_SHORT
 
 
+def test_decontaminate_rejects_eval_overlap(spark):
+    """With eval_texts, a quality-passing doc sharing a 5-gram with
+    the eval set is rejected as contaminated (before dedup — it can't
+    become a canonical), the outputs still partition the input, and
+    with no eval set the behavior is unchanged."""
+    from clara_ocr_spark.curate import REASON_CONTAMINATED
+
+    rows = [gen_page(i, seed=53) for i in range(20)]
+    leak = dict(rows[0])
+    leak["url"] = "https://leak.example/p"
+    leak["html"] = (
+        b"<html><body><main><p>benchmark answer alpha beta gamma delta"
+        b" epsilon plus plenty of original trailing words to pass the"
+        b" quality gate easily</p></main></body></html>"
+    )
+    rows.append(leak)
+    pages = _mk_pages(spark, rows)
+    eval_texts = spark.createDataFrame(
+        [("the held out benchmark answer alpha beta gamma delta epsilon",)],
+        "text string",
+    )
+    curated, rejected = curate(extract(pages), eval_texts=eval_texts)
+    cur, rej = curated.collect(), rejected.collect()
+    assert {r["url"] for r in cur} | {r["url"] for r in rej} == {
+        r["url"] for r in rows
+    }
+    reasons = {r["url"]: r["reason"] for r in rej}
+    assert reasons["https://leak.example/p"] == REASON_CONTAMINATED
+    # clean docs unaffected: same curated set as the no-eval run,
+    # minus the leaked doc
+    cur0, _ = curate(extract(pages))
+    assert {r["url"] for r in cur0.collect()} - {
+        "https://leak.example/p"
+    } == {r["url"] for r in cur}
+
+
 def test_features_are_row_local(spark):
     """text_features adds no shuffle: plan has zero Exchange."""
     df = spark.createDataFrame(
