@@ -1613,6 +1613,127 @@ def ivf_topk(spark, sf_dir):
     )
 
 
+_KM_COS = f"""
+round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
+        k -> cast(e.embedding[k] as double) * c.cv[k]))
+/ (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
+        k -> cast(e.embedding[k] as double)**2)))
+ * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
+        k -> c.cv[k]**2)))), 6)
+""".strip()
+
+_KM_CENT = f"""
+select cell, list(cx order by pos) as cv
+from (select cell, j as pos,
+             round(avg(cast(embedding[j] as double)), 9) as cx
+      from {{src}}, generate_series(1, {EMB_DIM}) as t(j)
+      group by cell, j)
+group by cell
+""".strip()
+
+@q(
+    "kmeans_refine",
+    f"""
+    with e0 as (select vec_id, embedding, label as cell from embeddings),
+    cent0 as ({_KM_CENT.format(src="e0")}),
+    a1 as (
+      select vec_id, embedding, cell, cos from (
+        select t.*, row_number() over (partition by vec_id
+                    order by cos desc, cell) as rn
+        from (select e.vec_id, e.embedding, c.cell, {_KM_COS} as cos
+              from embeddings e cross join cent0 c) t) where rn = 1),
+    cent1 as ({_KM_CENT.format(src="a1")}),
+    a2 as (
+      select vec_id, embedding, cell, cos from (
+        select t.*, row_number() over (partition by vec_id
+                    order by cos desc, cell) as rn
+        from (select e.vec_id, e.embedding, c.cell, {_KM_COS} as cos
+              from a1 e cross join cent1 c) t) where rn = 1)
+    select cell, count(*) as n_vecs, round(avg(cos), 4) as mean_cos
+    from a2 group by cell
+    """,
+)
+def kmeans_refine(spark, sf_dir):
+    """Two Lloyd iterations refining the IVF coarse quantizer (the
+    iterative-algorithm pattern: per-round lineage truncation via
+    localCheckpoint, the dup_clusters discipline applied to k-means).
+    Init = the per-label mean centroids ``ivf_topk`` trains; each
+    round reassigns every vector to its nearest centroid (rounded-6
+    cosine, ties to the smallest cell — the deterministic argmax both
+    engines replay) and rebuilds the centroids as per-cell means
+    ROUNDED TO 9 DECIMALS in both engines, so avg-order float drift
+    cannot compound across rounds.  Output: per-cell population and
+    mean assignment cosine after round 2 (tighter than round 0 —
+    that's what the refinement buys the probe path).
+
+    Scale shape per round: K centroids collapse to ONE broadcast array
+    row, assignment is a map-only higher-order argmax (vectors never
+    leave their partition), the rebuild is one groupBy with EMB_DIM
+    positional partial aggregates.  Rounds are a driver loop — 2 here;
+    O(10) in production — each materialized so no round re-runs its
+    predecessor."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.col("label").alias("cell")
+    )
+
+    def build_cents(a):
+        return (
+            a.groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("v", i + 1)), 9)
+                        for i in range(EMB_DIM)
+                    ]
+                ).alias("cv")
+            )
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cell", "cv"))
+                ).alias("cents")
+            )
+        )
+
+    def assign(vecs, cents):
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_cos_arrays(F.col("v"), c["cv"]), 6).alias("ccos"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(-2.0).alias("ccos"),
+                F.lit(None).cast("bigint").alias("cell"),
+            ),
+            lambda acc, s: F.when(
+                acc["cell"].isNull()
+                | (s["ccos"] > acc["ccos"])
+                | ((s["ccos"] == acc["ccos"]) & (s["cell"] < acc["cell"])),
+                s,
+            ).otherwise(acc),
+        )
+        return vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            best["cell"].alias("cell"),
+            best["ccos"].alias("cos"),
+        )
+
+    assigned = e
+    for _ in range(2):
+        cents = build_cents(assigned)
+        assigned = assign(
+            assigned.select("vec_id", "v"), cents
+        ).localCheckpoint(eager=False)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos"), 4).alias("mean_cos"),
+    )
+
+
 @q(
     "revenue_by_nation",
     """
