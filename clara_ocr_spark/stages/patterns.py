@@ -103,9 +103,13 @@ def apply_pattern_acts(patterns: DataFrame, pacts: DataFrame) -> DataFrame:
     class picks up the edited label on the next classification.
 
     Scale shape: the acts log and the library are both human/
-    dictionary-scale (distinct tag paths), so the election window
-    partitions by fingerprint (high-cardinality, no skew) and the
-    apply join broadcasts the elected edits."""
+    dictionary-scale (distinct tag paths) — orders of magnitude below
+    the corpus — so the election window partitions by fingerprint
+    (high-cardinality, no skew) and the apply is a full-outer
+    sort-merge join on fingerprint (full outer admits no broadcast
+    build in Spark; at library scale the shuffle is trivial, and the
+    result broadcasts into ``classify`` where corpus-scale cost would
+    actually arise)."""
     from .feedback import REVIEWER_RANK
 
     priv = F.coalesce(
@@ -128,8 +132,8 @@ def apply_pattern_acts(patterns: DataFrame, pacts: DataFrame) -> DataFrame:
         )
     )
     j = patterns.join(
-        F.broadcast(elected),
-        patterns["fingerprint"] == elected["_ef"],
+        elected,  # full outer: no broadcast build exists — hint would be
+        patterns["fingerprint"] == elected["_ef"],  # silently ignored
         "full_outer",
     )
     edited = j.filter(

@@ -104,6 +104,22 @@ def main() -> None:
         "cell; the single real Exchange is the per-query top-k, with\n"
         "map-side WindowGroupLimit pre-pruning.",
     )
+    add(
+        "decontaminate (eval-overlap probe)",
+        REGISTRY["decontaminate"][0](spark, SF),
+        "The eval shingle set (hashed, distinct) broadcasts; the corpus\n"
+        "probe is a BroadcastHashJoin map-side; the only shuffles are the\n"
+        "two small-side preparations (eval distinct, per-doc hit count) —\n"
+        "the corpus-sized exploded side never shuffles.",
+    )
+    add(
+        "kmeans_refine (Lloyd round, final shape)",
+        REGISTRY["kmeans_refine"][0](spark, SF),
+        "Assignment is a broadcast higher-order argmax (map-only; the\n"
+        "earlier round is materialized via localCheckpoint, so this shows\n"
+        "the steady-state per-round cost): ONE Exchange — the per-cell\n"
+        "centroid/stats rebuild.",
+    )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
