@@ -2946,6 +2946,69 @@ def structural_acts(spark, sf_dir):
     )
 
 
+@q(
+    "tfidf_top_terms",
+    f"""
+    with tok as (
+      select doc_id, lower(unnest({_TOK_DUCK.format(x="text")})) as w
+      from documents),
+    tf as (select doc_id, w, count(*) as tf from tok group by doc_id, w),
+    df as (select w, count(distinct doc_id) as df from tok group by w),
+    n as (select count(*) as n from documents),
+    scored as (
+      select tf.doc_id, tf.w,
+             round(tf.tf * ln(cast(n.n as double) / df.df), 6) as tfidf
+      from tf join df on tf.w = df.w cross join n),
+    ranked as (
+      select doc_id, w, tfidf,
+             row_number() over (partition by doc_id
+                                order by tfidf desc, w) as rk
+      from scored)
+    select doc_id, w as term, cast(rk as int) as rk, tfidf
+    from ranked where rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF, top-3 terms per document (text-analysis op the
+    curation stack uses for keyword fingerprints; no reference
+    analogue — the book-font frequency table ``acc_f`` is the nearest
+    shape).  Scores round to 6 decimals BEFORE ranking with a term
+    tie-break, so rank order is engine-exact despite ln().
+
+    Scale shape: term counts and document frequencies are both partial
+    aggregations; the tf×df join is an equi-join on the term — the DF
+    relation is vocabulary-sized (≪ corpus, Heaps' law), so AQE
+    broadcasts it when it fits and shuffles only the narrow (term, df)
+    pairs otherwise; the corpus-count scalar joins as a literal-sized
+    side. The final top-k window partitions by doc_id —
+    WindowGroupLimit prunes map-side."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    scored = tf.join(df_, "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", F.col("w").alias("term"),
+            F.col("rk").cast("int").alias("rk"), "tfidf",
+        )
+    )
+
+
 def _gram5_hashes() -> F.Column:
     """Distinct word-5-gram 60-bit hashes of ``text`` (the
     decontamination shingle unit, shared with curate.contaminated_urls
