@@ -1735,6 +1735,56 @@ def kmeans_refine(spark, sf_dir):
 
 
 @q(
+    "ivf_recall",
+    # composed from the two ANN queries' own (already registered)
+    # oracle SQL — subqueries may carry their own WITH clauses — so
+    # the recall metric is judged against exactly the results the
+    # driver already verifies
+    f"""
+    select e.q_id,
+           cast(sum(case when i.n_id is not null then 1 else 0 end)
+                as bigint) as n_overlap,
+           round(sum(case when i.n_id is not null then 1 else 0 end)
+                 / 3.0, 4) as recall
+    from ({REGISTRY["cosine_topk"][1]}) e
+    left join ({REGISTRY["ivf_topk"][1]}) i
+      on e.q_id = i.q_id and e.n_id = i.n_id
+    where e.q_id < 10
+    group by e.q_id
+    """,
+)
+def ivf_recall(spark, sf_dir):
+    """Recall@3 of the IVF probe against the brute-force baseline —
+    the honest ANN quality metric (nprobe=1 trades recall for touching
+    1/K of the corpus; this query MEASURES what that costs instead of
+    asserting it).  Composed from the two existing catalog queries on
+    both sides, so the metric is computed over exactly the
+    driver-verified result sets.
+
+    Scale shape: both inputs are top-k tables over the ≤O(queries·k)
+    result rows — the expensive scans happen once inside each side's
+    already-analyzed plan; the recall join and per-query aggregate are
+    negligible."""
+    ex = (
+        cosine_topk(spark, sf_dir)
+        .filter(F.col("q_id") < 10)
+        .select("q_id", "n_id")
+    )
+    iv = ivf_topk(spark, sf_dir).select(
+        "q_id", "n_id", F.lit(1).alias("hit")
+    )
+    hits = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        ex.join(iv, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            hits.cast("bigint").alias("n_overlap"),
+            F.round(hits / 3.0, 4).alias("recall"),
+        )
+    )
+
+
+@q(
     "revenue_by_nation",
     """
     select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
