@@ -1735,6 +1735,102 @@ def kmeans_refine(spark, sf_dir):
 
 
 @q(
+    "ivf_topk_probe2",
+    f"""
+    with {_CENTROID_DUCK},
+    ranked as (
+      select e.vec_id, e.embedding, c.label as cell,
+             row_number() over (partition by e.vec_id
+               order by {_COS_VC_DUCK} desc, c.label) as rn
+      from embeddings e cross join centroids c),
+    assigned as (select vec_id, embedding, cell from ranked where rn = 1),
+    qcells as (
+      select vec_id, embedding, cell from ranked
+      where rn <= 2 and vec_id < 10),
+    probe as (
+      select a.vec_id as q_id, b.vec_id as n_id, b.cell,
+             {_COS_AB_DUCK.replace("a.v[", "a.embedding[").replace("b.v[", "b.embedding[")} as cos
+      from qcells a join assigned b
+        on a.cell = b.cell and a.vec_id != b.vec_id)
+    select q_id, n_id, cell, cos from (
+      select *, row_number() over (partition by q_id
+                 order by cos desc, n_id) as rn from probe)
+    where rn <= 3
+    """,
+)
+def ivf_topk_probe2(spark, sf_dir):
+    """Multi-probe IVF (nprobe = 2): each query ALSO scans its
+    second-nearest cell's inverted list — the standard recall lever
+    named in SCALE.md, implemented rather than asserted (cost: 2/nlist
+    of the corpus per query instead of 1/nlist; compare `ivf_recall`).
+    Corpus vectors still live in exactly ONE cell, so the two probed
+    lists are disjoint and no pair dedup is needed.
+
+    Scale shape identical to `ivf_topk`: the per-vector cell ranking
+    is a broadcast higher-order sort (map-only — top-2 cells fall out
+    of the same sorted array whose head is the home cell), probing is
+    a broadcast join on cell, and the only real Exchange is the
+    per-query top-k."""
+    e = _emb(spark, sf_dir).select("vec_id", "v", "label")
+    cent = (
+        e.groupBy("label")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(EMB_DIM)]
+            ).alias("cv")
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("label").alias("cell"), "cv"))
+            ).alias("cents")
+        )
+    )
+    # per-vector cell ranking: negated rounded cosine makes ascending
+    # sort_array order = (cos desc, cell asc) — the same strict order
+    # as ivf_topk's argmax fold, so element 1 IS the home cell
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-F.round(_cos_arrays(F.col("v"), c["cv"]), 6)).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    top2 = F.slice(F.sort_array(scored), 1, 2)
+    all_cells = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", top2.alias("cells"))
+        .localCheckpoint(eager=False)
+    )
+    assigned = all_cells.select(
+        "vec_id", "v", F.element_at("cells", 1)["cell"].alias("cell")
+    )
+    qs = F.broadcast(
+        all_cells.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.transform(F.col("cells"), lambda x: x["cell"])
+            ).alias("cell"),
+        )
+    )
+    probe = assigned.join(qs, ["cell"]).filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        probe.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.round(_cos_arrays(F.col("qv"), F.col("v")), 4).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", "cell", "cos")
+    )
+
+
+@q(
     "ivf_recall",
     # composed from the two ANN queries' own (already registered)
     # oracle SQL — subqueries may carry their own WITH clauses — so
