@@ -557,6 +557,58 @@ def test_streaming_incremental_driver(spark, tmp_path):
     assert spark.read.parquet(out).count() == 56
 
 
+def test_streaming_incremental_curate(spark, tmp_path):
+    """Incremental curation: per-batch full curation + cross-batch
+    exact-dup rejection. A byte-identical page arriving in a LATER
+    batch is rejected as duplicate against the curated high-water
+    mark; outputs still partition the inputs exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.curate import REASON_DUPLICATE
+    from clara_ocr_spark.sources.corpus import (
+        PAGES_SCHEMA,
+        ensure_corpus,
+        gen_page,
+    )
+    from clara_ocr_spark.streaming.incremental import run_incremental_curate
+
+    corpus = str(tmp_path / "corpus")
+    cur = str(tmp_path / "cur")
+    rej = str(tmp_path / "rej")
+    ck = str(tmp_path / "ck")
+    ensure_corpus(corpus, n=30, seed=13)
+    assert run_incremental_curate(spark, corpus, cur, rej, ck) >= 1
+    n_cur1 = spark.read.parquet(cur).count()
+    n_rej1 = spark.read.parquet(rej).count()
+    assert n_cur1 + n_rej1 == 30
+    curated_urls = {
+        r.url for r in spark.read.parquet(cur).select("url").collect()
+    }
+    # late batch: a byte-identical re-crawl of a curated page under a
+    # new url, plus one genuinely new page
+    src = next(
+        r for r in (gen_page(i, seed=13) for i in range(30))
+        if r["url"] in curated_urls
+    )
+    recrawl = dict(src)
+    recrawl["url"] = "https://mirror.example/recrawl"
+    late = [recrawl, gen_page(997, seed=31)]
+    pq.write_table(
+        pa.Table.from_pylist(late, schema=PAGES_SCHEMA),
+        os.path.join(corpus, "part-late.parquet"),
+    )
+    run_incremental_curate(spark, corpus, cur, rej, ck)
+    rejected = {
+        r.url: r.reason
+        for r in spark.read.parquet(rej).collect()
+    }
+    assert rejected["https://mirror.example/recrawl"] == REASON_DUPLICATE
+    assert (
+        spark.read.parquet(cur).count() + len(rejected) == 32
+    )
+
+
 def test_consistency_on_empty_frame(spark):
     """Empty incremental delta: zero violations, not null crash."""
     from clara_ocr_spark.stages.segment import BLOCKS_SCHEMA
