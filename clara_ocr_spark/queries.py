@@ -3155,6 +3155,50 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+@q(
+    "inverted_index",
+    f"""
+    with tok as (
+      select doc_id, lower(unnest({_TOK_DUCK.format(x="text")})) as w
+      from documents)
+    select w as term,
+           cast(count(distinct doc_id) as bigint) as df,
+           list_slice(list_sort(list(distinct doc_id)), 1, 10)
+             as postings
+    from tok group by w
+    having count(distinct doc_id) >= 5
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Posting-list construction — the IR building block under the
+    dictionary-probe and stopword queries: term → document frequency +
+    the first 10 doc_ids (sorted) of its posting list, for terms in
+    ≥ 5 docs.
+
+    Scale shape: ONE aggregation keyed by term; collect_set is bounded
+    per group only by df, so at corpus scale the build partitions
+    postings (doc_id ranges per output file) rather than materializing
+    a hot term's full list in one task — the df ≥ threshold filter and
+    the head-slice here keep the sf contract check exact while the
+    stopword-scale terms (the skew risk) are exactly the ones a real
+    index stoplists away (see `df_stopwords`)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return (
+        tok.groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.slice(
+                F.array_sort(F.collect_set("doc_id")), 1, 10
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .select(F.col("w").alias("term"), "df", "postings")
+    )
+
+
 def _gram5_hashes() -> F.Column:
     """Distinct word-5-gram 60-bit hashes of ``text`` (the
     decontamination shingle unit, shared with curate.contaminated_urls
