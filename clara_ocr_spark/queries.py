@@ -2121,6 +2121,74 @@ def rollup_metrics(spark, sf_dir):
 
 
 @q(
+    "grouping_sets_metrics",
+    """
+    select coalesce(lang, '<all>') as lang,
+           coalesce(source, '<all>') as source,
+           count(*) as n, cast(sum(n_chars) as bigint) as chars
+    from documents
+    group by grouping sets ((lang), (source), ())
+    """,
+)
+def grouping_sets_metrics(spark, sf_dir):
+    """Explicit GROUPING SETS — the non-hierarchical sibling of
+    rollup/cube (each dimension totalled independently plus the grand
+    total, WITHOUT the (lang, source) cross cells a cube would add).
+    Catalyst expands the sets into one Expand + single aggregate —
+    one shuffle regardless of set count — which is why this beats
+    unioning three separate groupBys at scale."""
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_gs_documents")
+    return spark.sql(
+        """
+        select coalesce(lang, '<all>') as lang,
+               coalesce(source, '<all>') as source,
+               count(*) as n, cast(sum(n_chars) as bigint) as chars
+        from _gs_documents
+        group by grouping sets ((lang), (source), ())
+        """
+    )
+
+
+@q(
+    "rolling_value_range",
+    """
+    select event_id, user_id,
+           round(avg(value) over (
+             partition by user_id
+             order by cast(floor(epoch(ts)) as bigint)
+             range between 3600 preceding and current row), 4)
+             as rolling_avg
+    from events where user_id < 40
+    """,
+)
+def rolling_value_range(spark, sf_dir):
+    """RANGE-frame window — a true sliding TIME window (every event
+    averages with whatever fell in its trailing hour, however many
+    rows that is), vs the ROWS frames used elsewhere. The frame is
+    keyed on epoch seconds so both engines bound it identically.
+
+    Scale shape: one Exchange on user_id (the natural partition; user
+    keys are ~uniform here — a Zipf entity key would take the
+    calibrate salt), then a single sort per partition serves the
+    running frame.  The order key is FLOORED epoch seconds in both
+    engines — DuckDB's epoch() is fractional, Spark's unix_timestamp
+    truncates, and a mismatched frame boundary silently includes
+    different rows."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+    )
+
+
+@q(
     "pivot_by_type",
     """
     select user_id,
