@@ -118,6 +118,21 @@ def main(argv: list[str] | None = None) -> None:
         "struct column (the DJVU-with-coordinates shape); full_html = "
         "complete entity-escaped HTML document per url (OE_FULL_HTML)",
     )
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "jsonl", "csv"],
+        help="pages container (jsonl/csv carry html base64 in "
+        "html_b64; first touch should land into the bucketed parquet "
+        "layout — SCALE.md)",
+    )
+    ap.add_argument(
+        "--output-format",
+        default="parquet",
+        choices=["parquet", "jsonl"],
+        help="extracted sink: parquet (warehouse) or JSONL (the "
+        "tokenizer-pipeline handoff shape)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.hqbin and (args.engine or args.mixed):
@@ -133,6 +148,11 @@ def main(argv: list[str] | None = None) -> None:
         )
     if args.patt_acts and not args.patterns:
         ap.error("--patt-acts edits the --patterns library; none given")
+    if args.incremental and args.output_format != "parquet":
+        ap.error(
+            "--incremental anti-joins the parquet high-water mark; "
+            "use --output-format parquet"
+        )
 
     from clara_ocr_spark.config import ExtractConfig
     from clara_ocr_spark.plans.checkpoint import (
@@ -159,8 +179,10 @@ def main(argv: list[str] | None = None) -> None:
     from clara_ocr_spark.stages.segment import segment
 
     ExtractConfig.from_args(args.overrides)  # validate overrides early
+    from clara_ocr_spark.sources.formats import read_pages_any, write_extracted
+
     spark = build_session()
-    pages = spark.read.parquet(args.input)
+    pages = read_pages_any(spark, args.input, args.input_format)
     if args.incremental:
         pages = incremental_delta(pages, args.output)
 
@@ -245,7 +267,10 @@ def main(argv: list[str] | None = None) -> None:
         # re-running the parse (the same single-execution discipline
         # as the observe() gate)
         extracted = extracted.persist()
-    append_increment(extracted, args.output)
+    if args.output_format == "parquet":
+        append_increment(extracted, args.output)  # writes _SUCCESS marker
+    else:
+        write_extracted(extracted, args.output, args.output_format)
     assert_observed(consist_obs)  # step_6 gate: fatal on violation
     if args.metrics:
         append_metrics(

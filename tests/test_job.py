@@ -242,6 +242,41 @@ def test_extract_job_mixed(tmp_path):
         else:
             assert matches_ref < 15  # the noise pattern suppressed text
 
+    # text-container roundtrip: pages written as JSONL (html base64),
+    # read by the job with --input-format jsonl, emitted as JSONL —
+    # extraction byte-identical to the parquet path
+    from clara_ocr_spark.session import get_spark as _gs
+    from clara_ocr_spark.sources.formats import write_pages_text
+
+    _s = _gs("fmt-prep", cores=4)
+    _s.sparkContext.setLogLevel("ERROR")
+    write_pages_text(
+        _s.read.parquet(str(inp_fm)), str(tmp_path / "pages_jsonl"), "jsonl"
+    )
+    proc_fmt = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(tmp_path / "pages_jsonl"),
+            "--input-format", "jsonl",
+            "--output", str(tmp_path / "out_jsonl"),
+            "--output-format", "jsonl",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert proc_fmt.returncode == 0, proc_fmt.stderr[-2000:]
+    got_jl = {
+        r[0]: r[1]
+        for r in _d.sql(
+            f"select url, text from read_json_auto('{tmp_path}/out_jsonl/*.json')"
+        ).fetchall()
+    }
+    for r in rows_fm[:15]:
+        assert got_jl[r["url"]] == r["text"]
+
     proc2 = subprocess.run(
         [
             sys.executable,

@@ -135,6 +135,45 @@ def test_full_html_wraps_plain_extract(spark, corpus_path):
         assert int(m.group(2)) >= int(m.group(1))
 
 
+def test_text_container_roundtrip(spark, corpus_path, tmp_path):
+    """pages → JSONL / CSV (html base64) → read_pages_any → extract:
+    byte-identical to extracting from the parquet original."""
+    from clara_ocr_spark.sources.formats import (
+        read_pages_any,
+        write_pages_text,
+    )
+
+    import datetime
+
+    pages = read_pages(spark, corpus_path)
+    want = {r.url: r.text for r in extract(pages).collect()}
+    for fmt in ("jsonl", "csv"):
+        p = str(tmp_path / f"pages_{fmt}")
+        write_pages_text(pages, p, fmt)
+        got = {
+            r.url: r.text
+            for r in extract(read_pages_any(spark, p, fmt)).collect()
+        }
+        assert got == want, fmt
+    # quotes + embedded newlines survive both text containers (the
+    # RFC-4180 doubled-quote discipline on the CSV side)
+    tricky = spark.createDataFrame(
+        [(
+            "u1", datetime.datetime(2024, 1, 1),
+            b'<p>he said "hi", then\nleft</p>',
+            'he said "hi", then\nleft', "en",
+        )],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    for fmt in ("jsonl", "csv"):
+        p = str(tmp_path / f"tricky_{fmt}")
+        write_pages_text(tricky, p, fmt)
+        back = read_pages_any(spark, p, fmt).collect()[0]
+        assert back.text == 'he said "hi", then\nleft', fmt
+        assert bytes(back.html) == b'<p>he said "hi", then\nleft</p>', fmt
+
+
 def test_markup_byte_identity_vs_reference(spark, corpus_path):
     """The <I>/<B> output variant: Spark extract_markup ≡ single-node
     reference_extract_markup per url — over emphasis-bearing documents
