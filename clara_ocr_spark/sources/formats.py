@@ -94,6 +94,95 @@ def write_pages_text(df: DataFrame, path: str, format: str) -> None:
         raise ValueError(f"unknown pages format: {format}")
 
 
+def write_warc(rows, path: str) -> None:
+    """Write WARC/1.0 response records (test/fixture writer — one
+    file per call; a crawler writes these, we only need to READ them
+    at scale). ``rows``: dicts with url, warc_ts, html."""
+    with open(path, "wb") as f:
+        for r in rows:
+            payload = r["html"] or b""
+            ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {r['url']}\r\n"
+                f"WARC-Date: {ts}\r\n"
+                f"Content-Length: {len(payload)}\r\n"
+                "\r\n"
+            ).encode()
+            f.write(head + payload + b"\r\n\r\n")
+
+
+def _parse_warc_bytes(data: bytes):
+    """Yield (url, iso_ts, payload) per WARC/1.0 response record.
+    Content-Length-driven slicing — payloads may contain anything,
+    including 'WARC/1.0' lookalikes."""
+    pos = 0
+    while True:
+        start = data.find(b"WARC/1.0\r\n", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in data[start:hdr_end].decode("utf-8").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers.get("content-length", "0"))
+        body = data[hdr_end + 4 : hdr_end + 4 + n]
+        pos = hdr_end + 4 + n
+        if headers.get("warc-type") == "response":
+            yield (
+                headers.get("warc-target-uri", ""),
+                headers.get("warc-date", ""),
+                body,
+            )
+
+
+def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
+    """pages table from WARC files — the crawler-native container
+    (Common Crawl ships ~64k WARC files per crawl; one Spark task per
+    file is the natural parallelism, and the binary payload never
+    leaves the parsing task, the same discipline as the html column
+    in the extraction pipeline).
+
+    Minimal WARC/1.0: uncompressed response records, Content-Length
+    framing. Production crawls gzip per-record (.warc.gz members) —
+    swap the byte-splitter for a gzip-member walk there; the Spark
+    shape (binaryFile scan → mapInPandas record parse → PAGES schema)
+    is unchanged. Records carry no pre-extracted text/lang, so those
+    columns come back NULL — extraction derives them."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            out = {
+                "url": [], "warc_ts": [], "html": [],
+                "text": [], "lang": [],
+            }
+            for content in pdf["content"]:
+                for url, ts, body in _parse_warc_bytes(bytes(content)):
+                    out["url"].append(url)
+                    out["warc_ts"].append(
+                        pd.to_datetime(ts, utc=True).tz_convert(None)
+                        if ts
+                        else pd.NaT
+                    )
+                    out["html"].append(body)
+                    out["text"].append(None)
+                    out["lang"].append(None)
+            yield pd.DataFrame(out)
+
+    from ..streaming.incremental import PAGES_SPARK_SCHEMA
+
+    return files.select("content").mapInPandas(
+        parse, schema=PAGES_SPARK_SCHEMA
+    )
+
+
 def write_extracted(
     df: DataFrame, path: str, format: str = "parquet"
 ) -> None:

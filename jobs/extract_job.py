@@ -121,9 +121,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--input-format",
         default="parquet",
-        choices=["parquet", "jsonl", "csv"],
+        choices=["parquet", "jsonl", "csv", "warc"],
         help="pages container (jsonl/csv carry html base64 in "
-        "html_b64; first touch should land into the bucketed parquet "
+        "html_b64; warc reads crawler-native WARC/1.0 response "
+        "records; first touch should land into the bucketed parquet "
         "layout — SCALE.md)",
     )
     ap.add_argument(
@@ -182,7 +183,12 @@ def main(argv: list[str] | None = None) -> None:
     from clara_ocr_spark.sources.formats import read_pages_any, write_extracted
 
     spark = build_session()
-    pages = read_pages_any(spark, args.input, args.input_format)
+    if args.input_format == "warc":
+        from clara_ocr_spark.sources.formats import read_pages_warc
+
+        pages = read_pages_warc(spark, args.input)
+    else:
+        pages = read_pages_any(spark, args.input, args.input_format)
     if args.incremental:
         pages = incremental_delta(pages, args.output)
 

@@ -174,6 +174,49 @@ def test_text_container_roundtrip(spark, corpus_path, tmp_path):
         assert bytes(back.html) == b'<p>he said "hi", then\nleft</p>', fmt
 
 
+def test_warc_source_roundtrip(spark, corpus_path, tmp_path):
+    """WARC response records → read_pages_warc → extract: the
+    crawler-native container yields byte-identical extraction. A
+    payload containing a 'WARC/1.0' lookalike must not derail the
+    Content-Length framing."""
+    from clara_ocr_spark.sources.formats import read_pages_warc, write_warc
+
+    pages = read_pages(spark, corpus_path)
+    rows = pages.collect()
+    want = {r.url: r.text for r in extract(pages).collect()}
+    import datetime
+
+    trap = {
+        "url": "https://trap.example/w",
+        "warc_ts": datetime.datetime(2024, 1, 1),
+        "html": (
+            b"<p>body mentions WARC/1.0\r\nand carries on with enough"
+            b" words to pass the extraction length gate fine</p>"
+        ),
+    }
+    half = len(rows) // 2
+    write_warc(
+        [
+            {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html or b"")}
+            for r in rows[:half]
+        ]
+        + [trap],
+        str(tmp_path / "a.warc"),
+    )
+    write_warc(
+        [
+            {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html or b"")}
+            for r in rows[half:]
+        ],
+        str(tmp_path / "b.warc"),
+    )
+    back = read_pages_warc(spark, str(tmp_path) + "/*.warc")
+    assert back.count() == len(rows) + 1
+    got = {r.url: r.text for r in extract(back).collect()}
+    assert "WARC/1.0" in got.pop("https://trap.example/w")
+    assert got == want
+
+
 def test_markup_byte_identity_vs_reference(spark, corpus_path):
     """The <I>/<B> output variant: Spark extract_markup ≡ single-node
     reference_extract_markup per url — over emphasis-bearing documents
