@@ -2199,6 +2199,48 @@ def rolling_value_range(spark, sf_dir):
 
 
 @q(
+    "retention_cohorts",
+    """
+    with w as (
+      select user_id, ts,
+             min(ts) over (partition by user_id) as first_ts
+      from events)
+    select date_trunc('week', first_ts) as cohort_week,
+           cast(floor(date_diff('day', date_trunc('week', first_ts),
+                                 date_trunc('week', ts)) / 7) as int)
+             as week_offset,
+           cast(count(distinct user_id) as bigint) as n_users
+    from w group by 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the canonical product-analytics
+    shape: users grouped by first-activity week, counted per week
+    offset they return in (both engines truncate weeks to Monday).
+
+    Scale shape: the first-event attach is a min window over user_id
+    (ONE shuffle on the natural entity key, no self-join re-shuffle),
+    then a partial-aggregating count-distinct per (cohort, offset) —
+    the matrix itself is tiny (weeks × offsets)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    offset = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")), cohort) / 7
+    ).cast("int")
+    return (
+        e.select(
+            "user_id",
+            # DuckDB's date_trunc('week', ts) yields DATE; match it
+            cohort.cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
     "pivot_by_type",
     """
     select user_id,
