@@ -2199,6 +2199,56 @@ def rolling_value_range(spark, sf_dir):
 
 
 @q(
+    "funnel_conversion",
+    """
+    with steps as (
+      select user_id,
+             min(case when event_type = 'signup' then ts end) as t1,
+             min(case when event_type = 'click' then ts end) as t2,
+             min(case when event_type = 'purchase' then ts end) as t3
+      from events group by user_id)
+    select cast(count(*) as bigint) as n_users,
+           cast(sum(case when t1 is not null then 1 else 0 end)
+                as bigint) as step_signup,
+           cast(sum(case when t1 is not null and t2 > t1
+                         then 1 else 0 end) as bigint) as step_click,
+           cast(sum(case when t1 is not null and t2 > t1 and t3 > t2
+                         then 1 else 0 end) as bigint) as step_purchase
+    from steps
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (signup → click → purchase, each
+    step's FIRST occurrence strictly after the previous step's): the
+    per-user step timestamps collapse in one conditional-min
+    aggregation — no per-step self-joins, no window — then the funnel
+    counts are a second tiny aggregate.  NULL semantics do the
+    ordering test for free: ``t2 > t1`` is false when either leg is
+    missing, identically in both engines.
+
+    Scale shape: one shuffle on user_id with full partial aggregation
+    (conditional mins combine map-side); the funnel row is a scalar."""
+    e = _t(spark, sf_dir, "events")
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    steps = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t1"),
+        first_ts("click").alias("t2"),
+        first_ts("purchase").alias("t3"),
+    )
+    hit1 = F.col("t1").isNotNull()
+    hit2 = hit1 & (F.col("t2") > F.col("t1"))
+    hit3 = hit2 & (F.col("t3") > F.col("t2"))
+    as_n = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return steps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        as_n(hit1).alias("step_signup"),
+        as_n(hit2).alias("step_click"),
+        as_n(hit3).alias("step_purchase"),
+    )
+
+
+@q(
     "retention_cohorts",
     """
     with w as (
