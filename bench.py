@@ -74,6 +74,13 @@ HEADLINE = [
     "deskew_search",  # added r2: per-doc grid argmax (pp_deskew)
     "decontaminate",  # added r2: eval-set n-gram overlap
     "pii_redact",  # added r2: scrub + audit
+    "kmeans_refine",  # added r2: 2 Lloyd rounds (IVF quantizer)
+    "tfidf_top_terms",  # added r2: corpus TF-IDF keywords
+    "inverted_index",  # added r2: posting lists
+    "grouping_sets_metrics",  # added r2: Expand-based grouping sets
+    "rolling_value_range",  # added r2: RANGE-frame time window
+    "retention_cohorts",  # added r2: cohort matrix
+    "funnel_conversion",  # added r2: ordered funnel
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage
