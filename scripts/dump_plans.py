@@ -120,6 +120,20 @@ def main() -> None:
         "the steady-state per-round cost): ONE Exchange — the per-cell\n"
         "centroid/stats rebuild.",
     )
+    add(
+        "tfidf_top_terms (vocabulary equi-join)",
+        REGISTRY["tfidf_top_terms"][0](spark, SF),
+        "Term counts and document frequencies both partially aggregate;\n"
+        "the tf-by-df join carries only the vocabulary-sized relation\n"
+        "(AQE broadcasts it when it fits); the top-k window prunes\n"
+        "map-side via WindowGroupLimit.",
+    )
+    add(
+        "funnel_conversion (single-aggregate funnel)",
+        REGISTRY["funnel_conversion"][0](spark, SF),
+        "One user-keyed aggregate with conditional mins (full map-side\n"
+        "partials), then a scalar reduce — no self-joins, no windows.",
+    )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
