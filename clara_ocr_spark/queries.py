@@ -625,7 +625,7 @@ def quality_scores(spark, sf_dir):
     f"""
     with t as (
       select source,
-             {H60_DUCK.format(x="array_to_string(list_slice(" + _TOK_DUCK.format(x='lower(text)') + ", 1, 8), ' ')")} as fp
+             {H60_DUCK.format(x="coalesce(array_to_string(list_slice(" + _TOK_DUCK.format(x='lower(text)') + ", 1, 8), ' '), '')")} as fp
       from documents)
     select source, count(*) as n_docs, count(distinct fp) as n_fingerprints
     from t group by source
@@ -649,13 +649,14 @@ def doc_fingerprints(spark, sf_dir):
 # ---------------------------------------------------------------------
 _GRAMS_DUCK = """
 list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
-               i -> ws[i] || ' ' || coalesce(ws[i+1], ''))
+               i -> coalesce(ws[i], '') || ' ' || coalesce(ws[i+1], ''))
 """.strip()
 
 
 def _grams(ws: F.Column) -> F.Column:
     """Word 2-grams; single-token docs get one degenerate gram
-    (token + ' ') so the signature is still defined.
+    (token + ' '), zero-token docs one single-space gram, so the
+    signature is defined for every doc identically in both engines.
 
     Built with zip_with + slice so ``ws`` appears O(1) times in the
     expression tree — Catalyst inlines column references into lambda
@@ -666,7 +667,14 @@ def _grams(ws: F.Column) -> F.Column:
         F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
         lambda a, b: F.concat(a, F.lit(" "), F.coalesce(b, F.lit(""))),
     )
-    return F.slice(zipped, 1, F.greatest(F.size(ws) - 1, F.lit(1)))
+    # zero-token docs get one single-space gram — the same value the
+    # DuckDB twin's coalesce chain yields — so empty docs carry a
+    # DEFINED signature in both engines instead of an engine-specific
+    # sentinel (empty docs are common at web scale; a NULL-vs-sentinel
+    # split here silently diverges every minhash/LSH downstream)
+    return F.when(F.size(ws) == 0, F.array(F.lit(" "))).otherwise(
+        F.slice(zipped, 1, F.greatest(F.size(ws) - 1, F.lit(1)))
+    )
 
 
 def _minhash_sig(grams: F.Column, n_seeds: int) -> F.Column:
@@ -777,9 +785,20 @@ def _jaccard_pairs(
     """Exact token-set Jaccard verify over the bounded candidate set
     (the cheap-filter → expensive-compare split of classify).
     ws(id, toks) should be localCheckpointed by the caller."""
-    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
-        "double"
-    ) / F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    union_n = F.size(
+        F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks")))
+    )
+    # two zero-token docs (a real pair at web scale — empty docs share
+    # a defined signature, see _grams) make this 0/0: DuckDB returns
+    # NULL and drops the pair; Spark under ANSI throws. Guard to the
+    # DuckDB behavior — empty docs dedup in the exact tier, not here.
+    jac = F.when(
+        union_n > 0,
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+            "double"
+        )
+        / union_n,
+    )
     return (
         cand.join(ws.alias("a"), F.col("i_id") == F.col(f"a.{id_col}"))
         .join(ws.alias("b"), F.col("j_id") == F.col(f"b.{id_col}"))
