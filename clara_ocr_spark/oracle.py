@@ -39,9 +39,23 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # rows may mix NULLs with values (or, across rows, types) — raw
+    # tuple sorting raises TypeError on None < int. Key each element
+    # as (is_null, type_name, repr): total order, and equal keys imply
+    # equal normalized values, so listwise equality after sorting is
+    # exactly multiset equality.
+    return [
+        (1, "", "") if v is None else (0, type(v).__name__, repr(v))
+        for v in row
+    ]
+
+
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key
+    )
 
 
 #: The driver hashes values through Arrow/pandas, where a DuckDB

@@ -1982,19 +1982,25 @@ def top_suppliers_per_nation(spark, sf_dir):
 @q(
     "json_props_stats",
     """
+    with p as (
+      select event_type,
+             case when json_valid(props)
+                  then cast(json_extract_string(props, '$.k') as bigint)
+             end as k
+      from events)
     select event_type,
            count(*) as n,
-           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
-                as bigint) as k_sum,
-           count(distinct cast(json_extract_string(props, '$.k') as bigint) // 10)
-             as k_decades
-    from events
-    group by event_type
+           cast(sum(k) as bigint) as k_sum,
+           count(distinct k // 10) as k_decades
+    from p group by event_type
     """,
 )
 def json_props_stats(spark, sf_dir):
     """Semi-structured payload parsing, JVM-side: from_json with an
     explicit schema (never a Python UDF) → typed field → aggregate.
+    Malformed JSON (ubiquitous in crawl payloads) parses to NULL in
+    BOTH engines — from_json is tolerant natively; the oracle guards
+    with json_valid because DuckDB's json_extract throws.
     At 100 TB the JSON parse rides whole-stage codegen next to the
     scan; schema-on-read keeps the raw string out of the shuffle."""
     e = _t(spark, sf_dir, "events").select(
@@ -2535,7 +2541,8 @@ def cube_metrics(spark, sf_dir):
     "regex_extract_props",
     """
     select event_type,
-           cast(floor(avg(cast(regexp_extract(props, 'k"?: ?(\\d+)', 1) as bigint)))
+           cast(floor(avg(cast(nullif(regexp_extract(props,
+                'k"?: ?(\\d+)', 1), '') as bigint)))
                 as bigint) as avg_k
     from events group by event_type
     """,
@@ -2544,7 +2551,10 @@ def regex_extract_props(spark, sf_dir):
     """Regexp field extraction from a semi-structured column (the
     tag-soup salvage primitive); floor(avg(int)) is engine-exact."""
     e = _t(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'k"?: ?(\d+)', 1).cast("bigint")
+    raw = F.regexp_extract("props", r'k"?: ?(\d+)', 1)
+    # no-match yields '' — NULL it before the cast (ANSI throws on
+    # cast('' as bigint); avg ignores NULLs identically in both)
+    k = F.when(raw != "", raw).cast("bigint")
     return e.groupBy("event_type").agg(
         F.floor(F.avg(k)).cast("bigint").alias("avg_k")
     )
@@ -2832,12 +2842,26 @@ def value_percentiles(spark, sf_dir):
 @q(
     "corr_value_hour",
     """
+    with s as (
+      select event_type,
+             count(*) as n,
+             sum(value) as sx,
+             sum(cast(extract(hour from ts) as double)) as sy,
+             sum(value * cast(extract(hour from ts) as double)) as sxy,
+             sum(value * value) as sx2,
+             sum(cast(extract(hour from ts) as double)
+                 * cast(extract(hour from ts) as double)) as sy2
+      from events group by event_type)
     select event_type,
-           round(corr(value, cast(extract(hour from ts) as double)), 4) as r,
-           round(covar_samp(value, cast(extract(hour from ts) as double)), 4)
+           round(case when n > 1 and n*sx2 - sx*sx > 0
+                       and n*sy2 - sy*sy > 0
+                 then (n*sxy - sx*sy)
+                      / sqrt((n*sx2 - sx*sx) * (n*sy2 - sy*sy)) end, 4)
+             as r,
+           round(case when n > 1 then (sxy - sx*sy/n) / (n-1) end, 4)
              as cov,
-           count(*) as n
-    from events group by event_type
+           n
+    from s
     """,
 )
 def corr_value_hour(spark, sf_dir):
@@ -2847,10 +2871,34 @@ def corr_value_hour(spark, sf_dir):
     map-side partials, one shuffle."""
     e = _t(spark, sf_dir, "events")
     h = F.hour("ts").cast("double")
-    return e.groupBy("event_type").agg(
-        F.round(F.corr("value", h), 4).alias("r"),
-        F.round(F.covar_samp("value", h), 4).alias("cov"),
+    # Spark 4 ANSI corr/covar THROW divide-by-zero on degenerate
+    # groups (zero variance / n=1 — real for burst traffic), and a
+    # when() guard cannot help: aggregates evaluate unconditionally.
+    # So both engines compute Pearson/covariance from the SAME guarded
+    # raw sums — mergeable map-side partials, identical arithmetic,
+    # NULL on degenerate groups like DuckDB's builtins.
+    agged = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(h).alias("sy"),
+        F.sum(F.col("value") * h).alias("sxy"),
+        F.sum(F.col("value") * F.col("value")).alias("sx2"),
+        F.sum(h * h).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    varx_n = n * sx2 - sx * sx
+    vary_n = n * sy2 - sy * sy
+    r = F.when(
+        (n > 1) & (varx_n > 0) & (vary_n > 0),
+        (n * sxy - sx * sy) / F.sqrt(varx_n * vary_n),
+    )
+    cov = F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
+    return agged.select(
+        "event_type",
+        F.round(r, 4).alias("r"),
+        F.round(cov, 4).alias("cov"),
+        "n",
     )
 
 

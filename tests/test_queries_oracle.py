@@ -98,3 +98,82 @@ def edge_duck(edge_dir):
 def test_query_matches_oracle_on_edge_corpus(spark, edge_dir, edge_duck, name):
     fn, sql = REGISTRY[name]
     compare(spark, edge_dir, fn, sql, con=edge_duck)
+
+
+#: events-reading queries over adversarial events: single-event users,
+#: identical timestamps (tie-breaks), malformed + empty JSON props
+#: (DuckDB json_extract throws, Spark from_json NULLs), zero-variance
+#: groups (Spark 4 ANSI corr/covar throw divide-by-zero — when()
+#: cannot guard an aggregate), regex no-match '' (ANSI cast throws).
+EDGE_EVENT_QUERIES = [
+    "neighbor_gap", "sessionize", "latest_wins", "distinct_classes",
+    "zone_assign", "json_props_stats", "events_hourly", "user_journey",
+    "value_histogram", "value_percentiles", "corr_value_hour",
+    "interval_overlap", "rolling_value_range", "retention_cohorts",
+    "funnel_conversion", "point_lookup", "range_filter", "topk_doubts",
+    "asof_attach", "set_ops_users", "baseline_slope", "cube_metrics",
+    "ntile_quartiles", "pivot_by_type", "argmax_per_group",
+    "structural_acts", "regex_extract_props", "salted_user_stats",
+    "exists_semi_join", "anti_join_discard", "range_join_bucketed",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.oracle import TABLES
+
+    T = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, T, 1, "signup", 10.0, '{"k": 1}'),
+        (1, T, 2, "click", 5.5, '{"k": 2}'),  # identical ts: tie-break
+        (2, T, 2, "purchase", 7.5, '{"k": 3}'),
+        (3, T + datetime.timedelta(hours=1), 3, "click", 0.0, "{not json"),
+        (4, T + datetime.timedelta(hours=2), 3, "error", -1.0, "{}"),
+        (5, T, 4, "signup", 1.0, '{"k": 4}'),
+        (6, T + datetime.timedelta(seconds=3600), 4, "click", 2.0,
+         '{"k": 5}'),
+        (7, datetime.datetime(2025, 6, 30, 23, 59, 59), 4, "purchase",
+         3.0, '{"k": 6}'),
+    ]
+    d = str(tmp_path_factory.mktemp("edge_events"))
+    for t in TABLES:
+        if t != "events":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                os.path.join(d, f"{t}.parquet"),
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": [r[5] for r in rows],
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def edge_events_duck(edge_events_dir):
+    con = duck_connect(edge_events_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_query_matches_oracle_on_edge_events(
+    spark, edge_events_dir, edge_events_duck, name
+):
+    fn, sql = REGISTRY[name]
+    compare(spark, edge_events_dir, fn, sql, con=edge_events_duck)
