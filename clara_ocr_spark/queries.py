@@ -1165,12 +1165,12 @@ def _emb(spark, sf_dir: str) -> DataFrame:
 
 
 _COS_DUCK = f"""
-list_sum(list_transform(generate_series(1,{EMB_DIM}),
+coalesce(list_sum(list_transform(generate_series(1,{EMB_DIM}),
          j -> cast(a.embedding[j] as double) * cast(b.embedding[j] as double)))
 / (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
          j -> cast(a.embedding[j] as double)**2)))
  * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
-         j -> cast(b.embedding[j] as double)**2))))
+         j -> cast(b.embedding[j] as double)**2)))), -2.0)
 """.strip()
 
 
@@ -1205,12 +1205,14 @@ def cosine_topk(spark, sf_dir):
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    nprod = nrm(F.col("qv")) * nrm(F.col("v"))
     p = (
         qs.join(e, F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+            # zero-norm guard, same -2.0 sentinel as _cos_arrays
+            F.when(nprod > 0, dot / nprod).otherwise(F.lit(-2.0)).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -1262,7 +1264,14 @@ def _cos_arrays(a: F.Column, b: F.Column) -> F.Column:
             F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
         )
 
-    return dot / (nrm(a) * nrm(b))
+    # zero-norm vectors (real at corpus scale: dead rows, padding) make
+    # this 0/0 — an ANSI divide-by-zero error in Spark, NULL in DuckDB,
+    # and NULL ORDERING diverges between engines (DuckDB desc = NULLS
+    # FIRST, Spark = NULLS LAST). Both engines instead emit the -2.0
+    # sentinel (below any real cosine): ranking/argmax stay total and
+    # identical, and similarity filters drop sentinel pairs naturally.
+    prod = nrm(a) * nrm(b)
+    return F.when(prod > 0, dot / prod).otherwise(F.lit(-2.0))
 
 
 def _plane_weight(i: int, j: int) -> float:
@@ -1313,12 +1322,12 @@ def _band_bits_duck(lo: int, hi: int) -> str:
 
 
 _COS_AB_DUCK = f"""
-round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
+coalesce(round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(a.v[k] as double) * cast(b.v[k] as double)))
 / (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(a.v[k] as double)**2)))
  * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
-        k -> cast(b.v[k] as double)**2)))), 4)
+        k -> cast(b.v[k] as double)**2)))), 4), -2.0)
 """.strip()
 
 
@@ -1387,7 +1396,10 @@ def _near_dup_pairs(
     dot = F.lit(0.0)
     for k in range(EMB_DIM):
         dot = dot + F.col("iv")[k] * F.col("jv")[k]
-    cos = F.round(dot / (F.col("ni") * F.col("nj")), 4)
+    nprod = F.col("ni") * F.col("nj")
+    # zero-norm pairs: -2.0 sentinel (matches the coalesce in the
+    # DuckDB twins), dropped by the tau filter below
+    cos = F.round(F.when(nprod > 0, dot / nprod).otherwise(F.lit(-2.0)), 4)
     return cand.select("i_id", "j_id", cos.alias("cos")).filter(F.col("cos") >= tau)
 
 
@@ -1529,11 +1541,11 @@ centroids as (
 """.strip()
 
 _COS_VC_DUCK = f"""
-round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
+coalesce(round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(e.embedding[k] as double) * cv[k]))
 / (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(e.embedding[k] as double)**2)))
- * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}), k -> cv[k]**2)))), 6)
+ * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}), k -> cv[k]**2)))), 6), -2.0)
 """.strip()
 
 
@@ -1643,12 +1655,12 @@ def ivf_topk(spark, sf_dir):
 
 
 _KM_COS = f"""
-round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
+coalesce(round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(e.embedding[k] as double) * c.cv[k]))
 / (sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(e.embedding[k] as double)**2)))
  * sqrt(list_sum(list_transform(generate_series(1,{EMB_DIM}),
-        k -> c.cv[k]**2)))), 6)
+        k -> c.cv[k]**2)))), 6), -2.0)
 """.strip()
 
 _KM_CENT = f"""

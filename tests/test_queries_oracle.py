@@ -177,3 +177,74 @@ def test_query_matches_oracle_on_edge_events(
 ):
     fn, sql = REGISTRY[name]
     compare(spark, edge_events_dir, fn, sql, con=edge_events_duck)
+
+
+#: ANN family over adversarial embeddings: zero vectors (0/0 cosine —
+#: ANSI divide-by-zero in Spark, NULL in DuckDB with DIVERGENT null
+#: ordering), denormal-scale vectors, exact duplicates. Both engines
+#: emit the -2.0 sentinel for undefined cosines.
+EDGE_EMB_QUERIES = [
+    "cosine_topk", "embedding_lsh_buckets", "ivf_topk",
+    "ivf_topk_probe2", "ivf_recall", "kmeans_refine",
+    "near_dup_cosine", "dup_clusters",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.oracle import TABLES
+    from clara_ocr_spark.queries import EMB_DIM
+
+    random.seed(7)
+
+    def vec(scale=1.0):
+        return [random.uniform(-1, 1) * scale for _ in range(EMB_DIM)]
+
+    rows = [(i, vec(), i % 3) for i in range(30)]
+    rows += [
+        (30, [0.0] * EMB_DIM, 0),   # zero vector
+        (31, [0.0] * EMB_DIM, 1),   # second zero vector (zero pair)
+        (32, rows[0][1][:], 2),     # exact duplicate of vec 0
+        (33, vec(1e-30), 0),        # denormal-scale vector
+    ]
+    d = str(tmp_path_factory.mktemp("edge_emb"))
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                os.path.join(d, f"{t}.parquet"),
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def edge_emb_duck(edge_emb_dir):
+    con = duck_connect(edge_emb_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
+def test_query_matches_oracle_on_edge_embeddings(
+    spark, edge_emb_dir, edge_emb_duck, name
+):
+    fn, sql = REGISTRY[name]
+    compare(spark, edge_emb_dir, fn, sql, con=edge_emb_duck)
