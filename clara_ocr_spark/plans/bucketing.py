@@ -73,8 +73,13 @@ def n_exchanges(df: DataFrame) -> int:
     """Count shuffle Exchange operators in the final physical plan
     (AQE-resolved). The assertion currency of the bucketing tests."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # Count only genuine shuffle Exchange operators: BroadcastExchange
+    # is not a shuffle, and ReusedExchange re-reads an already-counted
+    # one (ADVICE r2 — substring matching over-counted those).
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )

@@ -62,7 +62,11 @@ def append_increment(df: DataFrame, extracted_path: str) -> None:
 
 
 def merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    order_by: "list[str] | None" = None,
 ) -> None:
     """``MERGE INTO`` semantics for a keyed table (the acts/feedback
     ingest shape, ≈ ``process_webdata`` clara.c:2952-3013): WHEN
@@ -77,23 +81,55 @@ def merge_upsert(
     with snapshot isolation and no read-modify-write window. This
     sandbox ships no table-format jars (SCALE.md), so the fallback
     materializes survivor ∪ updates into a staging directory and
-    atomically renames it over the table — correct for a single
-    writer (the job scheduler's contract here); concurrent writers
-    need the catalog's optimistic commit, which is exactly what
-    Iceberg adds with zero change to this call's shape."""
+    publishes it with two renames — NOT atomic (the table is briefly
+    absent between them, and a crash mid-publish leaves debris), but
+    crash-*recoverable*: stale ``.staging``/``.old`` debris from an
+    interrupted publish is swept at entry, so the next merge always
+    proceeds. Single-writer only (the job scheduler's contract here);
+    concurrent writers need the catalog's optimistic commit, which is
+    exactly what Iceberg adds with zero change to this call's shape.
+
+    Per-key election is deterministic: when a batch carries several
+    rows for one key, the row with the greatest ``order_by`` tuple
+    wins (ties broken by the remaining columns in schema order), so
+    replaying the same batch always yields the same table. With
+    ``order_by=None`` the greatest full-row tuple wins."""
     import shutil
 
-    updates = updates.dropDuplicates([key])
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + ".staging"
+    old = path.rstrip("/") + ".old"
+    # Sweep debris from a publish interrupted between the two renames:
+    # a leftover .old would make os.rename(path, old) raise forever,
+    # and a leftover .staging would be half-written garbage.
+    shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            # Crashed after rename(path -> old) but before
+            # rename(staging -> path): the .old snapshot is the last
+            # good table — restore it.
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+
+    cols = [c for c in updates.columns if c != key]
+    order_cols = list(order_by) if order_by else []
+    tiebreak = order_cols + [c for c in cols if c not in order_cols]
+    updates = (
+        updates.groupBy(key)
+        .agg(F.max(F.struct(*tiebreak)).alias("_row"))
+        .select(key, *[F.col(f"_row.{c}").alias(c) for c in cols])
+    )
+
     if not os.path.exists(_done_marker(path)):
         updates.write.mode("overwrite").format(CHECKPOINT_FORMAT).save(path)
         return
     current = spark.read.format(CHECKPOINT_FORMAT).load(path)
     survivors = current.join(updates.select(key), key, "left_anti")
-    staging = path.rstrip("/") + ".staging"
     survivors.unionByName(updates).write.mode("overwrite").format(
         CHECKPOINT_FORMAT
     ).save(staging)
-    old = path.rstrip("/") + ".old"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

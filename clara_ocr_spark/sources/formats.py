@@ -152,9 +152,16 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
     swap the byte-splitter for a gzip-member walk there; the Spark
     shape (binaryFile scan → mapInPandas record parse → PAGES schema)
     is unchanged. Records carry no pre-extracted text/lang, so those
-    columns come back NULL — extraction derives them."""
+    columns come back NULL — extraction derives them.
+
+    Timezone: WARC-Date is UTC; Spark reads a tz-naive pandas value as
+    *session-zone* wall time, so the instant is first converted to the
+    session timezone and then tz-stripped (ADVICE r2 — a bare UTC
+    strip shifted warc_ts by the session offset on non-UTC sessions,
+    diverging from the parquet/jsonl readers)."""
     import pandas as pd
 
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
@@ -167,7 +174,9 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
                 for url, ts, body in _parse_warc_bytes(bytes(content)):
                     out["url"].append(url)
                     out["warc_ts"].append(
-                        pd.to_datetime(ts, utc=True).tz_convert(None)
+                        pd.to_datetime(ts, utc=True)
+                        .tz_convert(session_tz)
+                        .tz_localize(None)
                         if ts
                         else pd.NaT
                     )

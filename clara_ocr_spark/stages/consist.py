@@ -50,13 +50,13 @@ def assert_consistent(blocks: DataFrame) -> None:
     eager action; in a job whose dominant cost is upstream of
     ``blocks`` (the mapInPandas parse), use ``observe_consistency`` +
     ``assert_observed`` instead so the gate rides the output write
-    without a second pass (VERDICT r1 #3)."""
-    bad = [r for r in check_blocks(blocks).collect() if r.violations > 0]
-    if bad:
-        raise AssertionError(
-            "consistency violations: "
-            + ", ".join(f"{r.invariant}={r.violations}" for r in bad)
-        )
+    without a second pass (VERDICT r1 #3). Delegates to the
+    observation API (VERDICT r2 nit): the violation sums ride a noop
+    sink write — one distributed pass, nothing collected but the
+    metrics row."""
+    observed, obs = observe_consistency(blocks)
+    observed.write.format("noop").mode("overwrite").save()
+    assert_observed(obs)
 
 
 def observe_consistency(blocks: DataFrame):
@@ -92,13 +92,23 @@ def assert_observed(obs) -> None:
     (e.g. an incremental replay whose anti-join removes every row),
     Catalyst's PropagateEmptyRelation collapses it to an empty
     LocalTableScan and the CollectMetrics node — gate included — is
-    optimized out, so the observation never receives metrics and
-    ``obs.get`` raises from the JVM. Zero rows have zero violations
-    by definition, so that is a pass."""
-    try:
-        vals = obs.get
-    except Exception:
+    optimized out, so the observation never receives metrics: the JVM
+    Observation's row stays null and ``obs.get`` dies converting it.
+    Zero rows have zero violations by definition, so a null row is a
+    pass — detected by inspecting the row directly rather than
+    catching around ``obs.get``, so any OTHER failure (never observed,
+    serialization, executor loss) still propagates (ADVICE r2)."""
+    jo = getattr(obs, "_jo", None)
+    if jo is None:
+        # observe() was never attached — a caller bug, not an empty
+        # increment; surface it instead of silently passing the gate.
+        raise RuntimeError(
+            "assert_observed called on an Observation that was never "
+            "attached via observe_consistency"
+        )
+    if jo.getRow() is None:  # blocks until the first action completes
         return  # observed subtree optimized away ⇒ empty ⇒ consistent
+    vals = obs.get
     bad = {k: v for k, v in vals.items() if v and v > 0}
     if bad:
         raise AssertionError(

@@ -217,6 +217,41 @@ def test_warc_source_roundtrip(spark, corpus_path, tmp_path):
     assert got == want
 
 
+def test_warc_timestamp_session_timezone(spark, tmp_path):
+    """WARC-Date is UTC; on a non-UTC session the reader must convert
+    to the session zone before tz-stripping so warc_ts denotes the
+    same instant as the parquet/jsonl readers (ADVICE r2: a bare UTC
+    strip shifted it by the session offset)."""
+    import datetime
+
+    from clara_ocr_spark.sources.formats import read_pages_warc, write_warc
+
+    write_warc(
+        [{
+            "url": "https://tz.example/",
+            "warc_ts": datetime.datetime(2024, 1, 1, 12, 0, 0),  # UTC
+            "html": b"<p>tz probe</p>",
+        }],
+        str(tmp_path / "tz.warc"),
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = read_pages_warc(
+                spark, str(tmp_path / "tz.warc")
+            ).select(
+                F.unix_timestamp("warc_ts").alias("epoch")
+            ).collect()[0].epoch
+            # The stored instant must be 2024-01-01T12:00:00Z in every
+            # session zone (unix_timestamp reinterprets the naive value
+            # through the same session zone the writer used, so a
+            # correct round-trip is zone-invariant).
+            assert got == 1704110400, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_markup_byte_identity_vs_reference(spark, corpus_path):
     """The <I>/<B> output variant: Spark extract_markup ≡ single-node
     reference_extract_markup per url — over emphasis-bearing documents

@@ -159,6 +159,71 @@ def test_merge_upsert_semantics(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_merge_upsert_crash_recovery(spark, tmp_path):
+    """A publish interrupted between the two renames must not wedge
+    the table (ADVICE r2): stale ``.staging`` debris is swept, and a
+    crash that left only ``.old`` (table briefly absent) is restored
+    from the snapshot before merging."""
+    from clara_ocr_spark.plans.checkpoint import merge_upsert
+
+    path = str(tmp_path / "acts_table")
+    base = _acts(spark, [(1, "u1", 0, "content", "anon", TS)])
+    merge_upsert(spark, path, base, "act_id")
+
+    # Crash state A: half-written staging left behind.
+    os.makedirs(path + ".staging")
+    with open(path + ".staging/part-junk", "w") as f:
+        f.write("garbage")
+    upd = _acts(spark, [(2, "u2", 1, "noise", "anon", TS)])
+    merge_upsert(spark, path, upd, "act_id")
+    assert not os.path.exists(path + ".staging")
+    assert spark.read.parquet(path).count() == 2
+
+    # Crash state B: renamed path -> .old, then died — table absent.
+    os.rename(path, path + ".old")
+    upd2 = _acts(spark, [(3, "u3", 2, "boilerplate", "trusted", TS)])
+    merge_upsert(spark, path, upd2, "act_id")
+    got = {r.act_id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3}  # snapshot restored, then merged
+    assert not os.path.exists(path + ".old")
+
+    # Crash state C: both present (died after staging->path rename).
+    os.makedirs(path + ".old")
+    with open(path + ".old/part-stale", "w") as f:
+        f.write("stale")
+    merge_upsert(
+        spark, path, _acts(spark, [(4, "u4", 3, "nav", "anon", TS)]),
+        "act_id",
+    )
+    assert {r.act_id for r in spark.read.parquet(path).collect()} == {
+        1, 2, 3, 4,
+    }
+
+
+def test_merge_upsert_deterministic_election(spark, tmp_path):
+    """A batch carrying several rows per key elects the max(order_by)
+    row — deterministically, so replaying the batch reproduces the
+    same table (ADVICE r2: dropDuplicates elected an arbitrary row)."""
+    from clara_ocr_spark.plans.checkpoint import merge_upsert
+
+    later = TS + dt.timedelta(days=1)
+    batch = _acts(
+        spark,
+        [
+            (1, "u1", 0, "content", "anon", TS),
+            (1, "u1", 0, "noise", "arbiter", later),  # latest wins
+            (1, "u1", 0, "aaa", "anon", TS),
+        ],
+    ).repartition(4)
+    for attempt in range(3):
+        path = str(tmp_path / f"t{attempt}")
+        merge_upsert(spark, path, batch, "act_id",
+                     order_by=["submitted_at"])
+        rows = spark.read.parquet(path).collect()
+        assert len(rows) == 1
+        assert (rows[0].label, rows[0].reviewer_type) == ("noise", "arbiter")
+
+
 # -- structural acts (revision.c:405-589 analogues) --------------------
 
 BLOCKS_SCHEMA = (
