@@ -3806,13 +3806,89 @@ def pattern_acts(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Catalog ordering — the driver contract window
+# ---------------------------------------------------------------------
+# The correctness driver samples the FIRST 50 registrations of
+# ``queries()`` for its DuckDB oracle signature (CORRECTNESS_r02
+# covered registrations 0-49 and left 28 later queries local-only —
+# VERDICT r2 item 1).  ``DRIVER_WINDOW`` therefore pins an explicit
+# order: the 28 queries that have never carried a driver signature
+# come first, followed by one signed representative of every SURVEY §2
+# operator family (so each family keeps a driver-green row in
+# CORRECTNESS_r03).  Everything else — all locally oracle-verified by
+# tests/test_queries_oracle.py — follows in registration order.
+DRIVER_WINDOW = [
+    # -- round-2 additions that were outside the r02 sample ------------
+    "exists_semi_join",       # §2.3 dictionary probe (semi-join)
+    "set_ops_users",          # §2.6 union/intersect/except
+    "salted_user_stats",      # §2.9 balance (skew-salted agg)
+    "orders_monthly",         # §2.4 calendar rollup
+    "ntile_quartiles",        # §2.5 rank/ntile ordering
+    "cube_metrics",           # §2.4 cube grouping sets
+    "regex_extract_props",    # §2.7 regex scalar family
+    "user_journey",           # §2.5 sessionized journey window
+    "two_pass_match",         # §2.8 PNT1→PNT2 relaxation
+    "layout_lines",           # §2.10/2.11 PDF line build
+    "layout_columns",         # §2.10 blockfind columns
+    "layout_line_text",       # §2.11 line sort + text
+    "value_percentiles",      # §2.4 h_split calibration
+    "corr_value_hour",        # §2.4 pre_balance regression stats
+    "df_stopwords",           # LLM document-frequency stopwords
+    "url_canonical_groups",   # LLM URL canonicalization
+    "repetition_filter",      # LLM repetition quality gate
+    "stratified_sample",      # LLM stratified sampling
+    "lm_quality_scores",      # LLM CCNet-style LM quality
+    "source_quality_report",  # §2.1 write_report sink
+    "hqbin_residual",         # §2.9 hqbin second pass
+    "structural_acts",        # §2.12 merge/slink/alink/dis acts
+    "tfidf_top_terms",        # LLM TF-IDF
+    "inverted_index",         # LLM inverted index
+    "decontaminate",          # LLM eval-decontamination
+    "pii_redact",             # LLM PII redaction
+    "deskew_search",          # §2.9 pp_deskew parameter search
+    "pattern_acts",           # §2.12 review_patt pattern edits
+    # -- driver-signed (r02) representatives, one per §2 family -------
+    "pricing_summary",        # §2.4 per-page stats counters
+    "range_filter",           # §2.1 region export / §2.2 range query
+    "value_histogram",        # §2.1 loadpgm / §2.4 gray histogram
+    "latest_wins",            # §2.1 acts / §2.6 / §2.12 vote order
+    "topk_doubts",            # §2.1 doubts sink / §2.5 top-k
+    "broadcast_classify",     # §2.3 broadcast join / §2.8 classify
+    "neighbor_gap",           # §2.3 nearest-neighbor pairing
+    "sessionize",             # §2.3 s_pair / §2.5 word building
+    "asof_attach",            # §2.3 accent attachment (as-of)
+    "range_join_bucketed",    # §2.3 bounded-range spatial join
+    "dedup_exact",            # §2.3 new_mc / §2.6 / LLM exact dedup
+    "baseline_slope",         # §2.4 bl_geo least-squares
+    "param_sweep",            # §2.4 sweep / §2.8 tune_skel
+    "pivot_by_type",          # §2.4 acc_f pivot
+    "interval_overlap",       # §2.6/§2.7 intersize/ldist scalars
+    "zone_assign",            # §2.2/§2.10 zoning
+    "minhash_signatures",     # LLM MinHash
+    "simhash_near_dup",       # LLM SimHash near-dup
+    "dedup_canonicalize",     # LLM LSH + CC end-to-end
+    "near_dup_cosine",        # LLM embedding near-dup
+    "ivf_topk",               # LLM ANN (IVF)
+    "dup_clusters",           # §2.4 clusterize / CC clusters
+]
+
+
+def _ordered() -> Dict[str, Entry]:
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    rest = [n for n in REGISTRY if n not in set(DRIVER_WINDOW)]
+    return {n: REGISTRY[n] for n in [*DRIVER_WINDOW, *rest]}
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: fn for name, (fn, _sql) in _ordered().items()}
 
 
 def get_oracle_sql() -> Dict[str, str]:
     return {
         name: " ".join(sql.split())
-        for name, (_fn, sql) in REGISTRY.items()
+        for name, (_fn, sql) in _ordered().items()
         if sql is not None
     }

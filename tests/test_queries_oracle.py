@@ -16,6 +16,56 @@ def duck(sf001):
     con.close()
 
 
+def test_driver_window_invariants():
+    """The correctness driver signs the first 50 ``queries()``
+    registrations (VERDICT r2), so the window must stay: distinct,
+    registry-valid, exactly the catalog head, and with at least one
+    representative of every SURVEY §2 operator family so each family
+    keeps a driver-green CORRECTNESS row."""
+    from clara_ocr_spark.queries import DRIVER_WINDOW, get_queries
+
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) <= 50
+    names = list(get_queries())
+    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    assert set(names) == set(REGISTRY)
+    window = set(DRIVER_WINDOW)
+    families = {
+        "scan_sink": {"range_filter", "value_histogram", "topk_doubts",
+                      "source_quality_report"},
+        "acts": {"latest_wins", "structural_acts", "pattern_acts"},
+        "filter_zone": {"zone_assign", "range_filter"},
+        "join_broadcast": {"broadcast_classify"},
+        "join_neighbor": {"neighbor_gap", "asof_attach"},
+        "join_spatial": {"range_join_bucketed"},
+        "join_semi": {"exists_semi_join"},
+        "agg_stats": {"pricing_summary", "value_percentiles",
+                      "salted_user_stats"},
+        "agg_regression": {"baseline_slope", "corr_value_hour"},
+        "agg_grouping_sets": {"cube_metrics"},
+        "agg_pivot": {"pivot_by_type"},
+        "sweep": {"param_sweep", "deskew_search"},
+        "window_order": {"sessionize", "ntile_quartiles", "user_journey",
+                         "topk_doubts"},
+        "set_dedup": {"set_ops_users", "dedup_exact", "interval_overlap"},
+        "engines": {"two_pass_match", "broadcast_classify"},
+        "preproc": {"hqbin_residual", "deskew_search"},
+        "layout_pdf": {"layout_lines", "layout_columns",
+                       "layout_line_text"},
+        "llm_exact_dedup": {"dedup_exact"},
+        "llm_minhash": {"minhash_signatures"},
+        "llm_simhash": {"simhash_near_dup"},
+        "llm_embedding": {"near_dup_cosine", "dup_clusters"},
+        "llm_ann": {"ivf_topk"},
+        "llm_quality": {"lm_quality_scores", "repetition_filter"},
+        "llm_decontaminate": {"decontaminate"},
+        "llm_pii": {"pii_redact"},
+        "llm_sampling": {"stratified_sample"},
+        "llm_tfidf": {"tfidf_top_terms", "inverted_index"},
+    }
+    uncovered = {f for f, reps in families.items() if not (reps & window)}
+    assert not uncovered, f"families without a driver-window rep: {uncovered}"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf001, duck, name):
     fn, sql = REGISTRY[name]
