@@ -81,6 +81,7 @@ HEADLINE = [
     "rolling_value_range",  # added r2: RANGE-frame time window
     "retention_cohorts",  # added r2: cohort matrix
     "funnel_conversion",  # added r2: ordered funnel
+    "spell_correct",  # added r3: SymSpell delete-1 dictionary correction
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

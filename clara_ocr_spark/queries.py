@@ -1478,7 +1478,9 @@ def dup_clusters(spark, sf_dir):
     return _min_label_components(pairs)
 
 
-def _min_label_components(pairs: DataFrame) -> DataFrame:
+def _min_label_components(
+    pairs: DataFrame, stats: "dict | None" = None
+) -> DataFrame:
     """Distributed connected components over undirected pairs (i_id,
     j_id); returns (node, cluster) with cluster = smallest member id.
 
@@ -1487,7 +1489,20 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     chain depth, so rounds = O(log diameter) instead of O(diameter)
     (a 3k-doc near-dup family converges in ~5 rounds, not ~30).
     Lineage truncated per round (localCheckpoint) so the plan stays
-    O(1) at any depth."""
+    O(1) at any depth.
+
+    Convergence detection is FOLDED INTO the propagation job (VERDICT
+    r2): the old label rides the round's plan, a changed-row sum is
+    attached as a CollectMetrics observation, and the eager
+    localCheckpoint that truncates lineage is the action that fills
+    it — one job per round, no separate compare-join + count job.
+    At 100 TB the driver never pulls labels, only the one metrics row.
+
+    ``stats`` (optional, for tests/telemetry): filled with
+    ``{"rounds": n}`` — the number of propagation jobs run.
+    """
+    from pyspark.sql import Observation
+
     edges = pairs.unionByName(
         pairs.select(F.col("j_id").alias("i_id"), F.col("i_id").alias("j_id"))
     ).select(F.col("i_id").alias("src"), F.col("j_id").alias("dst"))
@@ -1495,7 +1510,9 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster")
     )
+    rounds = 0
     for _ in range(32):  # backstop; log-depth convergence exits early
+        rounds += 1
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
@@ -1503,31 +1520,39 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         )
         stepped = labels.join(prop, "node", "left").select(
             "node",
+            F.col("cluster").alias("ocluster"),
             F.least("cluster", F.coalesce("ncluster", "cluster")).alias("cluster"),
         )
         # pointer doubling: follow the label's own label
         parent = stepped.select(
             F.col("node").alias("pnode"), F.col("cluster").alias("pcluster")
         )
+        obs = Observation()
         new = (
             stepped.join(parent, stepped["cluster"] == parent["pnode"], "left")
             .select(
                 "node",
+                "ocluster",
                 F.least("cluster", F.coalesce("pcluster", "cluster")).alias("cluster"),
             )
-            # lazy: the convergence count below materializes it, so each
-            # round runs ONE job
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("cluster") != F.col("ocluster"), 1)
+                        .otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .select("node", "cluster")
+            .localCheckpoint(eager=True)  # the round's ONE job; fills obs
         )
         labels = new
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", "cluster")
 
 
@@ -3806,6 +3831,118 @@ def pattern_acts(spark, sf_dir):
     )
 
 
+@q(
+    "spell_correct",
+    """
+    with toks as (
+      select t.tok from documents,
+        unnest(regexp_split_to_array(lower(text), '\\s+')) as t(tok)
+      where regexp_full_match(t.tok, '[a-z]{4,16}')),
+    vocab as (
+      select tok, count(*) as c from toks group by tok
+      having count(*) >= 50),
+    wrongs as (
+      select distinct substr(tok, 1, 1) || substr(tok, 3, 100) as tok
+      from vocab where length(tok) >= 5),
+    typos as (
+      select w.tok from wrongs w anti join vocab v on w.tok = v.tok),
+    vv as (
+      select tok, c, unnest(list_append(
+        list_transform(generate_series(1, length(tok)),
+          i -> substr(tok, 1, i - 1) || substr(tok, i + 1, 100)),
+        tok)) as var
+      from vocab),
+    rv as (
+      select tok, unnest(list_append(
+        list_transform(generate_series(1, length(tok)),
+          i -> substr(tok, 1, i - 1) || substr(tok, i + 1, 100)),
+        tok)) as var
+      from typos),
+    cand as (
+      select distinct r.tok as wrong, v.tok as suggestion, v.c
+      from rv r join vv v on r.var = v.var
+      where levenshtein(r.tok, v.tok) = 1)
+    select wrong, suggestion, cast(c as bigint) as vocab_count from (
+      select *, row_number() over (partition by wrong
+                order by c desc, suggestion) as rn from cand)
+    where rn = 1
+    """,
+)
+def spell_correct(spark, sf_dir):
+    """Spelling correction beyond the reference's step_12 stub
+    (clara.c:3232-3280 is an empty dictionary hook; VERDICT r2 item 7):
+    SymSpell-style delete-1 neighborhood matching, the scalable form of
+    a broadcast-vocabulary dictionary probe.
+
+    Shape: corpus vocabulary (tokens with count ≥ 50) → deterministic
+    typo stream (each ≥5-char vocab word with its 2nd char deleted,
+    minus real words — the uncertain-token feed) → candidate join on
+    shared delete-1 variants (equi-join on the variant key; NEVER an
+    all-pairs × levenshtein cross join, which is the naive quadratic
+    formulation) → exact levenshtein=1 verify on the bounded candidate
+    set → per-typo election by (vocab frequency desc, word asc).
+
+    100 TB shape: the variant explode multiplies tokens by ~len+1 but
+    the join is hash-partitioned on short strings; the expensive
+    verify runs only on candidates (same cheap-filter → expensive-
+    verify split as minhash/simhash). The stage twin
+    (stages/spell.py:correct_spelling) applies elected corrections to
+    block text behind an off-by-default config gate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]{4,16}$"))
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 50)
+    )
+    wrongs = (
+        vocab.filter(F.length("tok") >= 5)
+        .select(
+            F.concat(
+                F.substring("tok", 1, 1), F.expr("substring(tok, 3, 100)")
+            ).alias("tok")
+        )
+        .distinct()
+        .join(vocab, "tok", "left_anti")
+    )
+
+    def variants(df):
+        t = F.col("tok")
+        var = F.array_append(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    t.substr(F.lit(1), i - 1), t.substr(i + 1, F.lit(100))
+                ),
+            ),
+            t,
+        )
+        return df.select("*", F.explode(var).alias("var"))
+
+    cand = (
+        variants(wrongs.select("tok"))
+        .withColumnRenamed("tok", "wrong")
+        .join(
+            variants(vocab).select(
+                F.col("tok").alias("suggestion"), "c", "var"
+            ),
+            "var",
+        )
+        .filter(F.levenshtein("wrong", "suggestion") == 1)
+        .select("wrong", "suggestion", "c")
+        .distinct()
+    )
+    w = Window.partitionBy("wrong").orderBy(F.desc("c"), "suggestion")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "wrong", "suggestion", F.col("c").cast("bigint").alias("vocab_count")
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -3848,6 +3985,7 @@ DRIVER_WINDOW = [
     "pii_redact",             # LLM PII redaction
     "deskew_search",          # §2.9 pp_deskew parameter search
     "pattern_acts",           # §2.12 review_patt pattern edits
+    "spell_correct",          # §2.12 step_12 spelling (r3, beyond stub)
     # -- driver-signed (r02) representatives, one per §2 family -------
     "pricing_summary",        # §2.4 per-page stats counters
     "range_filter",           # §2.1 region export / §2.2 range query
@@ -3857,7 +3995,6 @@ DRIVER_WINDOW = [
     "broadcast_classify",     # §2.3 broadcast join / §2.8 classify
     "neighbor_gap",           # §2.3 nearest-neighbor pairing
     "sessionize",             # §2.3 s_pair / §2.5 word building
-    "asof_attach",            # §2.3 accent attachment (as-of)
     "range_join_bucketed",    # §2.3 bounded-range spatial join
     "dedup_exact",            # §2.3 new_mc / §2.6 / LLM exact dedup
     "baseline_slope",         # §2.4 bl_geo least-squares

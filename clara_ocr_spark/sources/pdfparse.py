@@ -271,9 +271,96 @@ def _hex_to_text(body: bytes) -> str:
     digits = bytes(c for c in body if c in _HEX_DIGITS)
     if len(digits) % 2:
         digits += b"0"
-    return "".join(
-        chr(int(digits[k : k + 2], 16)) for k in range(0, len(digits), 2)
-    )
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+
+
+#: Fastest path: statement-level block matching.  The most common
+#: emission shape in real generators (and this corpus) is one text
+#: object per run with absolute positioning —
+#: ``BT  /F n Tf  x y Td|1 0 0 1 x y Tm  (s) Tj|<hex> Tj|[(a) k (b)] TJ  ET``
+#: — which needs NO interpreter state across statements, so the whole
+#: block collapses into ONE C-regex match (≈5 token dispatches and a
+#: stack per run on the token path).  The matcher must consume the
+#: ENTIRE stream as a sequence of such blocks; the first byte it
+#: cannot place bails to ``_page_runs_fast`` (which itself bails to
+#: the exact interpreter) — three tiers, never a silent disagreement,
+#: pinned by the TestFastPath differential fuzz.
+_B_WS = rb"[\x00\t\n\x0c\r ]"  # PDF whitespace, NOT \s (\x0b differs)
+_B_NUM = rb"[-+.0-9][-+.0-9eE]*"
+_BLOCK_RE = re.compile(
+    _B_WS + rb"*BT"
+    + _B_WS + rb"+/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*"
+    + _B_WS + rb"+(" + _B_NUM + rb")" + _B_WS + rb"+Tf"
+    + _B_WS + rb"+(?:(" + _B_NUM + rb")" + _B_WS + rb"+(" + _B_NUM
+    + rb")" + _B_WS + rb"+Td"
+    + rb"|1" + _B_WS + rb"+0" + _B_WS + rb"+0" + _B_WS + rb"+1"
+    + _B_WS + rb"+(" + _B_NUM + rb")" + _B_WS + rb"+(" + _B_NUM
+    + rb")" + _B_WS + rb"+Tm)"
+    + _B_WS + rb"+(?:\(([^()\\]*)\)" + _B_WS + rb"+Tj"
+    + rb"|<([0-9a-fA-F]*)>" + _B_WS + rb"+Tj"
+    + rb"|\[\(([^()\\]*)\)" + _B_WS + rb"+(" + _B_NUM + rb")"
+    + _B_WS + rb"+\(([^()\\]*)\)\]" + _B_WS + rb"+TJ)"
+    + _B_WS + rb"+ET"
+)
+_B_ONLY_WS = re.compile(_B_WS + rb"*\Z")
+
+
+def _page_runs_blocks(stream: bytes, page: int):
+    """Statement-level fast path; returns the run list, or None when
+    any byte falls outside the absolute-positioned block grammar.
+    Semantics identical to ``_page_runs`` on the accepted subset
+    (BT resets the text matrix, so each block's Td/Tm is absolute)."""
+    runs: List[Run] = []
+    pos = 0
+    match = _BLOCK_RE.match
+    n = len(stream)
+    while pos < n:
+        m = match(stream, pos)
+        if m is None:
+            if _B_ONLY_WS.match(stream, pos):
+                break
+            return None
+        g = m.groups()
+        try:
+            size = float(g[0])
+            x = float(g[1] if g[1] is not None else g[3])
+            y = float(g[2] if g[2] is not None else g[4])
+        except (ValueError, TypeError):
+            return None  # grammar-valid but float-hostile → token path
+        ry = round(y, 2)
+        if g[5] is not None or g[6] is not None:  # (s) Tj | <hex> Tj
+            s = (
+                g[5].decode("latin-1")
+                if g[5] is not None
+                else _hex_to_text(g[6])
+            )
+            if s:
+                w = CHAR_W * size * len(s)
+                runs.append(
+                    Run(page, round(x, 2), round(x + w, 2), ry, size, s)
+                )
+        else:  # [(a) k (b)] TJ
+            try:
+                adj = float(g[8])
+            except ValueError:
+                return None
+            cx = x
+            a = g[7].decode("latin-1")
+            if a:
+                w = CHAR_W * size * len(a)
+                runs.append(
+                    Run(page, round(cx, 2), round(cx + w, 2), ry, size, a)
+                )
+                cx += w
+            cx -= adj / 1000.0 * size
+            b = g[9].decode("latin-1")
+            if b:
+                w = CHAR_W * size * len(b)
+                runs.append(
+                    Run(page, round(cx, 2), round(cx + w, 2), ry, size, b)
+                )
+        pos = m.end()
+    return runs
 
 
 def _page_runs_fast(stream: bytes, page: int):
@@ -513,7 +600,9 @@ def parse_pdf_runs(raw: Optional[bytes]) -> List[Run]:
     runs: List[Run] = []
     page = 0
     for stream in _decode_streams(bytes(raw)):
-        page_runs = _page_runs_fast(stream, page)
+        page_runs = _page_runs_blocks(stream, page)
+        if page_runs is None:
+            page_runs = _page_runs_fast(stream, page)
         if page_runs is None:
             page_runs = _page_runs(stream, page)
         if page_runs:

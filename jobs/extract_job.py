@@ -134,8 +134,23 @@ def main(argv: list[str] | None = None) -> None:
         help="extracted sink: parquet (warehouse) or JSONL (the "
         "tokenizer-pipeline handoff shape)",
     )
+    ap.add_argument(
+        "--spell",
+        action="store_true",
+        help="dictionary spelling correction on block text before "
+        "assembly (step_12 beyond the reference's stub, "
+        "clara.c:3232-3280; SymSpell delete-1 matching against the "
+        "corpus's own ≥--spell-min-count vocabulary; off by default "
+        "to preserve byte-identity with the reference)",
+    )
+    ap.add_argument("--spell-min-count", type=int, default=50)
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
+    if args.spell and args.format == "markup":
+        ap.error(
+            "--spell rebuilds block text and drops emphasis spans; "
+            "use --format text"
+        )
     if args.hqbin and (args.engine or args.mixed):
         ap.error("--hqbin composes with the default DOM path only")
     if args.format != "text" and args.hqbin:
@@ -238,6 +253,10 @@ def main(argv: list[str] | None = None) -> None:
         blocks = apply_structural_acts(
             blocks, spark.read.parquet(args.struct_acts)
         )
+    if args.spell:
+        from clara_ocr_spark.stages.spell import correct_spelling
+
+        blocks = correct_spelling(blocks, args.spell_min_count)
 
     # step_6 gate as a CollectMetrics observation: the violation sums
     # ride the output-write job itself, so the mapInPandas parse (the

@@ -246,24 +246,55 @@ class TestLinesAndWords:
 
 class TestFastPath:
     def _diff(self, buf: bytes):
-        from clara_ocr_spark.sources.pdfparse import _page_runs, _page_runs_fast
+        from clara_ocr_spark.sources.pdfparse import (
+            _page_runs,
+            _page_runs_blocks,
+            _page_runs_fast,
+        )
 
+        exact = None
+        blocks = _page_runs_blocks(buf, 0)
+        if blocks is not None:
+            exact = _page_runs(buf, 0)
+            assert blocks == exact, buf[:120]
         fast = _page_runs_fast(buf, 0)
         if fast is not None:
-            assert fast == _page_runs(buf, 0), buf[:120]
+            assert fast == (exact if exact is not None else _page_runs(buf, 0)), buf[:120]
         return fast
 
     def test_generator_streams_take_fast_path(self):
-        from clara_ocr_spark.sources.pdfparse import _decode_streams
+        from clara_ocr_spark.sources.pdfparse import (
+            _decode_streams,
+            _page_runs_blocks,
+        )
 
-        n_fast = n_total = 0
+        n_fast = n_blocks = n_total = 0
         for i in range(80):
             for stream in _decode_streams(gen_pdf_page(i, seed=3)["html"]):
                 n_total += 1
                 n_fast += self._diff(stream) is not None
+                n_blocks += _page_runs_blocks(stream, 0) is not None
         assert n_total > 0
-        # the synthetic corpus never emits escapes → fast path always
+        # the synthetic corpus never emits escapes → fast path always,
+        # and its emission shape is all absolute-positioned blocks →
+        # the statement-level tier always hits too
         assert n_fast == n_total
+        assert n_blocks == n_total
+
+    def test_blocks_path_bails_on_stateful_streams(self):
+        """Any operator needing interpreter state across statements
+        (T*, ', TL, relative Td chains) must fall through to the token
+        tiers — the block grammar cannot place it."""
+        from clara_ocr_spark.sources.pdfparse import _page_runs_blocks
+
+        for buf in [
+            b"BT /F1 12 Tf 10 20 Td (a) Tj 0 -14 Td (b) Tj ET",  # 2 shows
+            b"BT /F1 12 Tf 14 TL 10 20 Td (a) ' ET",  # quote op
+            b"BT /F1 12 Tf 10 20 Td (a) Tj ET BT (b) Tj ET",  # no Tf/pos
+            b"BT /F1 12 Tf 2 0 0 2 10 20 Tm (a) Tj ET",  # scaled Tm
+            rb"BT /F1 12 Tf 10 20 Td (a\)b) Tj ET",  # escape
+        ]:
+            assert _page_runs_blocks(buf, 0) is None, buf
 
     def test_fallback_cases_bail(self):
         from clara_ocr_spark.sources.pdfparse import _page_runs_fast

@@ -36,6 +36,7 @@ def test_driver_window_invariants():
         "filter_zone": {"zone_assign", "range_filter"},
         "join_broadcast": {"broadcast_classify"},
         "join_neighbor": {"neighbor_gap", "asof_attach"},
+        "spelling": {"spell_correct"},
         "join_spatial": {"range_join_bucketed"},
         "join_semi": {"exists_semi_join"},
         "agg_stats": {"pricing_summary", "value_percentiles",
@@ -90,6 +91,7 @@ EDGE_QUERIES = [
     "df_stopwords", "url_canonical_groups", "dedup_canonicalize",
     "ngram_jaccard_pairs", "dup_clusters", "simhash_near_dup",
     "dedup_keep_first", "top_sources_by_chars", "grouping_sets_metrics",
+    "spell_correct",  # r3: empty/unicode docs must not break tokenize/join
 ]
 
 

@@ -728,3 +728,107 @@ def test_per_host_patterns_do_not_leak(spark, labeled):
         .count()
     )
     assert bad == 0
+
+
+# -- spelling stage (step_12 beyond the reference stub) -----------------
+
+
+def _spell_blocks(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, zone int, pos int, text string, label string"
+    )
+
+
+def test_correction_map_elects_levenshtein1_neighbor(spark):
+    """A rare token one delete away from a frequent vocab word maps to
+    it; ties elect the higher-frequency (then lexicographic) word."""
+    from clara_ocr_spark.stages.spell import correction_map
+
+    rows = [("u%d" % i, 0, 0, "hello world response", "content")
+            for i in range(60)]
+    rows.append(("ux", 0, 1, "helo wrold responze", "content"))
+    got = {
+        r.wrong: r.suggestion
+        for r in correction_map(
+            _spell_blocks(spark, rows), min_count=50
+        ).collect()
+    }
+    assert got["helo"] == "hello"
+    assert got["responze"] == "response"
+    # 'wrold' is distance 2 from 'world' (transposition) — delete-1
+    # neighborhoods DO share 'wrld' but the levenshtein=1 verify
+    # rejects it: SymSpell candidates ≠ accepted corrections
+    assert "wrold" not in got
+
+
+def test_correct_spelling_rewrites_only_hit_blocks(spark):
+    """Blocks containing a mapped typo get token-level replacement;
+    every other block passes through byte-identical (incl. weird
+    spacing, case, punctuation)."""
+    from clara_ocr_spark.stages.spell import correct_spelling
+
+    rows = [("u%d" % i, 0, 0, "hello world response", "content")
+            for i in range(60)]
+    rows += [
+        ("ux", 0, 1, "say helo now", "content"),
+        ("uy", 0, 2, "Weird   spacing, kept!", "content"),
+        ("uz", 0, 3, "", "content"),
+    ]
+    got = {
+        (r.url, r.pos): r.text
+        for r in correct_spelling(
+            _spell_blocks(spark, rows), min_count=50
+        ).collect()
+    }
+    assert got[("ux", 1)] == "say hello now"
+    assert got[("uy", 2)] == "Weird   spacing, kept!"  # untouched: byte-identical
+    assert got[("uz", 3)] == ""
+    assert got[("u0", 0)] == "hello world response"
+
+
+def test_correct_spelling_default_path_disabled(spark, corpus_path):
+    """The extraction pipeline never invokes the spelling stage by
+    default — byte-identity with the reference is pinned by the golden
+    suite; this asserts the import surface stays decoupled."""
+    import clara_ocr_spark.pipeline as pipeline_mod
+
+    src = open(pipeline_mod.__file__).read()
+    assert "spell" not in src
+
+
+def test_merge_upsert_concurrent_writer_rejected(spark, tmp_path):
+    """The MERGE INTO serializable-equivalence contract (VERDICT r2
+    item 3): a merge whose snapshot read is stale at publish time —
+    another writer committed in between — must be REJECTED (no lost
+    update), and retrying from a fresh snapshot must succeed with both
+    writers' rows present."""
+    import clara_ocr_spark.plans.checkpoint as cp
+
+    path = str(tmp_path / "acts_table")
+    cp.merge_upsert(
+        spark, path, _acts(spark, [(1, "u1", 0, "content", "anon", TS)]),
+        "act_id",
+    )
+    assert cp._table_version(path) == 1
+
+    b_batch = _acts(spark, [(2, "u2", 1, "noise", "anon", TS)])
+    a_batch = _acts(spark, [(3, "u3", 2, "nav", "trusted", TS)])
+
+    def writer_b_commits(p):
+        cp._TEST_BEFORE_PUBLISH = None  # writer B runs un-instrumented
+        cp.merge_upsert(spark, p, b_batch, "act_id")
+
+    cp._TEST_BEFORE_PUBLISH = writer_b_commits
+    try:
+        with pytest.raises(cp.ConcurrentWriteError):
+            cp.merge_upsert(spark, path, a_batch, "act_id")
+    finally:
+        cp._TEST_BEFORE_PUBLISH = None
+    # writer B's commit survived; writer A's rejected staging is gone
+    assert {r.act_id for r in spark.read.parquet(path).collect()} == {1, 2}
+    assert not os.path.exists(path + ".staging")
+    assert cp._table_version(path) == 2
+    # retry from a fresh snapshot: serial schedule, all rows land
+    cp.merge_upsert(spark, path, a_batch, "act_id")
+    assert {r.act_id for r in spark.read.parquet(path).collect()} == {1, 2, 3}
+    assert cp._table_version(path) == 3
