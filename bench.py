@@ -278,6 +278,25 @@ def main() -> None:
     timings["extraction"] = round(ext_secs, 3)
     docs_per_sec = round(BENCH_DOCS / ext_secs, 1)
 
+    # preproc-family job variants (VERDICT r2 item 6): the hqbin
+    # residual second pass and the deskew diagnostic profile, timed on
+    # the same corpus with the headline min-of-2 discipline
+    from clara_ocr_spark.pipeline import extract, extract_hqbin, read_pages
+    from clara_ocr_spark.stages.calibrate import deskew_profile
+
+    pages = read_pages(spark, path)
+    for name, df in (
+        ("extraction_hqbin", extract_hqbin(pages)),
+        ("extraction_deskew", deskew_profile(extract(pages))),
+    ):
+        _force(df)  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
     timings["pdf_extraction"] = round(pdf_secs, 3)
     pdf_docs_per_sec = round(PDF_BENCH_DOCS / pdf_secs, 1)
 

@@ -72,3 +72,48 @@ def calibrate_hosts_unsalted(blocks_with_host: DataFrame) -> DataFrame:
         F.avg("text_len").alias("avg_text_len"),
         F.max("text_len").alias("max_text_len"),
     )
+
+
+def deskew_profile(
+    extracted: DataFrame, text_col: str = "text", max_t: int = 12
+) -> DataFrame:
+    """Per-document deskew calibration profile (``pp_deskew``,
+    preproc.c:218-292: a per-page scalar search maximizing a row-local
+    alignment score; the catalog twin is ``queries.deskew_search``).
+
+    DOM transliteration: probe word-length cutoffs t ∈ 1..max_t, score
+    each as t · |{words with len ≥ t}| (projection-profile mass), keep
+    the argmax with first-max tie-break. Emitted as a DIAGNOSTIC table
+    (url, deskew_t, deskew_score) that rides the extraction job — it
+    never edits text, so byte-identity with the reference output is
+    untouched (the --deskew job-flag contract).
+
+    Scale shape: the word-length array is bound once per doc, the
+    whole grid is one JVM higher-order expression — zero shuffles,
+    zero Python, cost ∝ tokens."""
+    def let(col, fn):
+        # lambda-bind: evaluate col once, reference it many times
+        # (same idiom as queries._let; a bare column reference would
+        # re-split the text per grid point)
+        return F.element_at(F.transform(F.array(col), fn), 1)
+
+    t = F.col(text_col)
+    lens = F.transform(
+        F.split(F.trim(t), r"\s+"), lambda w: F.length(w)
+    )
+    scores = let(
+        lens,
+        lambda ls: F.transform(
+            F.sequence(F.lit(1), F.lit(max_t)),
+            lambda i: (i * F.size(F.filter(ls, lambda l: l >= i))).cast(
+                "bigint"
+            ),
+        ),
+    )
+    return extracted.select(
+        "url",
+        let(scores, lambda sc: F.array_position(sc, F.array_max(sc)))
+        .cast("int")
+        .alias("deskew_t"),
+        let(scores, lambda sc: F.array_max(sc)).alias("deskew_score"),
+    )

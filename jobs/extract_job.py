@@ -135,6 +135,16 @@ def main(argv: list[str] | None = None) -> None:
         "tokenizer-pipeline handoff shape)",
     )
     ap.add_argument(
+        "--deskew",
+        default=None,
+        metavar="PATH",
+        help="append a per-document deskew calibration profile "
+        "(url, deskew_t, deskew_score) to PATH — the pp_deskew "
+        "parameter search (preproc.c:218-292) riding the extraction "
+        "job as a diagnostic table; never edits text, so the "
+        "byte-identity goldens are untouched",
+    )
+    ap.add_argument(
         "--spell",
         action="store_true",
         help="dictionary spelling correction on block text before "
@@ -286,11 +296,11 @@ def main(argv: list[str] | None = None) -> None:
         extracted = extracted.unionByName(
             extract_pdf(pages.filter(_is_pdf_col()), args.pdf_splitter)
         )
-    if args.metrics:
-        # lineage re-reads `extracted`; cache it through the write so
-        # the metrics pass reads the materialized increment instead of
-        # re-running the parse (the same single-execution discipline
-        # as the observe() gate)
+    if args.metrics or args.deskew:
+        # lineage/deskew re-read `extracted`; cache it through the
+        # write so those passes read the materialized increment
+        # instead of re-running the parse (the same single-execution
+        # discipline as the observe() gate)
         extracted = extracted.persist()
     if args.output_format == "parquet":
         append_increment(extracted, args.output)  # writes _SUCCESS marker
@@ -301,6 +311,11 @@ def main(argv: list[str] | None = None) -> None:
         append_metrics(
             partition_lineage(extracted, args.run_id, "extract"), args.metrics
         )
+    if args.deskew:
+        from clara_ocr_spark.stages.calibrate import deskew_profile
+
+        deskew_profile(extracted).write.mode("append").parquet(args.deskew)
+    if args.metrics or args.deskew:
         extracted.unpersist()
     spark.stop()
 

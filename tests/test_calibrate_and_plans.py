@@ -246,3 +246,24 @@ def test_emb_width_gate_raises(spark, tmp_path):
     # inside ivf_topk) or at collect — both are "loudly", so cover both
     with pytest.raises(Exception, match="64-dim"):
         REGISTRY["ivf_topk"][0](spark, str(tmp_path)).collect()
+
+
+def test_deskew_profile_matches_catalog_query(spark, sf001):
+    """The --deskew job stage and the deskew_search catalog query are
+    the same grid argmax: identical (best_t, best_score) per doc, and
+    the stage's plan is shuffle-free (row-local JVM HOFs only)."""
+    from clara_ocr_spark.plans.bucketing import n_exchanges
+    from clara_ocr_spark.queries import REGISTRY
+    from clara_ocr_spark.stages.calibrate import deskew_profile
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    prof = deskew_profile(docs)
+    assert n_exchanges(prof) == 0
+    got = {int(r.url): (r.deskew_t, r.deskew_score) for r in prof.collect()}
+    want = {
+        r.doc_id: (r.best_t, r.best_score)
+        for r in REGISTRY["deskew_search"][0](spark, sf001).collect()
+    }
+    assert got == want

@@ -294,3 +294,90 @@ def test_extract_job_mixed(tmp_path):
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     n = duckdb.sql(f"select count(*) from '{out}/*.parquet'").fetchone()[0]
     assert n == len(rows)
+
+
+def test_extract_job_deskew_and_spell(tmp_path):
+    """r3 flags in a fresh interpreter: --deskew appends the
+    diagnostic profile without touching extracted text; --spell
+    corrects a planted typo against the corpus vocabulary."""
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+    rows = [gen_page(i, seed=31) for i in range(40)]
+    inp = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
+    out = tmp_path / "out"
+    deskew = tmp_path / "deskew"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp),
+            "--output", str(out),
+            "--deskew", str(deskew),
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    got = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select url, text from '{out}/*.parquet'"
+        ).fetchall()
+    }
+    assert got == {r["url"]: r["text"] for r in rows}  # byte-identical
+    prof = duckdb.sql(
+        f"select count(*), min(deskew_t), max(deskew_t) "
+        f"from '{deskew}/*.parquet'"
+    ).fetchall()[0]
+    assert prof[0] == len(rows) and 1 <= prof[1] <= prof[2] <= 12
+
+    # --spell: the corpus's own vocabulary corrects a planted typo
+    # (vocab words repeat across the 40 docs; threshold 20 < 40 hits)
+    typo = dict(rows[0])
+    typo["url"] = "https://typo.example/p"
+    corpus_toks = [
+        t for r in rows for t in r["text"].lower().split()
+        if t.isalpha() and 6 <= len(t) <= 16
+    ]
+    tok_set = set(corpus_toks)
+    # most frequent word whose delete-2nd-char typo is NOT a real word
+    first_tok = max(
+        (t for t in tok_set if t[0] + t[2:] not in tok_set),
+        key=corpus_toks.count,
+    )
+    wrong = first_tok[0] + first_tok[2:]  # delete 2nd char
+    typo["html"] = (
+        "<p>say %s here with enough padding words to pass the "
+        "length gate</p>" % wrong
+    ).encode()
+    typo["text"] = ""
+    rows_sp = rows + [typo]
+    inp_sp = tmp_path / "pages_sp.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(rows_sp, schema=PAGES_SCHEMA), str(inp_sp)
+    )
+    out_sp = tmp_path / "out_sp"
+    proc_sp = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp_sp),
+            "--output", str(out_sp),
+            "--spell", "--spell-min-count", "20",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc_sp.returncode == 0, proc_sp.stderr[-2000:]
+    got_sp = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select url, text from '{out_sp}/*.parquet'"
+        ).fetchall()
+    }
+    corrected = got_sp["https://typo.example/p"]
+    assert wrong not in corrected.lower().split(), corrected
+    assert "say" in corrected
