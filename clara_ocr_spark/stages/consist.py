@@ -93,11 +93,13 @@ def assert_observed(obs) -> None:
     Catalyst's PropagateEmptyRelation collapses it to an empty
     LocalTableScan and the CollectMetrics node — gate included — is
     optimized out, so the observation never receives metrics: the JVM
-    Observation's row stays null and ``obs.get`` dies converting it.
-    Zero rows have zero violations by definition, so a null row is a
-    pass — detected by inspecting the row directly rather than
-    catching around ``obs.get``, so any OTHER failure (never observed,
-    serialization, executor loss) still propagates (ADVICE r2)."""
+    Observation resolves to an EMPTY schemaless ``GenericRow`` (``[]``)
+    and ``obs.get`` dies converting it (``toPyRow`` asserts
+    ``GenericRowWithSchema``). Zero rows have zero violations by
+    definition, so an empty metrics row is a pass — detected by
+    inspecting the row directly rather than catching around
+    ``obs.get``, so any OTHER failure (never observed, serialization,
+    executor loss) still propagates (ADVICE r2)."""
     jo = getattr(obs, "_jo", None)
     if jo is None:
         # observe() was never attached — a caller bug, not an empty
@@ -106,7 +108,8 @@ def assert_observed(obs) -> None:
             "assert_observed called on an Observation that was never "
             "attached via observe_consistency"
         )
-    if jo.getRow() is None:  # blocks until the first action completes
+    row = jo.getRow()  # blocks until the first action completes
+    if row is None or row.length() == 0:
         return  # observed subtree optimized away ⇒ empty ⇒ consistent
     vals = obs.get
     bad = {k: v for k, v in vals.items() if v and v > 0}
