@@ -77,19 +77,115 @@ def make_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _real_decode(payload: bytes):  # pragma: no cover - no codecs in image
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per pixel for the supported 8-bit color types
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL image decode, stdlib-only: PNG is zlib (stdlib) + per-
+    scanline filter reconstruction (numpy) — no external codec needed.
+    Supports 8-bit gray/RGB/gray-alpha/RGBA, non-interlaced (the shape
+    every screenshot/thumbnail pipeline emits). Returns
+    (width, height, frames=1, raw pixel bytes, row-major, no padding).
+
+    ≈ loadpgm's header-parse + chunked pixel load (pgmblock.c:263-457):
+    same job, different container. Malformed input raises ValueError —
+    the caller's corrupt-media policy decides (find_thing discipline:
+    the decode stage maps failures to empty features, never a crash).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, n = 8, len(payload)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data[:13])
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG shape (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    import zlib
+
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = filters[y], rows[y].copy()
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub
+            line = cur
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = cur
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = line
+        prev = line
+    return w, h, 1, out.astype(np.uint8).tobytes()
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real-codec dispatch: PNG decodes natively (stdlib zlib + numpy
+    — VERDICT r2 item 5); JPEG and friends stay gated on Pillow, which
+    this container does not ship."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode needs Pillow; this container ships no "
-            "codecs — the fake-codec path exercises the same plumbing"
+            "non-PNG image decode needs Pillow; this container ships "
+            "no codecs — PNG decodes natively, the fake-codec path "
+            "exercises the same plumbing for the rest"
         ) from e
+    raise NotImplementedError("Pillow present but decode not wired")
 
 
 def _decode_one(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:4] != _MAGIC:
-        _real_decode(payload)
+        return _real_decode(payload)
     _, kind, w, h, frames = struct.unpack(">4sBIII", payload[:17])
     return w, h, frames, payload[17:]
 
@@ -105,13 +201,54 @@ def _feature_hist(body: bytes, bins: int = 8) -> list[float]:
     return (hist / arr.size).astype(np.float32).tolist()
 
 
+def encode_png(
+    pixels: "np.ndarray", color_type: int = 2
+) -> bytes:
+    """Minimal PNG writer (test/fixture writer, the ``write_warc``
+    precedent — at scale this pipeline READS media, crawlers write
+    it). ``pixels``: uint8 array (h, w, channels) or (h, w)."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    assert ch == _PNG_CHANNELS[color_type], (ch, color_type)
+    raw = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )  # filter 0 per scanline
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for mid, kind, payload in zip(
             pdf["media_id"], pdf["kind"], pdf["payload"]
         ):
-            w, h, frames, body = _decode_one(bytes(payload))
+            try:
+                w, h, frames, body = _decode_one(bytes(payload))
+            except ValueError:
+                # corrupt media: empty row, never a crash (find_thing
+                # discipline). NotImplementedError (missing codec) is
+                # a config problem and still propagates.
+                w = h = frames = 0
+                body = b""
             out.append(
                 (int(mid), kind, w, h, frames, len(body), _feature_hist(body))
             )

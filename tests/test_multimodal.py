@@ -60,8 +60,124 @@ def test_resize_plan_aspect(spark):
 
 
 def test_real_codec_stub_raises():
+    # JPEG stays Pillow-gated (no codec shipped in this container)
     with pytest.raises(NotImplementedError, match="Pillow"):
-        _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        _decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+# -- real PNG decode (stdlib zlib + numpy filter reconstruction) --------
+
+
+def _gradient(h, w, ch):
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+    )
+    return ((x * 7 + y * 13 + c * 29) % 256).astype(np.uint8)
+
+
+def test_png_roundtrip_golden():
+    """Real image bytes → decode → exact pixel recovery (VERDICT r2
+    item 5): encode a deterministic gradient as PNG, decode with the
+    stdlib path, require byte-identical pixels and a pinned feature
+    histogram."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import (
+        _feature_hist,
+        encode_png,
+    )
+
+    for color_type, ch in ((0, 1), (2, 3), (6, 4)):
+        px = _gradient(40, 24, ch)
+        if ch == 1:
+            px = px[:, :, 0]
+        blob = encode_png(px, color_type)
+        w, h, frames, body = _decode_one(blob)
+        assert (w, h, frames) == (24, 40, 1)
+        assert body == np.asarray(px, dtype=np.uint8).tobytes()
+    # pinned golden: 8-bin histogram of the RGB gradient is uniform to
+    # within one step (the mod-256 ramp covers byte space evenly)
+    hist = _feature_hist(_decode_one(encode_png(_gradient(40, 24, 3)))[3])
+    assert len(hist) == 8 and abs(sum(hist) - 1.0) < 1e-6
+    assert max(hist) - min(hist) < 0.02
+
+
+def test_png_filtered_scanlines_decode():
+    """Filters 1-4 (Sub/Up/Average/Paeth) reconstruct exactly: build a
+    PNG whose scanlines use each filter, via a reference filterer."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import _PNG_SIG
+
+    px = _gradient(5, 6, 3)
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    raws = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[ch:] = (cur[ch:] - cur[:-ch]) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = cur.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                enc[x] = (cur[x] - ((a + prev[x]) >> 1)) % 256
+        else:
+            enc = cur.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pr) % 256
+        raws.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        _PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, _, body = _decode_one(blob)
+    assert (dw, dh) == (w, h)
+    assert body == px.tobytes()
+
+
+def test_corrupt_media_maps_to_empty_row(spark):
+    """Corrupt PNG in the media table: the decode stage emits an empty
+    row for it (zero dims, empty features) instead of failing the job."""
+    from clara_ocr_spark.sources.multimodal import MEDIA_SCHEMA, encode_png
+
+    good = encode_png(_gradient(8, 8, 3))
+    bad = good[:40]  # truncated mid-IHDR/IDAT
+    media = spark.createDataFrame(
+        [(0, "image", good), (1, "image", bad)], MEDIA_SCHEMA
+    )
+    rows = {r.media_id: r for r in decode(media).collect()}
+    assert rows[0].width == 8 and rows[0].n_bytes == 8 * 8 * 3
+    assert rows[1].width == 0 and rows[1].n_bytes == 0
 
 
 def test_fake_codec_roundtrip():
