@@ -134,6 +134,14 @@ def main() -> None:
         "One user-keyed aggregate with conditional mins (full map-side\n"
         "partials), then a scalar reduce — no self-joins, no windows.",
     )
+    add(
+        "spell_correct (SymSpell delete-1 dictionary probe)",
+        REGISTRY["spell_correct"][0](spark, SF),
+        "Candidates come from an EQUI hash join on the delete-1 variant\n"
+        "key (never an all-pairs levenshtein nested loop); the exact\n"
+        "levenshtein verify runs only on collided candidates; vocabulary\n"
+        "and typo sides both partially aggregate before exploding.",
+    )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

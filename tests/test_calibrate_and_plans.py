@@ -267,3 +267,16 @@ def test_deskew_profile_matches_catalog_query(spark, sf001):
         for r in REGISTRY["deskew_search"][0](spark, sf001).collect()
     }
     assert got == want
+
+
+def test_spell_correct_plan_equi_join_only(spark, sf001):
+    """The SymSpell candidate stage must be a hash EQUI join on the
+    variant key — an all-pairs levenshtein formulation shows up as a
+    BroadcastNestedLoopJoin / CartesianProduct and dies at corpus
+    scale."""
+    from clara_ocr_spark.plans.bucketing import explain_str
+    from clara_ocr_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["spell_correct"][0](spark, sf001))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # the verify survives in the plan
