@@ -185,3 +185,31 @@ def test_fake_codec_roundtrip():
     w, h, frames, body = _decode_one(blob)
     assert (w, h, frames) == (100, 50, 24)
     assert len(body) == min(100 * 50, 4096)
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is the identity for arbitrary small
+    images across all supported color types (hypothesis-driven)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clara_ocr_spark.sources.multimodal import encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),
+        st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ct_ch, seed):
+        color_type, ch = ct_ch
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        arg = px[:, :, 0] if ch == 1 else px
+        dw, dh, frames, body = _decode_one(encode_png(arg, color_type))
+        assert (dw, dh, frames) == (w, h, 1)
+        assert body == px.tobytes()
+
+    check()
