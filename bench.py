@@ -82,6 +82,8 @@ HEADLINE = [
     "retention_cohorts",  # added r2: cohort matrix
     "funnel_conversion",  # added r2: ordered funnel
     "spell_correct",  # added r3: SymSpell delete-1 dictionary correction
+    "stream_windowed_counts",  # added r3: streaming watermarked windows
+    "stream_sessionize",  # added r3: streaming stateful sessionization
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -3962,6 +3962,122 @@ def spell_correct(spark, sf_dir):
     )
 
 
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """File-source streaming needs a DIRECTORY; expose the static
+    table file through a temp dir (symlink — zero copy). At scale the
+    events feed already lands as a directory of shards."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/{table}.parquet"),
+        os.path.join(d, f"{table}.parquet"),
+    )
+    return d
+
+
+@q(
+    "stream_windowed_counts",
+    """
+    with mx as (select max(ts) as m from events)
+    select date_trunc('hour', ts) as win_start, event_type,
+           count(*) as n, round(sum(value), 2) as total
+    from events, mx
+    group by date_trunc('hour', ts), event_type, mx.m
+    having date_trunc('hour', ts) + interval '1 hour'
+           <= mx.m - interval '1 hour'
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming, driver-signed: the events table replayed
+    through ``readStream`` → watermarked tumbling-window aggregation →
+    append-mode drain (``streaming/events_stream.windowed_event_counts``
+    — the continuous twin of the batch ``events_hourly``).
+
+    Determinism contract: an availableNow drain of a static table ends
+    with the watermark at max(ts) − 1 h, and append mode emits exactly
+    the windows whose END ≤ that watermark — so the streamed result
+    equals the batch aggregation restricted to those closed windows,
+    which is what the DuckDB oracle computes. Unflushed tail windows
+    (the last ~2 h of data) are the documented cost of append-mode
+    exactness, not missing data — a longer-running stream flushes them
+    as the watermark advances."""
+    import tempfile
+
+    from .streaming.events_stream import (
+        drain_to_memory,
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    name = "stream_windowed_counts_sink"
+    spark.catalog.dropTempView(name)  # False if absent, never raises
+    stream = read_events_stream(spark, _stream_dir(sf_dir, "events"))
+    out = drain_to_memory(
+        spark,
+        windowed_event_counts(stream, "1 hour", "1 hour"),
+        name,
+        tempfile.mkdtemp(prefix="ck_swc_"),
+        output_mode="append",
+    )
+    return out.select(
+        "win_start",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "total",
+    )
+
+
+@q(
+    "stream_sessionize",
+    """
+    with g as (
+      select user_id,
+             case when lag(ts) over w is null
+                       or ts - lag(ts) over w > interval '1800 seconds'
+                  then 1 else 0 end as new_s
+      from events
+      window w as (partition by user_id order by ts))
+    select user_id, count(*) as n_events,
+           cast(sum(new_s) as bigint) as n_sessions
+    from g group by user_id
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Structured Streaming custom stateful operator, driver-signed:
+    per-user gap sessionization via ``applyInPandasWithState``
+    (``streaming/events_stream.user_sessions_stateful`` — arbitrary
+    state, Arrow-batched; the streaming twin of the batch
+    ``sessionize`` / word-building, build.c:1020-1152). End-of-drain
+    running totals must equal the batch window computation — the
+    DuckDB oracle. Update-mode sink rows are per-batch running states;
+    the final state per user is the max (counts are monotone), which
+    also makes the check replay-robust."""
+    import tempfile
+
+    from .streaming.events_stream import (
+        drain_to_memory,
+        read_events_stream,
+        user_sessions_stateful,
+    )
+
+    name = "stream_sessionize_sink"
+    spark.catalog.dropTempView(name)  # False if absent, never raises
+    stream = read_events_stream(spark, _stream_dir(sf_dir, "events"))
+    out = drain_to_memory(
+        spark,
+        user_sessions_stateful(stream),
+        name,
+        tempfile.mkdtemp(prefix="ck_ss_"),
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_sessions").alias("n_sessions"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -4005,9 +4121,9 @@ DRIVER_WINDOW = [
     "deskew_search",          # §2.9 pp_deskew parameter search
     "pattern_acts",           # §2.12 review_patt pattern edits
     "spell_correct",          # §2.12 step_12 spelling (r3, beyond stub)
+    "stream_windowed_counts", # streaming watermarked window agg (r3)
+    "stream_sessionize",      # streaming stateful sessionization (r3)
     # -- driver-signed (r02) representatives, one per §2 family -------
-    "pricing_summary",        # §2.4 per-page stats counters
-    "range_filter",           # §2.1 region export / §2.2 range query
     "value_histogram",        # §2.1 loadpgm / §2.4 gray histogram
     "latest_wins",            # §2.1 acts / §2.6 / §2.12 vote order
     "topk_doubts",            # §2.1 doubts sink / §2.5 top-k

@@ -62,6 +62,7 @@ def test_driver_window_invariants():
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
         "llm_tfidf": {"tfidf_top_terms", "inverted_index"},
+        "streaming": {"stream_windowed_counts", "stream_sessionize"},
     }
     uncovered = {f for f, reps in families.items() if not (reps & window)}
     assert not uncovered, f"families without a driver-window rep: {uncovered}"
@@ -167,6 +168,7 @@ EDGE_EVENT_QUERIES = [
     "ntile_quartiles", "pivot_by_type", "argmax_per_group",
     "structural_acts", "regex_extract_props", "salted_user_stats",
     "exists_semi_join", "anti_join_discard", "range_join_bucketed",
+    "stream_windowed_counts", "stream_sessionize",  # r3 streaming twins
 ]
 
 
