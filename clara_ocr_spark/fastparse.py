@@ -28,6 +28,13 @@ from .domparse import _BlockParser, Block, decode_html
 _RAWTEXT = ("script", "style")
 
 _NAME_RE = re.compile(r"[a-zA-Z][-.a-zA-Z0-9:_]*")
+
+#: html.parser closes comments on ``--\s*>`` (_markupbase
+#: _commentclose), NOT the literal ``-->`` — ``<!--a--   >`` is a
+#: closed comment there; a literal find() diverged (hypothesis-found:
+#: ``<!--<!-- >`` has an inner ``-- >`` close). Same pattern, same
+#: unicode \s semantics.
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
 #: html.parser endtagfind: whitespace allowed around the name
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 #: html.parser tagfind_tolerant name part (relaxed end-tag parsing)
@@ -91,11 +98,11 @@ def _parse_events(s: str, p: _BlockParser) -> None:
             if s.startswith("<![", lt):
                 raise _OffDomain("marked section")  # <![CDATA[ etc.
             if s.startswith("<!--", lt):
-                end = s.find("-->", lt + 4)
-                if end < 0:
+                m = _COMMENT_CLOSE_RE.search(s, lt + 4)
+                if m is None:
                     i = _eof_resume(lt)
                     continue
-                i = end + 3
+                i = m.end()
             else:  # doctype / CDATA-ish declaration
                 end = s.find(">", lt)
                 if end < 0:

@@ -41,6 +41,19 @@ EDGES = [
     b"<script>if (a < b && c > d) { x = '<p>'; }</script><p>real</p>",
     b"<style>p > a { color: red }</style><p>real</p>",
     b"<!-- comment with <p>fake</p> --><p>real</p>",
+    # html.parser closes comments on the REGEX --\s*> (not literal
+    # -->): whitespace-padded closes, nested opens, the degenerate
+    # <!--> / <!---> forms, and unterminated comments at EOF
+    b"<!--<!-- >",
+    b"<!--<!-- > more",
+    b"<!--a--   >x",
+    b"<!--a--\t>x",
+    b"<!--a-- -->x",
+    b"<!-->",
+    b"<!--->",
+    b"<!---->",
+    b"<!-- unterminated",
+    b"<p>a<!-- c --\f>b</p>",
     b"<!DOCTYPE html><?xml pi?><p>x</p>",
     b"<p class='q\"z' title=\"a>b\">attr quoting</p>",
     b"<br><br/><hr/><p>voids</p>",
