@@ -94,29 +94,64 @@ def write_pages_text(df: DataFrame, path: str, format: str) -> None:
         raise ValueError(f"unknown pages format: {format}")
 
 
-def write_warc(rows, path: str) -> None:
-    """Write WARC/1.0 response records (test/fixture writer — one
-    file per call; a crawler writes these, we only need to READ them
-    at scale). ``rows``: dicts with url, warc_ts, html."""
+def write_warc(rows, path: str, gzip_members: bool = False) -> None:
+    """Write WARC/1.0 records (test/fixture writer — one file per
+    call; a crawler writes these, we only need to READ them at scale).
+    ``rows``: dicts with url, warc_ts, and html (response records) or
+    text (conversion records, the WET shape). ``gzip_members=True``
+    writes one gzip member per record — the production .warc.gz
+    layout."""
+    import gzip as _gzip
+
     with open(path, "wb") as f:
         for r in rows:
-            payload = r["html"] or b""
+            if r.get("html") is not None:
+                wtype, payload = "response", bytes(r["html"])
+            else:
+                wtype, payload = "conversion", (r.get("text") or "").encode(
+                    "utf-8"
+                )
             ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
             head = (
                 "WARC/1.0\r\n"
-                "WARC-Type: response\r\n"
+                f"WARC-Type: {wtype}\r\n"
                 f"WARC-Target-URI: {r['url']}\r\n"
                 f"WARC-Date: {ts}\r\n"
                 f"Content-Length: {len(payload)}\r\n"
                 "\r\n"
             ).encode()
-            f.write(head + payload + b"\r\n\r\n")
+            rec = head + payload + b"\r\n\r\n"
+            f.write(_gzip.compress(rec) if gzip_members else rec)
+
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _ungzip_members(data: bytes) -> bytes:
+    """Concatenate every gzip member of a .warc.gz file (the
+    production layout: one member per record, so a reader can seek to
+    any record offset; stdlib zlib walks members via unused_data)."""
+    import zlib
+
+    out = []
+    while data[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data))
+        data = d.unused_data
+        if not d.eof:  # truncated member: keep what decoded
+            break
+    return b"".join(out)
 
 
 def _parse_warc_bytes(data: bytes):
-    """Yield (url, iso_ts, payload) per WARC/1.0 response record.
+    """Yield (url, iso_ts, payload, warc_type) per WARC/1.0 record of
+    interest — ``response`` (html bytes, the WARC crawl shape) and
+    ``conversion`` (extracted text, the WET sidecar shape).
     Content-Length-driven slicing — payloads may contain anything,
-    including 'WARC/1.0' lookalikes."""
+    including 'WARC/1.0' lookalikes. Gzipped input (.warc.gz /
+    .wet.gz, per-record members) is inflated first."""
+    if data[:2] == _GZIP_MAGIC:
+        data = _ungzip_members(data)
     pos = 0
     while True:
         start = data.find(b"WARC/1.0\r\n", pos)
@@ -132,11 +167,13 @@ def _parse_warc_bytes(data: bytes):
         n = int(headers.get("content-length", "0"))
         body = data[hdr_end + 4 : hdr_end + 4 + n]
         pos = hdr_end + 4 + n
-        if headers.get("warc-type") == "response":
+        wtype = headers.get("warc-type")
+        if wtype in ("response", "conversion"):
             yield (
                 headers.get("warc-target-uri", ""),
                 headers.get("warc-date", ""),
                 body,
+                wtype,
             )
 
 
@@ -147,12 +184,17 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
     leaves the parsing task, the same discipline as the html column
     in the extraction pipeline).
 
-    Minimal WARC/1.0: uncompressed response records, Content-Length
-    framing. Production crawls gzip per-record (.warc.gz members) —
-    swap the byte-splitter for a gzip-member walk there; the Spark
-    shape (binaryFile scan → mapInPandas record parse → PAGES schema)
-    is unchanged. Records carry no pre-extracted text/lang, so those
-    columns come back NULL — extraction derives them.
+    WARC/1.0 with Content-Length framing, plain or with per-record
+    gzip members (.warc.gz / .wet.gz — stdlib zlib walks the members;
+    the Spark shape — binaryFile scan → mapInPandas record parse →
+    PAGES schema — is unchanged either way). Two record kinds map to
+    the pages schema:
+
+    * ``response`` (WARC crawl files): payload → ``html``; text/lang
+      come back NULL — extraction derives them;
+    * ``conversion`` (WET extracted-text sidecars): payload →
+      ``text`` (UTF-8), html NULL — the pre-extracted shape, usable
+      directly by the curation pipeline or as an extraction oracle.
 
     Timezone: WARC-Date is UTC; Spark reads a tz-naive pandas value as
     *session-zone* wall time, so the instant is first converted to the
@@ -171,7 +213,9 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
                 "text": [], "lang": [],
             }
             for content in pdf["content"]:
-                for url, ts, body in _parse_warc_bytes(bytes(content)):
+                for url, ts, body, wtype in _parse_warc_bytes(
+                    bytes(content)
+                ):
                     out["url"].append(url)
                     out["warc_ts"].append(
                         pd.to_datetime(ts, utc=True)
@@ -180,8 +224,14 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
                         if ts
                         else pd.NaT
                     )
-                    out["html"].append(body)
-                    out["text"].append(None)
+                    if wtype == "response":
+                        out["html"].append(body)
+                        out["text"].append(None)
+                    else:  # conversion (WET): pre-extracted text
+                        out["html"].append(None)
+                        out["text"].append(
+                            body.decode("utf-8", errors="replace")
+                        )
                     out["lang"].append(None)
             yield pd.DataFrame(out)
 

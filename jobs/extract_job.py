@@ -123,9 +123,10 @@ def main(argv: list[str] | None = None) -> None:
         default="parquet",
         choices=["parquet", "jsonl", "csv", "warc"],
         help="pages container (jsonl/csv carry html base64 in "
-        "html_b64; warc reads crawler-native WARC/1.0 response "
-        "records; first touch should land into the bucketed parquet "
-        "layout — SCALE.md)",
+        "html_b64; warc reads crawler-native WARC/1.0 files — plain "
+        "or per-record-gzipped .warc.gz, response records into html "
+        "and WET conversion records into text; first touch should "
+        "land into the bucketed parquet layout — SCALE.md)",
     )
     ap.add_argument(
         "--output-format",

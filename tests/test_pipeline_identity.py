@@ -382,3 +382,70 @@ def test_committed_goldens(spark, tmp_path):
     )
     got = {r.url: r.text for r in extract(df).collect()}
     assert got == want
+
+
+def test_warc_gz_members_roundtrip(spark, corpus_path, tmp_path):
+    """.warc.gz with one gzip member per record (the production
+    Common-Crawl layout): stdlib member walk yields the same
+    extraction as the plain container."""
+    from clara_ocr_spark.sources.formats import read_pages_warc, write_warc
+
+    pages = read_pages(spark, corpus_path)
+    rows = pages.limit(40).collect()
+    want = {
+        r.url: r.text
+        for r in extract(
+            pages.join(
+                spark.createDataFrame([(r.url,) for r in rows], "url string"),
+                "url", "left_semi",
+            )
+        ).collect()
+    }
+    write_warc(
+        [
+            {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html or b"")}
+            for r in rows
+        ],
+        str(tmp_path / "a.warc.gz"),
+        gzip_members=True,
+    )
+    back = read_pages_warc(spark, str(tmp_path / "a.warc.gz"))
+    assert back.count() == len(rows)
+    got = {r.url: r.text for r in extract(back).collect()}
+    assert got == want
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET sidecars (WARC-Type: conversion): payload lands in the text
+    column — the pre-extracted shape — html stays NULL, and response +
+    conversion records coexist in one file."""
+    import datetime
+
+    from clara_ocr_spark.sources.formats import read_pages_warc, write_warc
+
+    ts = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    write_warc(
+        [
+            {"url": "https://wet.example/a", "warc_ts": ts,
+             "html": None, "text": "pre extracted text ä ö"},
+            {"url": "https://raw.example/b", "warc_ts": ts,
+             "html": b"<p>raw html body with enough words to keep</p>"},
+            {"url": "https://wet.example/c", "warc_ts": ts,
+             "html": None, "text": "WARC/1.0\r\nlookalike inside text"},
+        ],
+        str(tmp_path / "mixed.wet.gz"),
+        gzip_members=True,
+    )
+    rows = {
+        r.url: r
+        for r in read_pages_warc(
+            spark, str(tmp_path / "mixed.wet.gz")
+        ).collect()
+    }
+    assert len(rows) == 3
+    a = rows["https://wet.example/a"]
+    assert a.text == "pre extracted text ä ö" and a.html is None
+    b = rows["https://raw.example/b"]
+    assert b.text is None and b"raw html body" in bytes(b.html)
+    c = rows["https://wet.example/c"]
+    assert c.text == "WARC/1.0\r\nlookalike inside text"
