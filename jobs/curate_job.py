@@ -52,8 +52,20 @@ def main(argv: list[str] | None = None) -> None:
         "quality-passing docs sharing a word-5-gram with it are "
         "rejected as `contaminated` before dedup",
     )
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "warc", "wet"],
+        help="parquet pages table (default); warc = crawl files "
+        "(response records, extraction runs here); wet = WET "
+        "extracted-text sidecars (conversion records — the text "
+        "column IS the extraction, so curation starts at the quality "
+        "gate: the Common-Crawl-native curation path)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
+    if args.input_format == "wet" and args.mixed:
+        ap.error("--mixed extracts from raw payloads; WET is pre-extracted")
 
     from jobs.extract_job import build_session
 
@@ -63,8 +75,22 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = CurateConfig.from_args(args.overrides)
     spark = build_session()
-    pages = spark.read.parquet(args.input)
-    extracted = (extract_mixed if args.mixed else extract)(pages)
+    if args.input_format == "parquet":
+        pages = spark.read.parquet(args.input)
+    else:
+        from clara_ocr_spark.sources.formats import read_pages_warc
+
+        pages = read_pages_warc(spark, args.input)
+    if args.input_format == "wet":
+        import pyspark.sql.functions as F
+
+        # conversion records carry the extracted text already; html is
+        # NULL by construction — no extraction pass at all
+        extracted = pages.select(
+            "url", F.coalesce("text", F.lit("")).alias("text")
+        )
+    else:
+        extracted = (extract_mixed if args.mixed else extract)(pages)
     eval_texts = (
         spark.read.parquet(args.decontaminate)
         if args.decontaminate

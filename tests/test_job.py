@@ -381,3 +381,56 @@ def test_extract_job_deskew_and_spell(tmp_path):
     corrected = got_sp["https://typo.example/p"]
     assert wrong not in corrected.lower().split(), corrected
     assert "say" in corrected
+
+
+def test_curate_job_wet_input(tmp_path):
+    """The Common-Crawl-native curation path in a fresh interpreter:
+    WET sidecar (.wet.gz, conversion records) → curate_job skips
+    extraction, the count gate partitions the input exactly, and an
+    injected exact duplicate is rejected."""
+    import datetime
+
+    from clara_ocr_spark.sources.corpus import gen_page
+    from clara_ocr_spark.sources.formats import write_warc
+
+    ts = datetime.datetime(2024, 4, 1, 0, 0, 0)
+    rows = [
+        {"url": f"https://wet.example/{i}", "warc_ts": ts,
+         "html": None, "text": gen_page(i, seed=41)["text"]}
+        for i in range(30)
+    ]
+    rows.append(
+        {"url": "https://wet.example/dup", "warc_ts": ts,
+         "html": None, "text": rows[0]["text"]}  # exact duplicate
+    )
+    wet = tmp_path / "crawl.wet.gz"
+    write_warc(rows, str(wet), gzip_members=True)
+    out_c, out_r = tmp_path / "curated", tmp_path / "rejects"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "curate_job.py"),
+            "--input", str(wet),
+            "--input-format", "wet",
+            "--curated", str(out_c),
+            "--rejects", str(out_r),
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    n_c = duckdb.sql(f"select count(*) from '{out_c}/*.parquet'").fetchone()[0]
+    rej = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select url, reason from '{out_r}/*.parquet'"
+        ).fetchall()
+    }
+    assert n_c + len(rej) == len(rows)  # exact partition of the input
+    # the duplicate pair collapsed: exactly one of the two survives
+    dup_pair = {"https://wet.example/0", "https://wet.example/dup"}
+    assert len(dup_pair - set(rej)) == 1
+    assert any("dup" in (v or "") for k, v in rej.items() if k in dup_pair)
