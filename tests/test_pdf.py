@@ -638,3 +638,57 @@ def test_layout_plan_two_exchanges(spark, pdf_rows):
     assert "html" not in plan.split("Exchange", 1)[0].split("MapInPandas")[0]
     # one Python boundary only
     assert plan.count("MapInPandas") == 1
+
+
+class TestPageSkewAngles:
+    """rect→polar (`ro` analogue) driving the page text-flow angle."""
+
+    def test_level_corpus_reads_zero(self, spark):
+        """The synthetic corpus is unrotated: every page's median
+        flow angle is 0° and votes exist on every multi-run page."""
+        import pyarrow as pa
+
+        from clara_ocr_spark.functions.geometry import page_skew_angles
+        from clara_ocr_spark.sources.corpus import PAGES_SCHEMA
+        from clara_ocr_spark.stages.layout import parse_runs
+
+        rows = [gen_pdf_page(i, seed=13) for i in range(25)]
+        pages = spark.createDataFrame(
+            pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+        )
+        got = page_skew_angles(
+            parse_runs(pages).filter("page >= 0")
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            if r.n_votes >= 3:
+                assert abs(r.skew_deg) < 1e-9, (r.url, r.page, r.skew_deg)
+
+    def test_rotated_runs_read_their_angle(self, spark):
+        """Synthetically rotated run geometry reads back the rotation
+        (the quantity the reference's deskew geometry measures)."""
+        import math
+
+        from clara_ocr_spark.functions.geometry import page_skew_angles
+
+        deg = 1.0  # the small-skew regime the estimator targets
+        t = math.radians(deg)
+        rows = []
+        x = 0.0
+        for i in range(12):
+            # word i starts where word i-1 ended plus a space, the
+            # whole line tilted by `deg`
+            x0 = i * 30.0
+            rows.append((
+                "u", 0,
+                x0 * math.cos(t), (x0 + 24.0) * math.cos(t),
+                x0 * math.sin(t), 12.0, f"w{i}",
+            ))
+        runs = spark.createDataFrame(
+            rows,
+            "url string, page int, x double, x_end double, y double, "
+            "size double, text string",
+        )
+        got = page_skew_angles(runs).collect()[0]
+        assert got.n_votes > 0
+        assert abs(got.skew_deg - deg) < 0.3  # within the vote spread
