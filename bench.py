@@ -84,6 +84,7 @@ HEADLINE = [
     "spell_correct",  # added r3: SymSpell delete-1 dictionary correction
     "stream_windowed_counts",  # added r3: streaming watermarked windows
     "stream_sessionize",  # added r3: streaming stateful sessionization
+    "stream_dedup_replay",  # added r3: exactly-once replay dedup
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -4030,6 +4030,51 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 @q(
+    "stream_dedup_replay",
+    """
+    select event_id, user_id, event_type, value
+    from events
+    """,
+)
+def stream_dedup_replay(spark, sf_dir):
+    """Streaming exactly-once ingestion under full replay,
+    driver-signed: the events table is delivered TWICE (two files in
+    the stream dir, one micro-batch each — a crash-replay of the whole
+    feed), and ``dropDuplicatesWithinWatermark`` must emit every event
+    exactly once — the streaming twin of new_mc / ``dedup_exact``
+    (symbol.c:1407-1427). Oracle: the plain table (each event once).
+
+    Replayed rows die twice over: ids still in dedup state collide,
+    and rows older than the advanced watermark are late — either path
+    yields the same exactly-once output, which is the point (state
+    eviction by watermark does not reopen the at-most-once guarantee
+    for replays inside the lateness horizon)."""
+    import os
+    import tempfile
+
+    from .streaming.events_stream import (
+        dedup_events,
+        drain_to_memory,
+        read_events_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_replay_")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, os.path.join(d, "events_a.parquet"))
+    os.symlink(src, os.path.join(d, "events_b.parquet"))  # the replay
+    name = "stream_dedup_replay_sink"
+    spark.catalog.dropTempView(name)  # False if absent, never raises
+    out = drain_to_memory(
+        spark,
+        dedup_events(read_events_stream(spark, d)),
+        name,
+        tempfile.mkdtemp(prefix="ck_sdr_"),
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@q(
     "stream_sessionize",
     """
     with g as (
@@ -4123,8 +4168,8 @@ DRIVER_WINDOW = [
     "spell_correct",          # §2.12 step_12 spelling (r3, beyond stub)
     "stream_windowed_counts", # streaming watermarked window agg (r3)
     "stream_sessionize",      # streaming stateful sessionization (r3)
+    "stream_dedup_replay",    # streaming exactly-once replay dedup (r3)
     # -- driver-signed (r02) representatives, one per §2 family -------
-    "value_histogram",        # §2.1 loadpgm / §2.4 gray histogram
     "latest_wins",            # §2.1 acts / §2.6 / §2.12 vote order
     "topk_doubts",            # §2.1 doubts sink / §2.5 top-k
     "broadcast_classify",     # §2.3 broadcast join / §2.8 classify

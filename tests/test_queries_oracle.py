@@ -62,7 +62,8 @@ def test_driver_window_invariants():
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
         "llm_tfidf": {"tfidf_top_terms", "inverted_index"},
-        "streaming": {"stream_windowed_counts", "stream_sessionize"},
+        "streaming": {"stream_windowed_counts", "stream_sessionize",
+                      "stream_dedup_replay"},
     }
     uncovered = {f for f, reps in families.items() if not (reps & window)}
     assert not uncovered, f"families without a driver-window rep: {uncovered}"
@@ -169,6 +170,7 @@ EDGE_EVENT_QUERIES = [
     "structural_acts", "regex_extract_props", "salted_user_stats",
     "exists_semi_join", "anti_join_discard", "range_join_bucketed",
     "stream_windowed_counts", "stream_sessionize",  # r3 streaming twins
+    "stream_dedup_replay",  # unique ids in fixture: oracle stays exact
 ]
 
 
