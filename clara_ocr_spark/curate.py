@@ -167,6 +167,7 @@ def curate(
     extracted: DataFrame,
     cfg: CurateConfig = CurateConfig(),
     eval_texts: DataFrame | None = None,
+    gate_obs=None,
 ) -> tuple:
     """extracted(url, text) → (curated, rejected).
 
@@ -189,6 +190,17 @@ def curate(
     first)."""
     feats = text_features(extracted).localCheckpoint(eager=False)
     gated = feats.withColumn("reason", quality_reason(cfg))
+    if gate_obs is not None:
+        # Input-count observation for the caller's consistency gate,
+        # attached ABOVE the checkpoint: a CollectMetrics node below a
+        # localCheckpoint is compiled into the checkpointed RDD and
+        # never appears in any downstream QueryExecution, so an
+        # Observation on `extracted` silently never fills (VERDICT r3
+        # item 6 found this the hard way).  Here the node sits in both
+        # the curated and rejected write plans; filters are not pushed
+        # through CollectMetrics, so the first write streams every
+        # gated row through it and fills the count.
+        gated = gated.observe(gate_obs, F.count(F.lit(1)).alias("n_in"))
     passing = gated.filter(F.col("reason").isNull())
     cont_rejected = None
     if eval_texts is not None:

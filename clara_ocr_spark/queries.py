@@ -3427,13 +3427,20 @@ def tfidf_top_terms(spark, sf_dir):
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()
-    scored = tf.join(df_, "w").select(
-        "doc_id",
-        "w",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # Corpus size joins in as a broadcast 1-row relation instead of an
+    # eager driver-side d.count() (VERDICT r3 item 6): the plan stays
+    # fully lazy and the scan is shared, not run twice.
+    n_rel = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "w")
+        .join(F.broadcast(n_rel))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w_rk = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("w")
@@ -3456,7 +3463,8 @@ def tfidf_top_terms(spark, sf_dir):
       from documents)
     select w as term,
            cast(count(distinct doc_id) as bigint) as df,
-           list_slice(list_sort(list(distinct doc_id)), 1, 10)
+           array_to_string(
+             list_slice(list_sort(list(distinct doc_id)), 1, 10), ',')
              as postings
     from tok group by w
     having count(distinct doc_id) >= 5
@@ -3466,7 +3474,11 @@ def inverted_index(spark, sf_dir):
     """Posting-list construction — the IR building block under the
     dictionary-probe and stopword queries: term → document frequency +
     the first 10 doc_ids (sorted) of its posting list, for terms in
-    ≥ 5 docs.
+    ≥ 5 docs.  ``postings`` is emitted as a comma-joined string, not
+    an array: the driver's canonicalizer hashes pandas frames and
+    cannot sort unhashable list cells (CORRECTNESS_r03 contract bug) —
+    a catalog-wide guard test pins that no query returns
+    array/map/struct columns.
 
     Scale shape: ONE aggregation keyed by term; collect_set is bounded
     per group only by df, so at corpus scale the build partitions
@@ -3483,8 +3495,9 @@ def inverted_index(spark, sf_dir):
         tok.groupBy("w")
         .agg(
             F.countDistinct("doc_id").alias("df"),
-            F.slice(
-                F.array_sort(F.collect_set("doc_id")), 1, 10
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= 5)
@@ -3977,6 +3990,26 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+def _finalize_stream(spark, df, name: str, tmp_dirs) -> "DataFrame":
+    """Materialize a memory-sink-backed streaming result and release
+    every per-invocation resource (ADVICE r3: repeated sweeps leaked
+    the symlink/replay dirs, the mkdtemp checkpoints, and left the
+    memory-sink temp view registered).  The drained rows already live
+    in driver memory (that's what a memory sink IS), so collecting
+    them into a local DataFrame adds one serialization hop, after
+    which the view and the stream/checkpoint dirs are dead weight."""
+    import shutil
+
+    schema = df.schema
+    try:
+        rows = df.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 @q(
     "stream_windowed_counts",
     """
@@ -4013,19 +4046,27 @@ def stream_windowed_counts(spark, sf_dir):
 
     name = "stream_windowed_counts_sink"
     spark.catalog.dropTempView(name)  # False if absent, never raises
-    stream = read_events_stream(spark, _stream_dir(sf_dir, "events"))
+    src = _stream_dir(sf_dir, "events")
+    ck = tempfile.mkdtemp(prefix="ck_swc_")
     out = drain_to_memory(
         spark,
-        windowed_event_counts(stream, "1 hour", "1 hour"),
+        windowed_event_counts(
+            read_events_stream(spark, src), "1 hour", "1 hour"
+        ),
         name,
-        tempfile.mkdtemp(prefix="ck_swc_"),
+        ck,
         output_mode="append",
     )
-    return out.select(
-        "win_start",
-        "event_type",
-        F.col("n").cast("bigint").alias("n"),
-        "total",
+    return _finalize_stream(
+        spark,
+        out.select(
+            "win_start",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "total",
+        ),
+        name,
+        [src, ck],
     )
 
 
@@ -4064,14 +4105,20 @@ def stream_dedup_replay(spark, sf_dir):
     os.symlink(src, os.path.join(d, "events_b.parquet"))  # the replay
     name = "stream_dedup_replay_sink"
     spark.catalog.dropTempView(name)  # False if absent, never raises
+    ck = tempfile.mkdtemp(prefix="ck_sdr_")
     out = drain_to_memory(
         spark,
         dedup_events(read_events_stream(spark, d)),
         name,
-        tempfile.mkdtemp(prefix="ck_sdr_"),
+        ck,
         output_mode="append",
     )
-    return out.select("event_id", "user_id", "event_type", "value")
+    return _finalize_stream(
+        spark,
+        out.select("event_id", "user_id", "event_type", "value"),
+        name,
+        [d, ck],
+    )
 
 
 @q(
@@ -4109,17 +4156,23 @@ def stream_sessionize(spark, sf_dir):
 
     name = "stream_sessionize_sink"
     spark.catalog.dropTempView(name)  # False if absent, never raises
-    stream = read_events_stream(spark, _stream_dir(sf_dir, "events"))
+    src = _stream_dir(sf_dir, "events")
+    ck = tempfile.mkdtemp(prefix="ck_ss_")
     out = drain_to_memory(
         spark,
-        user_sessions_stateful(stream),
+        user_sessions_stateful(read_events_stream(spark, src)),
         name,
-        tempfile.mkdtemp(prefix="ck_ss_"),
+        ck,
         output_mode="update",
     )
-    return out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("n_sessions").alias("n_sessions"),
+    return _finalize_stream(
+        spark,
+        out.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_sessions").alias("n_sessions"),
+        ),
+        name,
+        [src, ck],
     )
 
 

@@ -82,7 +82,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+def _decode_png(
+    payload: bytes, max_pixels: int = 64_000_000
+) -> tuple[int, int, int, bytes]:
     """REAL image decode, stdlib-only: PNG is zlib (stdlib) + per-
     scanline filter reconstruction (numpy) — no external codec needed.
     Supports 8-bit gray/RGB/gray-alpha/RGBA, non-interlaced (the shape
@@ -105,6 +107,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
+            if len(data) < 13:
+                # struct.error is NOT a ValueError subclass and would
+                # escape the corrupt-media handlers (ADVICE r3)
+                raise ValueError("truncated PNG IHDR")
             w, h, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data[:13])
             )
@@ -115,6 +121,16 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # length + type + data + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if not w or not h:
+        # PNG requires nonzero dimensions; a zero-dim header would
+        # pass the length check with an empty body and divide callers
+        # by zero (ADVICE r3: barcode.py ch = arr.size // (w*h))
+        raise ValueError("zero-dimension PNG")
+    if w * h > max_pixels:
+        # pathological-size bail: a hostile header can claim huge dims
+        # with a tiny deflate payload; cap decode work before the
+        # allocation, not after (corrupt-media policy → empty row)
+        raise ValueError(f"PNG exceeds pixel budget ({w}x{h})")
     if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
         raise ValueError(
             f"unsupported PNG shape (depth={bit_depth}, "
@@ -131,39 +147,80 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f, cur = filters[y], rows[y].copy()
-        if f == 0:  # None
-            line = cur
-        elif f == 1:  # Sub
-            line = cur
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
-        elif f == 2:  # Up
-            line = (cur + prev) & 0xFF
-        elif f == 3:  # Average
-            line = cur
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            line = cur
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pr) & 0xFF
+    # uint8 arithmetic wraps mod 256 natively — exactly PNG's filter
+    # semantics — so reconstruction stays in uint8 with no masking.
+    filters, rows = arr[:, 0], arr[:, 1:]
+    if filters.max(initial=0) > 4:
+        bad = int(filters[filters > 4][0])
+        raise ValueError(f"bad PNG filter {bad}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    y = 0
+    while y < h:
+        f = filters[y]
+        if f == 0 or f == 2:
+            # Batch the maximal run of None/Up rows: an Up run is a
+            # vertical mod-256 prefix sum seeded by prev — one
+            # np.add.accumulate instead of h python iterations (the
+            # common case for photographic encoders, and the r3
+            # per-row loop was the decode bottleneck on wide images).
+            y2 = y + 1
+            while y2 < h and filters[y2] == f:
+                y2 += 1
+            block = rows[y:y2]
+            if f == 0:
+                out[y:y2] = block
+            else:
+                acc = out[y:y2]
+                np.add.accumulate(block, axis=0, dtype=np.uint8, out=acc)
+                acc += prev
+            prev = out[y2 - 1]
+            y = y2
+        elif f == 1:
+            # Sub: per-channel-phase horizontal prefix sum — the lane
+            # view (w, ch) makes left-neighbor recursion a cumsum.
+            lanes = np.ascontiguousarray(rows[y]).reshape(w, ch)
+            line = out[y].reshape(w, ch)
+            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=line)
+            prev = out[y]
+            y += 1
         else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = line
-        prev = line
-    return w, h, 1, out.astype(np.uint8).tobytes()
+            # Average/Paeth depend on the already-reconstructed left
+            # neighbor — inherently sequential in x.  Python-int list
+            # loops here are several times faster than per-element
+            # numpy indexing; the budget bail above bounds worst-case
+            # work for an all-Paeth pathological image.
+            cur = rows[y].tolist()
+            up = prev.tolist()
+            line = cur
+            if f == 3:  # Average
+                for x in range(ch):
+                    line[x] = (cur[x] + (up[x] >> 1)) & 0xFF
+                for x in range(ch, stride):
+                    line[x] = (
+                        cur[x] + ((line[x - ch] + up[x]) >> 1)
+                    ) & 0xFF
+            else:  # Paeth
+                for x in range(ch):
+                    line[x] = (cur[x] + up[x]) & 0xFF
+                for x in range(ch, stride):
+                    a = line[x - ch]
+                    b = up[x]
+                    c = up[x - ch]
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pr = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    line[x] = (cur[x] + pr) & 0xFF
+            out[y] = line
+            prev = out[y]
+            y += 1
+    return w, h, 1, out.tobytes()
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -213,3 +213,148 @@ def test_png_roundtrip_property():
         assert body == px.tobytes()
 
     check()
+
+
+def test_png_hostile_headers_raise_valueerror():
+    """ADVICE r3: truncated IHDR raised struct.error (escapes the
+    corrupt-media handlers) and zero-dim PNGs later divided callers by
+    zero. Both must surface as ValueError from the decoder itself."""
+    import struct as st
+    import zlib
+
+    import pytest
+
+    from clara_ocr_spark.sources.multimodal import _PNG_SIG, _decode_png
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # signature + IHDR header + only 4 bytes of IHDR data
+    truncated = _PNG_SIG + st.pack(">I", 13) + b"IHDR" + b"\x00" * 4
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        _decode_png(truncated)
+
+    for w, h in ((0, 8), (8, 0), (0, 0)):
+        blob = (
+            _PNG_SIG
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero-dimension"):
+            _decode_png(blob)
+
+    # hostile header claiming huge dims with a tiny payload: the
+    # pixel-budget bail fires before any allocation
+    huge = (
+        _PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel budget"):
+        _decode_png(huge)
+
+
+def test_barcode_scan_survives_hostile_pngs(spark):
+    """One malformed crawl payload must yield a NULL barcode, never
+    fail the media-scan job (ADVICE r3, both findings end-to-end)."""
+    import struct as st
+    import zlib
+
+    from clara_ocr_spark.functions.barcode import scan_barcodes
+    from clara_ocr_spark.sources.multimodal import _PNG_SIG
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    truncated = _PNG_SIG + st.pack(">I", 13) + b"IHDR" + b"\x00" * 4
+    zerodim = (
+        _PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(0, "image", truncated), (1, "image", zerodim)],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = {r.media_id: r.barcode for r in scan_barcodes(media).collect()}
+    assert rows == {0: None, 1: None}
+
+
+def test_png_wide_image_decode_budget():
+    """VERDICT r3 item 3: the filter-reconstruction loop must be
+    vectorized — decode of a 2048x2048 RGBA PNG (Sub first row, Up
+    runs for the body, a band of Average/Paeth rows for the sequential
+    path) completes within a generous-for-VM-noise budget.  The r3
+    per-row numpy-scalar loop took minutes on this shape."""
+    import struct as st
+    import time
+    import zlib
+
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import _PNG_SIG
+
+    h = w = 2048
+    ch = 4
+    stride = w * ch
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(h, stride), dtype=np.uint8)
+    raws = []
+    prev = np.zeros(stride, dtype=np.int64)
+    flat = px.astype(np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if y == 0:
+            enc = cur.copy()
+            enc[ch:] = (cur[ch:] - cur[:-ch]) % 256
+            f = 1
+        elif 1000 <= y < 1016:  # Average band
+            enc = cur.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                enc[x] = (cur[x] - ((a + prev[x]) >> 1)) % 256
+            f = 3
+        elif 1016 <= y < 1032:  # Paeth band
+            enc = cur.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pr) % 256
+            f = 4
+        else:
+            enc = (cur - prev) % 256
+            f = 2
+        raws.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        _PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws), 1))
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.monotonic()
+    dw, dh, _, body = _decode_one(blob)
+    dt = time.monotonic() - t0
+    assert (dw, dh) == (w, h)
+    assert body == px.tobytes()
+    assert dt < 10.0, f"wide-image decode took {dt:.1f}s"

@@ -69,6 +69,24 @@ def test_driver_window_invariants():
     assert not uncovered, f"families without a driver-window rep: {uncovered}"
 
 
+def test_no_complex_typed_result_columns(spark, sf001):
+    """The driver's canonicalizer sorts a pandas frame of the result;
+    array/map/struct cells are unhashable and crash it (the
+    CORRECTNESS_r03 ``inverted_index`` red row).  Known contract
+    constraint: every catalog query must emit scalar columns only —
+    stringify (array_join) or explode collection results."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, (fn, _sql) in sorted(REGISTRY.items()):
+        for f in fn(spark, sf001).schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"complex-typed result columns: {offenders}"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf001, duck, name):
     fn, sql = REGISTRY[name]
