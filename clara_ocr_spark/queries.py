@@ -4182,65 +4182,70 @@ def stream_sessionize(spark, sf_dir):
 # The correctness driver samples the FIRST 50 registrations of
 # ``queries()`` for its DuckDB oracle signature (CORRECTNESS_r02
 # covered registrations 0-49 and left 28 later queries local-only —
-# VERDICT r2 item 1).  ``DRIVER_WINDOW`` therefore pins an explicit
-# order: the 28 queries that have never carried a driver signature
-# come first, followed by one signed representative of every SURVEY §2
-# operator family (so each family keeps a driver-green row in
-# CORRECTNESS_r03).  Everything else — all locally oracle-verified by
-# tests/test_queries_oracle.py — follows in registration order.
+# VERDICT r2 item 1).  ``DRIVER_WINDOW`` pins an explicit order and is
+# ROTATED each round (VERDICT r3 item 2) so every signature stays at
+# most one round old: this round leads with the 32 queries whose last
+# driver signature dates from r1/r2 code, keeps ``inverted_index`` in
+# (its r3 row was red on the canonicalizer contract, fixed by
+# stringifying ``postings``), and backfills with r3-signed
+# representatives so every SURVEY §2 family keeps a driver-green row.
+# Everything else — all locally oracle-verified by
+# tests/test_queries_oracle.py at two scales — follows in
+# registration order.
 DRIVER_WINDOW = [
-    # -- round-2 additions that were outside the r02 sample ------------
+    # -- last signed in r1/r2: rotate to the front for fresh signatures
+    "anti_join_discard",      # §2.2/§2.3 avoid/anti-join discard
+    "argmax_per_group",       # §2.5 per-group argmax
+    "asof_attach",            # §2.3 accent as-of attachment
+    "bpe_token_stats",        # LLM BPE-ish token counting
+    "cosine_topk",            # LLM brute-force cosine top-k
+    "dedup_keep_first",       # §2.6 keep-first dedup
+    "distinct_classes",       # §2.4 count_classes
+    "doc_fingerprints",       # LLM rolling-hash fingerprints
+    "embedding_lsh_buckets",  # LLM random-hyperplane LSH buckets
+    "events_hourly",          # §2.4 hourly event rollup
+    "funnel_conversion",      # §2.5 funnel ordering
+    "grouping_sets_metrics",  # §2.4 grouping sets
+    "ivf_recall",             # LLM IVF recall vs brute force
+    "ivf_topk_probe2",        # LLM IVF multi-probe
+    "json_props_stats",       # §2.7 JSON property extraction
+    "kmeans_refine",          # LLM k-means refinement step
+    "lang_id_confusion",      # LLM language-ID n-gram heuristic
+    "lsh_band_buckets",       # LLM MinHash band buckets
+    "ngram_jaccard_pairs",    # LLM n-gram Jaccard pairs
+    "point_lookup",           # §2.2 symbol_at point lookup
+    "pricing_summary",        # §2.4 per-page stats counters
+    "quality_scores",         # LLM quality scoring
+    "range_filter",           # §2.1/§2.2 list_cl range query
+    "retention_cohorts",      # §2.5 cohort retention window
+    "revenue_by_nation",      # §2.3/§2.4 join + agg
+    "rolling_value_range",    # §2.5 rolling window range
+    "rollup_metrics",         # §2.4 rollup
+    "simhash",                # LLM SimHash signatures
+    "token_stats",            # §2.4 token counters
+    "top_sources_by_chars",   # §2.4 per-source volume ranking
+    "top_suppliers_per_nation",  # §2.5 multi-key ordering
+    "value_histogram",        # §2.1/§2.4 loadpgm gray histogram
+    # -- red in r3 (canonicalizer contract), fixed this round ---------
+    "inverted_index",         # LLM inverted index (postings stringified)
+    # -- r3-signed representatives: keep every §2 family driver-green -
+    "latest_wins",            # §2.1 acts / §2.6 / §2.12 vote order
+    "broadcast_classify",     # §2.3 broadcast join / §2.8 classify
+    "spell_correct",          # §2.12 step_12 spelling
+    "range_join_bucketed",    # §2.3 bounded-range spatial join
     "exists_semi_join",       # §2.3 dictionary probe (semi-join)
-    "set_ops_users",          # §2.6 union/intersect/except
-    "salted_user_stats",      # §2.9 balance (skew-salted agg)
-    "orders_monthly",         # §2.4 calendar rollup
-    "ntile_quartiles",        # §2.5 rank/ntile ordering
-    "cube_metrics",           # §2.4 cube grouping sets
-    "regex_extract_props",    # §2.7 regex scalar family
-    "user_journey",           # §2.5 sessionized journey window
-    "two_pass_match",         # §2.8 PNT1→PNT2 relaxation
+    "baseline_slope",         # §2.4 bl_geo least-squares
+    "pivot_by_type",          # §2.4 acc_f pivot
+    "deskew_search",          # §2.9 pp_deskew / §2.4 sweep
+    "sessionize",             # §2.3 s_pair / §2.5 word building
+    "dedup_exact",            # §2.3 new_mc / §2.6 / LLM exact dedup
     "layout_lines",           # §2.10/2.11 PDF line build
-    "layout_columns",         # §2.10 blockfind columns
-    "layout_line_text",       # §2.11 line sort + text
-    "value_percentiles",      # §2.4 h_split calibration
-    "corr_value_hour",        # §2.4 pre_balance regression stats
-    "df_stopwords",           # LLM document-frequency stopwords
-    "url_canonical_groups",   # LLM URL canonicalization
-    "repetition_filter",      # LLM repetition quality gate
-    "stratified_sample",      # LLM stratified sampling
-    "lm_quality_scores",      # LLM CCNet-style LM quality
-    "source_quality_report",  # §2.1 write_report sink
-    "hqbin_residual",         # §2.9 hqbin second pass
-    "structural_acts",        # §2.12 merge/slink/alink/dis acts
-    "tfidf_top_terms",        # LLM TF-IDF
-    "inverted_index",         # LLM inverted index
+    "minhash_signatures",     # LLM MinHash
+    "near_dup_cosine",        # LLM embedding near-dup
     "decontaminate",          # LLM eval-decontamination
     "pii_redact",             # LLM PII redaction
-    "deskew_search",          # §2.9 pp_deskew parameter search
-    "pattern_acts",           # §2.12 review_patt pattern edits
-    "spell_correct",          # §2.12 step_12 spelling (r3, beyond stub)
-    "stream_windowed_counts", # streaming watermarked window agg (r3)
-    "stream_sessionize",      # streaming stateful sessionization (r3)
-    "stream_dedup_replay",    # streaming exactly-once replay dedup (r3)
-    # -- driver-signed (r02) representatives, one per §2 family -------
-    "latest_wins",            # §2.1 acts / §2.6 / §2.12 vote order
-    "topk_doubts",            # §2.1 doubts sink / §2.5 top-k
-    "broadcast_classify",     # §2.3 broadcast join / §2.8 classify
-    "neighbor_gap",           # §2.3 nearest-neighbor pairing
-    "sessionize",             # §2.3 s_pair / §2.5 word building
-    "range_join_bucketed",    # §2.3 bounded-range spatial join
-    "dedup_exact",            # §2.3 new_mc / §2.6 / LLM exact dedup
-    "baseline_slope",         # §2.4 bl_geo least-squares
-    "param_sweep",            # §2.4 sweep / §2.8 tune_skel
-    "pivot_by_type",          # §2.4 acc_f pivot
-    "interval_overlap",       # §2.6/§2.7 intersize/ldist scalars
-    "zone_assign",            # §2.2/§2.10 zoning
-    "minhash_signatures",     # LLM MinHash
-    "simhash_near_dup",       # LLM SimHash near-dup
-    "dedup_canonicalize",     # LLM LSH + CC end-to-end
-    "near_dup_cosine",        # LLM embedding near-dup
-    "ivf_topk",               # LLM ANN (IVF)
-    "dup_clusters",           # §2.4 clusterize / CC clusters
+    "stratified_sample",      # LLM stratified sampling
+    "stream_dedup_replay",    # streaming exactly-once replay dedup
 ]
 
 

@@ -42,7 +42,8 @@ def test_driver_window_invariants():
         "agg_stats": {"pricing_summary", "value_percentiles",
                       "salted_user_stats"},
         "agg_regression": {"baseline_slope", "corr_value_hour"},
-        "agg_grouping_sets": {"cube_metrics"},
+        "agg_grouping_sets": {"cube_metrics", "grouping_sets_metrics",
+                              "rollup_metrics"},
         "agg_pivot": {"pivot_by_type"},
         "sweep": {"param_sweep", "deskew_search"},
         "window_order": {"sessionize", "ntile_quartiles", "user_journey",
@@ -54,10 +55,11 @@ def test_driver_window_invariants():
                        "layout_line_text"},
         "llm_exact_dedup": {"dedup_exact"},
         "llm_minhash": {"minhash_signatures"},
-        "llm_simhash": {"simhash_near_dup"},
+        "llm_simhash": {"simhash_near_dup", "simhash"},
         "llm_embedding": {"near_dup_cosine", "dup_clusters"},
-        "llm_ann": {"ivf_topk"},
-        "llm_quality": {"lm_quality_scores", "repetition_filter"},
+        "llm_ann": {"ivf_topk", "ivf_recall", "ivf_topk_probe2"},
+        "llm_quality": {"lm_quality_scores", "repetition_filter",
+                        "quality_scores"},
         "llm_decontaminate": {"decontaminate"},
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
