@@ -260,12 +260,30 @@ def assemble_layout(lines: DataFrame) -> DataFrame:
     )
 
 
-def extract_pdf(pages: DataFrame, splitter: str = "river") -> DataFrame:
+def extract_pdf(
+    pages: DataFrame,
+    splitter: str = "river",
+    skew_report: "list | None" = None,
+) -> DataFrame:
     """pages(url, …, html=PDF bytes) → extracted(url, text).
 
     ``splitter``: ``"river"`` (default, vlines2 white-gap analogue) or
     ``"tall"`` (cf_block tall-separator analogue) — the same dispatch
-    as ``pdf_reference_extract``."""
+    as ``pdf_reference_extract``.
+
+    ``skew_report``: optional out-param (a list) — when given, a
+    per-(url, page) text-flow skew estimate DataFrame
+    (``functions.geometry.page_skew_angles``, the ``ro``/deskew
+    geometry riding the extraction) is appended to it.  The parsed
+    runs are localCheckpointed so the Python PDF parse — the expensive
+    stage — executes once across the extraction write and the skew
+    write; the skew aggregation itself keys on the same (url, page)
+    the layout windows already shuffle on (VERDICT r3 item 9)."""
     runs = parse_runs(pages)
+    if skew_report is not None:
+        from ..functions.geometry import page_skew_angles
+
+        runs = runs.localCheckpoint(eager=False)
+        skew_report.append(page_skew_angles(runs))
     zoned = assign_zones_tall(runs) if splitter == "tall" else assign_zones(runs)
     return assemble_layout(join_words(group_lines(zoned)))

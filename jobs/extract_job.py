@@ -155,8 +155,20 @@ def main(argv: list[str] | None = None) -> None:
         "to preserve byte-identity with the reference)",
     )
     ap.add_argument("--spell-min-count", type=int, default=50)
+    ap.add_argument(
+        "--skew-report",
+        default=None,
+        metavar="PATH",
+        help="append a per-(url, page) text-flow skew estimate table "
+        "(skew_deg, n_votes — the ro/deskew geometry, "
+        "functions/geometry.page_skew_angles) computed from the PDF "
+        "leg's parsed runs to PATH; the parse executes once for both "
+        "the extraction and the report (requires --mixed)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
+    if args.skew_report and not args.mixed:
+        ap.error("--skew-report reads the PDF leg's runs; requires --mixed")
     if args.spell and args.format == "markup":
         ap.error(
             "--spell rebuilds block text and drops emphasis spans; "
@@ -290,12 +302,17 @@ def main(argv: list[str] | None = None) -> None:
         extracted = hqbin_second_pass(extracted, dom_pages, patterns).select(
             "url", "text"
         )
+    skew_frames = [] if args.skew_report else None
     if args.mixed:
         from clara_ocr_spark.pipeline import _is_pdf_col
         from clara_ocr_spark.stages.layout import extract_pdf
 
         extracted = extracted.unionByName(
-            extract_pdf(pages.filter(_is_pdf_col()), args.pdf_splitter)
+            extract_pdf(
+                pages.filter(_is_pdf_col()),
+                args.pdf_splitter,
+                skew_report=skew_frames,
+            )
         )
     if args.metrics or args.deskew:
         # lineage/deskew re-read `extracted`; cache it through the
@@ -316,6 +333,11 @@ def main(argv: list[str] | None = None) -> None:
         from clara_ocr_spark.stages.calibrate import deskew_profile
 
         deskew_profile(extracted).write.mode("append").parquet(args.deskew)
+    if skew_frames:
+        # the PDF runs were localCheckpointed inside extract_pdf and
+        # materialized by the extraction write above — this write
+        # reuses them, no second parse
+        skew_frames[0].write.mode("append").parquet(args.skew_report)
     if args.metrics or args.deskew:
         extracted.unpersist()
     spark.stop()

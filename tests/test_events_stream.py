@@ -184,3 +184,133 @@ def test_transform_with_state_totals(spark, sf001, events_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_sessions_hot_key_skew(spark, tmp_path):
+    """VERDICT r3 item 8: ~50% of all events on ONE user — the skew
+    profile of a bot-heavy feed.  The stateful sessionizer must stay
+    correct under the hot key (per-key state is one row regardless of
+    event count), and update-mode output stays bounded by
+    users x batches, never by events."""
+    import datetime as dt
+
+    from clara_ocr_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # hot user 0: 6000 events 20s apart with a 2h jump every 1000
+    t = base
+    for i in range(6000):
+        t += dt.timedelta(seconds=7200 if i and i % 1000 == 0 else 20)
+        rows.append((eid, t, 0, "click", 1.0, None))
+        eid += 1
+    # cold users 1..60: 100 events each, 3600s apart (every event its
+    # own session), phase-shifted per user
+    for u in range(1, 61):
+        for i in range(100):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=u * 13 + i * 3600),
+                 u, "click", 1.0, None)
+            )
+            eid += 1
+    rows.sort(key=lambda r: (r[1], r[0]))
+    n = len(rows)
+    src = tmp_path / "skew_feed"
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n))):
+        spark.createDataFrame(rows[lo:hi], EVENTS_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(src / f"shard={i}"))
+
+    stream = read_events_stream(spark, str(src) + "/shard=*")
+    got = drain_to_memory(
+        spark,
+        user_sessions_stateful(stream),
+        "skew_sessions",
+        str(tmp_path / "ck_skew"),
+        output_mode="update",
+    )
+    emitted = got.collect()
+    # output bound: at most one running-total row per user per batch
+    assert len(emitted) <= 61 * 3
+    final = {}
+    for r in emitted:
+        cur = final.get(r.user_id, (0, 0))
+        final[r.user_id] = (max(cur[0], r.n_events), max(cur[1], r.n_sessions))
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    want = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.col("ts").cast("double")
+                    - F.col("prev").cast("double")
+                    > SESSION_GAP_S
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("new_sess").alias("n_sessions"))
+    )
+    want_map = {r.user_id: (r.n_events, r.n_sessions) for r in want.collect()}
+    assert final == want_map
+    assert final[0][0] == 6000  # the hot key really carried half
+
+
+def test_streaming_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """VERDICT r3 item 8: dedup state must be EVICTED past the
+    lateness horizon across a multi-batch drain — the scale-relevant
+    property (unbounded state = OOM on a long-running stream) — while
+    late replays beyond the watermark still emit nothing."""
+    import datetime as dt
+
+    from clara_ocr_spark.streaming.events_stream import (
+        EVENTS_SCHEMA,
+        dedup_events,
+    )
+
+    day = dt.datetime(2024, 5, 1)
+
+    def mk(ids, t):
+        return [(i, t, i % 7, "click", 1.0, None) for i in ids]
+
+    batch_a = mk(range(0, 1000), day)  # hour 0
+    batch_b = mk(range(1000, 2000), day + dt.timedelta(hours=6))
+    batch_c = (
+        mk(range(0, 1000), day)  # replay beyond watermark → late-drop
+        + mk(range(1000, 2000), day + dt.timedelta(hours=6))  # in-state
+        + mk(range(2000, 2100), day + dt.timedelta(hours=7))  # fresh
+    )
+    src = tmp_path / "late_feed"
+    for name, batch in (("a", batch_a), ("b", batch_b), ("c", batch_c)):
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"shard={name}")
+        )
+    stream = read_events_stream(spark, str(src) + "/shard=*")
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_state_bound")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.event_id for r in spark.table("dedup_state_bound").collect())
+    assert ids == list(range(2100)), "exactly-once violated"
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses, "no state-operator progress recorded"
+    last_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    # batch A's 1000 ids (hour 0) are past the 1h watermark once the
+    # stream has seen hour 6 — they must be gone from the store; only
+    # batch B's 1000 + batch C's fresh 100 may remain
+    assert last_state <= 1300, f"state not evicted: {last_state} rows"
+    spark.catalog.dropTempView("dedup_state_bound")

@@ -34,6 +34,7 @@ def test_extract_job_mixed(tmp_path):
             "--output", str(out),
             "--metrics", str(tmp_path / "metrics"),
             "--mixed",
+            "--skew-report", str(tmp_path / "skew"),
         ],
         capture_output=True,
         text=True,
@@ -52,6 +53,15 @@ def test_extract_job_mixed(tmp_path):
     }
     want = {r["url"]: r["text"] for r in rows}
     assert got == want
+
+    # --skew-report rode the same run: per-(url, page) rows for the
+    # PDF leg only, level corpus reads ~0
+    skew = duckdb.sql(
+        f"select url, page, skew_deg, n_votes from '{tmp_path}/skew/*.parquet'"
+    ).fetchall()
+    assert skew and all(abs(r[2]) < 1e-9 for r in skew if r[3] >= 3)
+    pdf_urls = {r["url"] for r in rows[30:]}
+    assert {r[0] for r in skew} <= pdf_urls
 
     # --incremental + --mixed together: replay must be a no-op (the
     # high-water-mark anti-join sees every url already extracted)

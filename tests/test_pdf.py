@@ -692,3 +692,32 @@ class TestPageSkewAngles:
         got = page_skew_angles(runs).collect()[0]
         assert got.n_votes > 0
         assert abs(got.skew_deg - deg) < 0.3  # within the vote spread
+
+
+class TestExtractPdfSkewReport:
+    """VERDICT r3 item 9: the skew estimator folded into extract_pdf's
+    own surface (the benched/jobbed path), sharing the parsed runs."""
+
+    def test_skew_report_out_param(self, spark):
+        import pyarrow as pa
+
+        from clara_ocr_spark.sources.corpus import PAGES_SCHEMA
+        from clara_ocr_spark.stages.layout import extract_pdf
+
+        rows = [gen_pdf_page(i, seed=17) for i in range(15)]
+        pages = spark.createDataFrame(
+            pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+        )
+        report = []
+        got = {r["url"]: r["text"] for r in
+               extract_pdf(pages, skew_report=report).collect()}
+        # extraction text is unchanged by the report-out path
+        want = {r["url"]: r["text"] for r in
+                extract_pdf(pages).collect()}
+        assert got == want
+        (skew,) = report
+        rows_out = skew.collect()
+        assert rows_out and {r.url for r in rows_out} <= set(got)
+        for r in rows_out:  # synthetic corpus is level
+            if r.n_votes >= 3:
+                assert abs(r.skew_deg) < 1e-9
