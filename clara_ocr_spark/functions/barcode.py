@@ -167,14 +167,25 @@ def scan_barcodes(media):
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 text = None
                 raw = bytes(payload)
+                decoder = None
                 if raw[:8] == _PNG_SIG:
+                    decoder = _decode_png
+                elif raw[:2] == b"\xff\xd8":
+                    # baseline JPEG decodes natively too (sources/
+                    # jpeg.py); Code 39 bars survive the lossy round
+                    # trip — the run-length thresholding reads the
+                    # same widths
+                    from ..sources.jpeg import decode_jpeg
+
+                    decoder = decode_jpeg
+                if decoder is not None:
                     try:
-                        w, h, _frames, body = _decode_png(raw)
+                        w, h, _frames, body = decoder(raw)
                         arr = np.frombuffer(body, np.uint8)
                         ch = arr.size // (w * h)
                         px = arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
                         text = decode_code39_image(px)
-                    except ValueError:
+                    except (ValueError, NotImplementedError):
                         text = None
                 out.append((int(mid), text))
             yield pd.DataFrame(out, columns=["media_id", "barcode"])

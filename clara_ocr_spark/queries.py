@@ -3994,20 +3994,19 @@ def _finalize_stream(spark, df, name: str, tmp_dirs) -> "DataFrame":
     """Materialize a memory-sink-backed streaming result and release
     every per-invocation resource (ADVICE r3: repeated sweeps leaked
     the symlink/replay dirs, the mkdtemp checkpoints, and left the
-    memory-sink temp view registered).  The drained rows already live
-    in driver memory (that's what a memory sink IS), so collecting
-    them into a local DataFrame adds one serialization hop, after
-    which the view and the stream/checkpoint dirs are dead weight."""
+    memory-sink temp view registered).  ``localCheckpoint(eager=True)``
+    snapshots the result into block-manager partitions in ONE job —
+    no driver round-trip for large drains (the replay query re-emits
+    the whole events table) — after which the sink view and the
+    stream/checkpoint dirs are dead weight and can go."""
     import shutil
 
-    schema = df.schema
     try:
-        rows = df.collect()
+        return df.localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(name)
         for d in tmp_dirs:
             shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 @q(

@@ -88,3 +88,27 @@ def test_scan_barcodes_stage(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r.barcode for r in scan_barcodes(media).collect()}
     assert got == {0: "SKU-42", 1: "LOT 7/B", 2: None, 3: None}
+
+
+def test_scan_barcodes_jpeg_payload(spark):
+    """JPEG-encoded barcodes scan natively too (sources/jpeg.py):
+    Code 39's wide/narrow run widths survive the lossy round trip."""
+    import numpy as np
+
+    from clara_ocr_spark.functions.barcode import (
+        encode_code39,
+        scan_barcodes,
+    )
+    from clara_ocr_spark.sources.jpeg import encode_jpeg
+
+    img = encode_code39("JPEG-39")
+    media = spark.createDataFrame(
+        [
+            (0, "image", encode_jpeg(img, quality=95)),
+            (1, "image", encode_jpeg(img, quality=85)),
+            (2, "image", b"\xff\xd8garbage"),
+        ],
+        "media_id bigint, kind string, payload binary",
+    )
+    got = {r.media_id: r.barcode for r in scan_barcodes(media).collect()}
+    assert got == {0: "JPEG-39", 1: "JPEG-39", 2: None}

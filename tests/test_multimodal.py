@@ -60,9 +60,13 @@ def test_resize_plan_aspect(spark):
 
 
 def test_real_codec_stub_raises():
-    # JPEG stays Pillow-gated (no codec shipped in this container)
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # baseline JPEG now decodes natively (sources/jpeg.py); a
+    # malformed JPEG is corrupt media (ValueError), while formats
+    # with no native path (e.g. WebP) stay Pillow-gated
+    with pytest.raises(ValueError):
         _decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        _decode_one(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
 
 
 # -- real PNG decode (stdlib zlib + numpy filter reconstruction) --------
