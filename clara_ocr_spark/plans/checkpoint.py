@@ -220,9 +220,22 @@ def merge_upsert(
             shutil.rmtree(stale, ignore_errors=True)
     if os.path.exists(old):
         if not os.path.exists(path):
-            # Crashed after rename(path -> old) but before
-            # rename(staging -> path): the .old snapshot is the last
-            # good table — restore it.
+            # Either a crash after rename(path -> old) — restore the
+            # last good snapshot — or a LIVE publisher between its two
+            # renames: its `.publishing` sentinel (pid) distinguishes
+            # the cases, so the sweep never "restores" a table out
+            # from under a publisher mid-swap.
+            pub = path.rstrip("/") + ".publishing"
+            try:
+                with open(pub) as f:
+                    pub_pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pub_pid = 0
+            if _pid_alive(pub_pid) and pub_pid != os.getpid():
+                raise ConcurrentWriteError(
+                    f"{path}: publish in progress by pid {pub_pid}; "
+                    "retry after it completes"
+                )
             os.rename(old, path)
         else:
             shutil.rmtree(old, ignore_errors=True)
@@ -269,25 +282,53 @@ def merge_upsert(
         )
     # Claim the table by renaming it aside.  A losing rename here
     # (path already claimed/republished, or .old occupied by a live
-    # publisher) is a concurrent publish, not a crash — reject.
+    # publisher) is a concurrent publish, not a crash — reject.  The
+    # `.publishing` sentinel (pid) marks the window between the two
+    # renames so another writer's debris sweep won't restore the .old
+    # snapshot out from under us.
+    pub = path.rstrip("/") + ".publishing"
     try:
-        os.rename(path, old)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"{path}: another writer is publishing; retry from a "
-            "fresh snapshot"
-        ) from None
-    # Post-claim re-check: between the version check and the claim a
-    # faster writer may have completed an ENTIRE publish cycle, in
-    # which case the table we just claimed is newer than our snapshot
-    # — restore it and reject, instead of overwriting its commit.
-    if _table_version(old) != read_version:
-        os.rename(old, path)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"{path}: table republished during claim; retry from a "
-            "fresh snapshot"
-        )
-    os.rename(staging, path)
-    shutil.rmtree(old)
+        try:
+            with open(pub, "x") as f:
+                f.write(str(os.getpid()))
+        except FileExistsError:
+            try:
+                with open(pub) as f:
+                    other = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                other = 0
+            if _pid_alive(other) and other != os.getpid():
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{path}: publish in progress by pid {other}; "
+                    "retry from a fresh snapshot"
+                ) from None
+            with open(pub, "w") as f:  # orphaned sentinel — take over
+                f.write(str(os.getpid()))
+        try:
+            os.rename(path, old)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{path}: another writer is publishing; retry from a "
+                "fresh snapshot"
+            ) from None
+        # Post-claim re-check: between the version check and the
+        # claim a faster writer may have completed an ENTIRE publish
+        # cycle, in which case the table we just claimed is newer
+        # than our snapshot — restore it and reject, instead of
+        # overwriting its commit.
+        if _table_version(old) != read_version:
+            os.rename(old, path)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{path}: table republished during claim; retry from "
+                "a fresh snapshot"
+            )
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    finally:
+        try:
+            os.remove(pub)
+        except OSError:
+            pass

@@ -978,3 +978,41 @@ def test_merge_upsert_two_real_processes_no_lost_update(spark, tmp_path):
             assert not (rows & got), f"rejected writer {t} partially landed"
     # at least one writer must commit (no livelock/double-reject)
     assert 0 in rcs.values()
+
+
+def test_merge_upsert_publish_sentinel_guards_restore(spark, tmp_path):
+    """The `.publishing` sentinel: while a LIVE publisher is between
+    its two renames (.old present, table path absent), another merge
+    must reject instead of 'restoring' the old snapshot out from
+    under it; a dead publisher's sentinel is crash debris and the
+    restore proceeds."""
+    import shutil
+
+    import clara_ocr_spark.plans.checkpoint as cp
+
+    path = str(tmp_path / "t")
+    batch = _acts(spark, [(1, "u1", 0, "content", "anon", TS)])
+    cp.merge_upsert(spark, path, batch, "act_id")
+
+    # simulate a publisher mid-swap: table renamed aside, sentinel
+    # held by a live FOREIGN process (pid 1 — always alive; our own
+    # pid would read as this process's crash debris and be swept)
+    os.rename(path, path + ".old")
+    with open(path + ".publishing", "w") as f:
+        f.write("1")
+    with pytest.raises(cp.ConcurrentWriteError, match="publish in progress"):
+        cp.merge_upsert(
+            spark, path,
+            _acts(spark, [(2, "u2", 1, "noise", "anon", TS)]), "act_id",
+        )
+    assert os.path.exists(path + ".old") and not os.path.exists(path)
+
+    # dead publisher: crash recovery restores the snapshot and merges
+    with open(path + ".publishing", "w") as f:
+        f.write("999999999")
+    cp.merge_upsert(
+        spark, path,
+        _acts(spark, [(2, "u2", 1, "noise", "anon", TS)]), "act_id",
+    )
+    assert {r.act_id for r in spark.read.parquet(path).collect()} == {1, 2}
+    assert not os.path.exists(path + ".old")
