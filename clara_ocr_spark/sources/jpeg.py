@@ -450,10 +450,16 @@ def _decode_plane_scan(
 ) -> np.ndarray:
     """Entropy-decode one single-component scan → (n_blocks, 64)
     int32 zig-zag coefficients."""
-    zz = np.zeros((n_blocks, 64), dtype=np.int32)
+    # int64: on corrupted streams the DC predictor accumulates ±2^15
+    # per block and can pass int32 (fuzz-found); sizes are validated
+    # against the spec's 15-bit ceiling since a mutated DHT can carry
+    # arbitrary "size" bytes that would otherwise mint unbounded ints
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
     pred = 0
     for b in range(n_blocks):
         size = _read_huffman(reader, dc_table)
+        if size > 15:
+            raise ValueError("invalid JPEG DC size")
         pred += _extend(reader.read_bits(size), size)
         zz[b, 0] = pred
         k = 1

@@ -223,6 +223,69 @@ def _decode_png(
     return w, h, 1, out.tobytes()
 
 
+def _decode_wav(
+    payload: bytes, max_samples: int = 64_000_000
+) -> tuple[int, int, int, bytes]:
+    """REAL audio decode, stdlib-only: RIFF/WAVE PCM (8/16-bit).
+    Returns ``(sample_rate, n_channels, n_frames, pcm bytes)`` mapped
+    onto the media contract's ``(width, height, frames, body)`` —
+    sample rate and channel count are the audio "dimensions", frames
+    is the per-channel sample count.  Malformed input raises
+    ValueError (corrupt-media policy); compressed WAVE formats
+    (ADPCM, float, MP3-in-WAV) raise NotImplementedError for the
+    optional-codec gate, same contract as non-baseline JPEG."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAVE fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"non-PCM WAVE (format {audio_format})"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit WAVE")
+    if not channels or not rate:
+        raise ValueError("zero-channel/zero-rate WAVE")
+    bytes_per_frame = channels * (bits // 8)
+    n_frames = len(data) // bytes_per_frame
+    if n_frames > max_samples:
+        raise ValueError(f"WAVE exceeds sample budget ({n_frames})")
+    return rate, channels, n_frames, data[: n_frames * bytes_per_frame]
+
+
+def encode_wav(
+    samples: "np.ndarray", rate: int = 16000
+) -> bytes:
+    """Minimal PCM WAV writer (fixture writer, like ``encode_png``).
+    ``samples``: int16 array (n,) mono or (n, channels)."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real-codec dispatch: PNG decodes natively (stdlib zlib + numpy
     — VERDICT r2 item 5) and baseline JPEG decodes natively too
@@ -233,6 +296,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     the corrupt-media policy."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 

@@ -167,3 +167,56 @@ def test_decode_stage_handles_jpeg_and_corrupt(spark):
     assert rows[0].width == 30 and rows[0].height == 20
     assert rows[0].n_bytes == 20 * 30 * 3
     assert rows[1].width == 0 and rows[1].n_bytes == 0
+
+
+def test_fuzz_only_sanctioned_exceptions_escape():
+    """ADVICE r3 found struct.error and ZeroDivisionError escaping the
+    PNG corrupt-media handlers; this pins the contract for BOTH native
+    codecs: on arbitrary mutations of valid fixtures, decoders raise
+    ValueError or NotImplementedError — never anything else — and
+    never hang (truncations, bit flips, segment swaps, random blobs)."""
+    rng = np.random.default_rng(17)
+    from clara_ocr_spark.sources.multimodal import _decode_png, encode_png
+
+    gray = rng.integers(0, 256, size=(12, 15), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    fixtures = [
+        ("jpeg", encode_jpeg(gray, 90)),
+        ("jpeg", encode_jpeg(rgb, 80)),
+        ("png", encode_png(rgb)),
+        ("png", encode_png(gray, 0)),
+    ]
+
+    def attempt(kind, blob):
+        try:
+            if kind == "jpeg":
+                decode_jpeg(bytes(blob))
+            else:
+                _decode_png(bytes(blob))
+        except (ValueError, NotImplementedError):
+            pass  # the sanctioned corrupt/unsupported outcomes
+
+    for kind, blob in fixtures:
+        n = len(blob)
+        # every truncation point (headers are where parsers break)
+        for cut in range(n):
+            attempt(kind, blob[:cut])
+        # byte flips at random offsets
+        for _ in range(300):
+            m = bytearray(blob)
+            i = int(rng.integers(0, n))
+            m[i] ^= int(rng.integers(1, 256))
+            attempt(kind, m)
+        # random splices: copy a chunk over another location
+        for _ in range(100):
+            m = bytearray(blob)
+            a, b = sorted(rng.integers(0, n, size=2).tolist())
+            ln = min(b - a, 16)
+            dst = int(rng.integers(0, max(n - ln, 1)))
+            m[dst : dst + ln] = m[a : a + ln]
+            attempt(kind, m)
+    # pure garbage with valid magics
+    for _ in range(200):
+        blob = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        attempt("jpeg", b"\xff\xd8" + blob)
+        attempt("png", b"\x89PNG\r\n\x1a\n" + blob)

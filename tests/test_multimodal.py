@@ -362,3 +362,105 @@ def test_png_wide_image_decode_budget():
     assert (dw, dh) == (w, h)
     assert body == px.tobytes()
     assert dt < 10.0, f"wide-image decode took {dt:.1f}s"
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    """Native RIFF/PCM audio decode (stdlib-only, like the PNG/JPEG
+    codecs): encode → decode is byte-exact, dims map to the media
+    contract as (rate, channels, frames)."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import _decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-(2**15), 2**15, size=480, dtype=np.int16)
+    rate, ch, frames, pcm = _decode_wav(encode_wav(mono, 8000))
+    assert (rate, ch, frames) == (8000, 1, 480)
+    assert pcm == mono.astype("<i2").tobytes()
+
+    stereo = rng.integers(-(2**15), 2**15, size=(240, 2), dtype=np.int16)
+    rate, ch, frames, pcm = _decode_wav(encode_wav(stereo, 44100))
+    assert (rate, ch, frames) == (44100, 2, 240)
+    assert pcm == stereo.astype("<i2").tobytes()
+
+
+def test_wav_decodes_through_spark_media_stage(spark):
+    """A WAV payload rides the same mapInPandas decode stage as
+    images: (width,height,frames) carry (rate,channels,samples)."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import encode_wav
+
+    t = np.arange(1600)
+    tone = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(encode_wav(tone, 16000))),
+        (2, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),  # corrupt
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r.media_id: r for r in decode(media).collect()}
+    assert (out[1].width, out[1].height, out[1].frames) == (16000, 1, 1600)
+    assert out[1].n_bytes == 3200
+    assert out[2].width == 0 and out[2].n_bytes == 0  # corrupt → empty row
+
+
+def test_wav_codec_gates():
+    """Compressed/float WAVE raises NotImplementedError (optional-codec
+    gate, same contract as progressive JPEG); malformed raises
+    ValueError (corrupt-media policy)."""
+    import struct as st
+
+    import numpy as np
+    import pytest as pt
+
+    from clara_ocr_spark.sources.multimodal import _decode_wav, encode_wav
+
+    good = bytearray(encode_wav(np.zeros(16, dtype=np.int16), 8000))
+    ieee_float = bytearray(good)
+    ieee_float[20:22] = st.pack("<H", 3)  # wFormatTag = IEEE float
+    with pt.raises(NotImplementedError):
+        _decode_wav(bytes(ieee_float))
+    bits24 = bytearray(good)
+    bits24[34:36] = st.pack("<H", 24)
+    with pt.raises(NotImplementedError):
+        _decode_wav(bytes(bits24))
+    zero_ch = bytearray(good)
+    zero_ch[22:24] = st.pack("<H", 0)
+    with pt.raises(ValueError):
+        _decode_wav(bytes(zero_ch))
+    with pt.raises(ValueError):
+        _decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_wav_fuzz_only_sanctioned_exceptions_escape():
+    """Same hostile-input contract the PNG/JPEG fuzz pins (the ADVICE
+    r3 bug class): truncations, bit flips, and garbage after a valid
+    RIFF magic raise only ValueError/NotImplementedError."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import _decode_wav, encode_wav
+
+    rng = np.random.default_rng(23)
+    blob = encode_wav(
+        rng.integers(-(2**15), 2**15, size=(64, 2), dtype=np.int16), 22050
+    )
+    n = len(blob)
+
+    def attempt(b):
+        try:
+            _decode_wav(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+    for cut in range(n):
+        attempt(blob[:cut])
+    for _ in range(400):
+        m = bytearray(blob)
+        i = int(rng.integers(0, n))
+        m[i] ^= int(rng.integers(1, 256))
+        attempt(m)
+    for _ in range(200):
+        garbage = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        attempt(b"RIFF" + garbage[:4] + b"WAVE" + garbage[8:])
