@@ -6,12 +6,15 @@ reference IS an image pipeline, so the corpus-scale analogue keeps
 media as opaque ``binary`` columns with typed metadata and runs
 decode/feature/resize/frame-sample as Arrow-batched stages.
 
-This container has no image/audio codecs, so REAL codec decode is
-stubbed behind an import-try (``NotImplementedError`` with the exact
-dependency named); everything Spark-side — schema, batch iteration,
-partition behavior, numpy vectorization over payload bytes — is real
-and tested.  A deterministic fake "codec" (self-describing header)
-stands in for the decoder so shape logic is exercised end-to-end.
+Four containers decode NATIVELY (stdlib + numpy, from scratch): PNG
+(zlib + filter reconstruction), baseline JPEG (``sources/jpeg.py``),
+RIFF/PCM WAV audio, and MJPEG-in-AVI video (RIFF walk + per-frame
+JPEG).  Valid-but-unsupported shapes (progressive JPEG, ADPCM/float
+WAV, non-MJPEG AVI, MP3/OGG/FLAC) raise ``NotImplementedError`` behind
+an import-try gate naming the missing optional codec; corrupt payloads
+raise ``ValueError`` and map to empty rows in the decode stages.  A
+deterministic fake "codec" (self-describing header) additionally
+exercises the shape logic end-to-end without any real container.
 
 Fake codec layout (big-endian):  magic ``CLMM`` | kind:1 (0=img,
 1=audio, 2=video) | width:4 | height:4 | frames:4 | payload bytes.
@@ -286,6 +289,107 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _decode_avi(
+    payload: bytes, max_pixels_total: int = 64_000_000
+) -> tuple[int, int, int, bytes]:
+    """REAL video decode, stdlib-only: AVI (RIFF) container walk with
+    MJPEG frames — each ``##dc`` chunk is a baseline JFIF image that
+    the from-scratch ``sources/jpeg.py`` codec decodes.  Returns
+    ``(width, height, n_frames, concatenated RGB/gray frame bytes)``.
+
+    Malformed containers/frames raise ValueError (corrupt-media
+    policy); a non-MJPEG compression fourcc raises NotImplementedError
+    (optional-codec gate, same contract as non-baseline JPEG).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    from .jpeg import decode_jpeg
+
+    def walk(buf: bytes) -> Iterator[tuple[bytes, bytes]]:
+        # yields (chunk id or b"LIST:<type>", body) over one level
+        pos, n = 0, len(buf)
+        while pos + 8 <= n:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + clen]
+            yield cid, body
+            pos += 8 + clen + (clen & 1)
+
+    fourcc = None
+    frames: list[bytes] = []
+    for cid, body in walk(payload[12:]):
+        if cid != b"LIST":
+            continue
+        ltype, sub = body[:4], body[4:]
+        if ltype == b"hdrl":
+            for hid, hbody in walk(sub):
+                if hid == b"LIST" and hbody[:4] == b"strl":
+                    for sid, sbody in walk(hbody[4:]):
+                        if sid == b"strh" and len(sbody) >= 8:
+                            if sbody[:4] == b"vids":
+                                fourcc = sbody[4:8]
+        elif ltype == b"movi":
+            for mid_, mbody in walk(sub):
+                if mid_[2:4] in (b"dc", b"db") and mbody:
+                    frames.append(mbody)
+    if fourcc is not None and fourcc not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI codec {fourcc!r}: only MJPEG decodes natively"
+        )
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    w = h = None
+    bodies = []
+    total_px = 0
+    for blob in frames:
+        fw, fh, _, fbody = decode_jpeg(blob)  # ValueError on corrupt
+        if w is None:
+            w, h = fw, fh
+        elif (fw, fh) != (w, h):
+            raise ValueError("AVI frame dimensions vary")
+        total_px += fw * fh
+        if total_px > max_pixels_total:
+            raise ValueError(f"AVI exceeds pixel budget ({total_px})")
+        bodies.append(fbody)
+    return w, h, len(bodies), b"".join(bodies)
+
+
+def encode_avi_mjpeg(
+    frames: "list[np.ndarray]", fps: int = 10, quality: int = 90
+) -> bytes:
+    """Minimal MJPEG-in-AVI writer (fixture writer, like
+    ``encode_png``/``encode_wav``).  ``frames``: uint8 arrays, all the
+    same (H, W) or (H, W, 3) shape."""
+    from .jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = np.asarray(frames[0]).shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    jpegs = [encode_jpeg(np.asarray(f, dtype=np.uint8), quality) for f in frames]
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIIhhhh",
+        0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real-codec dispatch: PNG decodes natively (stdlib zlib + numpy
     — VERDICT r2 item 5) and baseline JPEG decodes natively too
@@ -298,6 +402,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -399,7 +505,9 @@ def decode(media: DataFrame) -> DataFrame:
 def frame_sample(decoded: DataFrame, every: int = 4) -> DataFrame:
     """Video frame sampling plan: one row per sampled frame index —
     pure JVM explode of a sequence, no Python."""
-    vids = decoded.filter(F.col("kind") == "video")
+    # frames > 0: corrupt media decodes to an all-zero row, and
+    # sequence(0, -1, every) throws JVM-side — nothing to sample
+    vids = decoded.filter((F.col("kind") == "video") & (F.col("frames") > 0))
     idx = F.sequence(
         F.lit(0), F.col("frames") - 1, F.lit(every)
     )
@@ -419,4 +527,96 @@ def resize_plan(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
         "kind",
         F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("target_w"),
         F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("target_h"),
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("peak", FloatType(), False),
+        StructField("silence_ratio", FloatType(), False),
+        StructField("n_segments", IntegerType(), False),
+    ]
+)
+
+
+def _audio_stat_row(
+    payload: bytes, window: int, silence_db: float
+) -> tuple[int, int, int, float, float, float, int]:
+    """One audio payload → (rate, ch, frames, rms, peak,
+    silence_ratio, n_segments), all numpy-vectorized.  WAV payloads
+    decode natively; fake-codec audio blobs are read as unsigned 8-bit
+    PCM at ``width`` Hz so the fake path exercises identical math."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, ch, frames, pcm = _decode_wav(payload)
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    elif payload[:4] == _MAGIC:
+        rate, _h, frames, body = _decode_one(payload)
+        ch = 1
+        x = (np.frombuffer(body, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        frames = x.size
+    elif (
+        payload[:3] == b"ID3"
+        or payload[:2] == b"\xff\xfb"
+        or payload[:4] in (b"OggS", b"fLaC")
+    ):
+        # valid-but-unsupported audio container: config gate, same
+        # contract as non-baseline JPEG — propagates, never a zero row
+        raise NotImplementedError("compressed audio needs an optional codec")
+    else:
+        raise ValueError("unrecognized audio payload")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)  # downmix to mono
+    if x.size == 0:
+        return rate, ch, 0, 0.0, 0.0, 1.0, 0
+    rms = float(np.sqrt(np.mean(np.square(x))))
+    peak = float(np.max(np.abs(x)))
+    n_win = x.size // window
+    if n_win == 0:
+        voiced = np.array([rms >= 10.0 ** (silence_db / 20.0)])
+    else:
+        wr = np.sqrt(
+            np.mean(np.square(x[: n_win * window].reshape(n_win, window)), axis=1)
+        )
+        voiced = wr >= 10.0 ** (silence_db / 20.0)
+    silence_ratio = float(1.0 - voiced.mean())
+    # voiced segments = rising edges of the voiced mask
+    n_segments = int(
+        np.count_nonzero(np.diff(voiced.astype(np.int8), prepend=0) == 1)
+    )
+    return rate, ch, frames, rms, peak, silence_ratio, n_segments
+
+
+def audio_stats(
+    media: DataFrame, window: int = 1024, silence_db: float = -40.0
+) -> DataFrame:
+    """Audio feature extraction over the media table: per-clip RMS /
+    peak level, silence ratio, and voiced-segment count from windowed
+    energy (window ``window`` samples, threshold ``silence_db`` dBFS).
+
+    Same shape as :func:`decode`: Arrow-batched ``mapInPandas``, all
+    per-sample math vectorized numpy — the corpus-scale analogue of the
+    reference's per-page raster statistics (pgmblock.c histograms)
+    applied to the audio modality.  Corrupt payloads map to an empty
+    row (find_thing discipline), never a crash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    row = _audio_stat_row(bytes(payload), window, silence_db)
+                except ValueError:
+                    row = (0, 0, 0, 0.0, 0.0, 1.0, 0)
+                out.append((int(mid), *row))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_STATS_SCHEMA
     )

@@ -464,3 +464,136 @@ def test_wav_fuzz_only_sanctioned_exceptions_escape():
     for _ in range(200):
         garbage = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
         attempt(b"RIFF" + garbage[:4] + b"WAVE" + garbage[8:])
+
+
+def test_avi_mjpeg_roundtrip():
+    """Real video decode: MJPEG-in-AVI container walk + per-frame
+    decode through the from-scratch JPEG codec.  Gray ramp frames at
+    quality 100 survive DCT round-trip closely; dims/frame-count are
+    exact."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import _decode_avi, encode_avi_mjpeg
+
+    base = np.tile(np.arange(48, dtype=np.uint8) * 5, (32, 1))
+    frames = [(base + 20 * i).astype(np.uint8) for i in range(5)]
+    blob = encode_avi_mjpeg(frames, fps=10, quality=100)
+    w, h, n, body = _decode_avi(blob)
+    assert (w, h, n) == (48, 32, 5)
+    got = np.frombuffer(body, dtype=np.uint8).reshape(5, 32, 48)
+    for i in range(5):
+        err = np.abs(got[i].astype(int) - frames[i].astype(int))
+        assert err.max() <= 12, f"frame {i} max err {err.max()}"
+
+
+def test_avi_decodes_through_spark_media_stage(spark):
+    """AVI rides the same mapInPandas decode stage; frame_sample then
+    explodes the sampled frame indices JVM-side."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import (
+        decode,
+        encode_avi_mjpeg,
+        frame_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        np.full((16, 24), 60 + 10 * i, dtype=np.uint8) for i in range(8)
+    ]
+    rows = [
+        (1, "video", bytearray(encode_avi_mjpeg(frames, fps=5))),
+        (2, "video", bytearray(b"RIFF\x00\x00\x00\x00AVI junk")),  # corrupt
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    d = decode(media)
+    out = {r.media_id: r for r in d.collect()}
+    assert (out[1].width, out[1].height, out[1].frames) == (24, 16, 8)
+    assert out[1].n_bytes == 24 * 16 * 8
+    assert out[2].width == 0 and out[2].n_bytes == 0
+    sampled = frame_sample(d, every=3).collect()
+    assert sorted(r.frame_idx for r in sampled if r.media_id == 1) == [0, 3, 6]
+
+
+def test_avi_codec_and_hostility_gates():
+    """Non-MJPEG fourcc → NotImplementedError (optional-codec gate);
+    varying frame dims / no frames / truncations → ValueError only."""
+    import numpy as np
+    import pytest as pt
+
+    from clara_ocr_spark.sources.multimodal import _decode_avi, encode_avi_mjpeg
+
+    frames = [np.full((8, 8), 100, dtype=np.uint8)] * 2
+    blob = bytearray(encode_avi_mjpeg(frames))
+    i = blob.find(b"vidsMJPG")
+    assert i > 0
+    other = bytearray(blob)
+    other[i + 4 : i + 8] = b"H264"
+    with pt.raises(NotImplementedError):
+        _decode_avi(bytes(other))
+    with pt.raises(ValueError):
+        _decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no frames
+
+    rng = np.random.default_rng(31)
+    n = len(blob)
+    for cut in range(n):
+        try:
+            _decode_avi(bytes(blob[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(300):
+        m = bytearray(blob)
+        j = int(rng.integers(0, n))
+        m[j] ^= int(rng.integers(1, 256))
+        try:
+            _decode_avi(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_audio_stats_tone_vs_silence(spark):
+    """audio_stats: a clip of [silence | tone | silence | tone] yields
+    2 voiced segments, ~half silence, RMS ≈ amplitude/√2."""
+    import numpy as np
+
+    from clara_ocr_spark.sources.multimodal import audio_stats, encode_wav
+
+    rate, amp, span = 16000, 12000, 4096  # span = 4 analysis windows
+    t = np.arange(span)
+    tone = (amp * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    quiet = np.zeros(span, dtype=np.int16)
+    clip = np.concatenate([quiet, tone, quiet, tone])
+    rows = [
+        (1, "audio", bytearray(encode_wav(clip, rate))),
+        (2, "audio", bytearray(b"RIFFbadWAVE")),  # corrupt → zero row
+        (3, "image", bytearray(b"ignored")),  # filtered out by kind
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r.media_id: r for r in audio_stats(media).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.channels, r1.n_frames) == (rate, 1, 4 * span)
+    assert r1.n_segments == 2
+    assert abs(r1.silence_ratio - 0.5) < 1e-6  # spans are window-aligned
+    expected_rms = (amp / 32768.0) / np.sqrt(2) * np.sqrt(0.5)  # half duty
+    assert abs(r1.rms - expected_rms) < 0.01
+    assert abs(r1.peak - amp / 32768.0) < 0.01
+    assert out[2].sample_rate == 0 and out[2].silence_ratio == 1.0
+
+
+def test_audio_stats_fake_codec_path(spark):
+    """Fake-codec audio blobs run the identical stats math (uint8 PCM
+    reinterpretation) so the plumbing is exercised without WAV."""
+    from clara_ocr_spark.sources.multimodal import audio_stats, make_media
+
+    media = make_media(spark, n=12)
+    out = audio_stats(media).collect()
+    assert len(out) == 4  # kinds cycle img/audio/video
+    for r in out:
+        assert r.channels == 1 and r.n_frames > 0
+        assert 0.0 <= r.silence_ratio <= 1.0
+        assert r.rms > 0.0  # byte-ramp payload is never silent
