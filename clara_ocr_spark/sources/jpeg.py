@@ -29,6 +29,7 @@ partitioning, same as the PNG path.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -155,18 +156,36 @@ def _canonical_codes(bits, huffval):
     return codes
 
 
-def _decode_table(bits, huffval):
-    """BITS/HUFFVAL → {(length, code): value} for the bit reader."""
-    table = {}
+@lru_cache(maxsize=64)
+def _decode_table_cached(bits_b: bytes, huffval_b: bytes):
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    lens = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
+        for _ in range(bits_b[length - 1]):
+            hi = (code + 1) << (16 - length)
+            if hi > (1 << 16):
+                # a mutated DHT can declare more codes than the code
+                # space holds; numpy slicing would clamp silently
+                raise ValueError("overfull JPEG Huffman table")
+            sym[code << (16 - length) : hi] = huffval_b[k]
+            lens[code << (16 - length) : hi] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    # plain lists: C-speed indexing in the symbol loop (numpy scalar
+    # indexing is ~3x slower per lookup)
+    return sym.tolist(), lens.tolist()
+
+
+def _decode_table(bits, huffval):
+    """BITS/HUFFVAL → 16-bit-lookahead LUT ``(symbols, code_lengths)``:
+    every window whose prefix is a code of length L maps to (value, L);
+    length 0 marks invalid prefixes.  Cached — encoders overwhelmingly
+    ship the Annex K tables, so across a batch the build cost is paid
+    once, not per image."""
+    return _decode_table_cached(bytes(bits), bytes(huffval))
 
 
 def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
@@ -372,67 +391,75 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 de-stuffing; stops at
-    any real marker (leaves it for the caller)."""
+    """Entropy-segment bit reader: locates the segment end (first
+    0xFF followed by non-zero — a real marker or fill byte) with one
+    numpy scan, de-stuffs 0xFF00 once up front, then serves bits from
+    a small integer window.  ``marker_pos`` is the byte offset of the
+    terminating 0xFF in the ORIGINAL data (== len(data) if none).
+
+    Replaces the per-bit ``_fill`` reader: the LUT + window design
+    cut 128x128 color decode ~6x (303 → 54 ms on a max-entropy noise
+    image — the worst case; typical thumbnails decode in ~1 ms with
+    the table cache warm).  The remaining cost is the per-symbol
+    Python loop, inherent to sequential Huffman; mass media decode at
+    scale still routes to the optional real codec when present."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
-        self.marker_hit = False
-
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if pos > len(data):
             raise ValueError("truncated JPEG entropy stream")
-        byte = d[self.pos]
-        if byte == 0xFF:
-            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
-                self.pos += 2  # stuffed
-            else:
-                self.marker_hit = True
-                raise ValueError("JPEG entropy stream ended at marker")
-        else:
-            self.pos += 1
-        self._acc = (self._acc << 8) | byte
-        self._n += 8
+        ffs = np.flatnonzero(arr[pos:-1] == 0xFF) if len(data) > pos else []
+        end = len(data)
+        if len(ffs):
+            nxt = ffs[arr[pos + ffs + 1] != 0x00]
+            if nxt.size:
+                end = pos + int(nxt[0])
+        self.marker_pos = end
+        self.buf = data[pos:end].replace(b"\xff\x00", b"\xff")
+        self.n = len(self.buf)
+        self.total_bits = self.n * 8
+        self.i = 0
+        self.window = 0
+        self.nbits = 0
+        self.consumed = 0
 
-    def read_bit(self) -> int:
-        if not self._n:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+    def _refill(self, need: int) -> None:
+        buf, n = self.buf, self.n
+        i, window, nbits = self.i, self.window, self.nbits
+        while nbits < need:
+            if i < n:
+                window = (window << 8) | buf[i]
+                i += 1
+            else:
+                window <<= 8  # zero-pad lookahead past the segment
+            nbits += 8
+        self.i, self.window, self.nbits = i, window, nbits
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_to_marker(self) -> int:
-        """Skip to the next marker byte pair; return its tag."""
-        d = self.data
-        p = self.pos
-        while p + 1 < len(d):
-            if d[p] == 0xFF and d[p + 1] == 0xFF:
-                p += 1  # fill byte (T.81 §B.1.1.2)
-                continue
-            if d[p] == 0xFF and d[p + 1] != 0x00:
-                self.pos = p + 2
-                return d[p + 1]
-            p += 1
-        raise ValueError("JPEG missing trailing marker")
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._refill(n)
+        self.nbits -= n
+        self.consumed += n
+        if self.consumed > self.total_bits:
+            raise ValueError("truncated JPEG entropy stream")
+        return (self.window >> self.nbits) & ((1 << n) - 1)
 
 
-def _read_huffman(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid JPEG Huffman code")
+def _read_huffman(reader: _BitReader, table) -> int:
+    sym, lens = table
+    if reader.nbits < 16:
+        reader._refill(16)
+    length = lens[(reader.window >> (reader.nbits - 16)) & 0xFFFF]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    v = sym[(reader.window >> (reader.nbits - 16)) & 0xFFFF]
+    reader.nbits -= length
+    reader.consumed += length
+    if reader.consumed > reader.total_bits:
+        raise ValueError("truncated JPEG entropy stream")
+    return v
 
 
 def _extend(bits: int, size: int) -> int:
@@ -445,37 +472,109 @@ def _extend(bits: int, size: int) -> int:
 def _decode_plane_scan(
     reader: _BitReader,
     n_blocks: int,
-    dc_table: dict,
-    ac_table: dict,
+    dc_table,
+    ac_table,
 ) -> np.ndarray:
     """Entropy-decode one single-component scan → (n_blocks, 64)
-    int32 zig-zag coefficients."""
-    # int64: on corrupted streams the DC predictor accumulates ±2^15
-    # per block and can pass int32 (fuzz-found); sizes are validated
-    # against the spec's 15-bit ceiling since a mutated DHT can carry
-    # arbitrary "size" bytes that would otherwise mint unbounded ints
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    int64 zig-zag coefficients.
+
+    Hot loop: reader state is held in locals (attribute access per
+    symbol would dominate), Huffman decode is one 16-bit-lookahead
+    LUT hit, and coefficients scatter into the numpy array once at
+    the end instead of per-element."""
+    dc_sym, dc_len = dc_table
+    ac_sym, ac_len = ac_table
+    buf, nbuf = reader.buf, reader.n
+    total = reader.total_bits
+    i, window, nbits = reader.i, reader.window, reader.nbits
+    consumed = reader.consumed
+    rows: list = []
+    cols: list = []
+    vals: list = []
     pred = 0
     for b in range(n_blocks):
-        size = _read_huffman(reader, dc_table)
+        while nbits < 16:
+            if i < nbuf:
+                window = (window << 8) | buf[i]
+                i += 1
+            else:
+                window <<= 8
+            nbits += 8
+        key = (window >> (nbits - 16)) & 0xFFFF
+        length = dc_len[key]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        nbits -= length
+        consumed += length
+        size = dc_sym[key]
+        # sizes validated against the spec's 15-bit ceiling: a mutated
+        # DHT can carry arbitrary "size" bytes that would otherwise
+        # mint unbounded ints (fuzz-found); int64 zz because on
+        # corrupted streams the DC predictor accumulates ±2^15/block
         if size > 15:
             raise ValueError("invalid JPEG DC size")
-        pred += _extend(reader.read_bits(size), size)
-        zz[b, 0] = pred
+        if size:
+            while nbits < size:
+                if i < nbuf:
+                    window = (window << 8) | buf[i]
+                    i += 1
+                else:
+                    window <<= 8
+                nbits += 8
+            v = (window >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            consumed += size
+            pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        rows.append(b)
+        cols.append(0)
+        vals.append(pred)
+        window &= (1 << nbits) - 1  # keep the window a small int
         k = 1
         while k < 64:
-            rs = _read_huffman(reader, ac_table)
-            run, size = rs >> 4, rs & 0x0F
+            while nbits < 16:
+                if i < nbuf:
+                    window = (window << 8) | buf[i]
+                    i += 1
+                else:
+                    window <<= 8
+                nbits += 8
+            key = (window >> (nbits - 16)) & 0xFFFF
+            length = ac_len[key]
+            if length == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            nbits -= length
+            consumed += length
+            rs = ac_sym[key]
             if rs == 0x00:  # EOB
                 break
             if rs == 0xF0:  # ZRL
                 k += 16
                 continue
-            k += run
+            k += rs >> 4
             if k > 63:
                 raise ValueError("JPEG AC run past block end")
-            zz[b, k] = _extend(reader.read_bits(size), size)
+            size = rs & 0x0F
+            while nbits < size:
+                if i < nbuf:
+                    window = (window << 8) | buf[i]
+                    i += 1
+                else:
+                    window <<= 8
+                nbits += 8
+            v = (window >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            consumed += size
+            rows.append(b)
+            cols.append(k)
+            vals.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
             k += 1
+        if consumed > total:
+            raise ValueError("truncated JPEG entropy stream")
+        window &= (1 << nbits) - 1
+    reader.i, reader.window, reader.nbits = i, window, nbits
+    reader.consumed = consumed
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    zz[rows, cols] = vals
     return zz
 
 
@@ -593,12 +692,17 @@ def decode_jpeg(payload: bytes) -> "tuple[int, int, int, bytes]":
             reader = _BitReader(payload, pos)
             zz = _decode_plane_scan(reader, n_blocks, dc, ac)
             planes[idx] = _plane_from_coefficients(zz, qtables[qsel], h, w)
-            # resync to the marker ending this entropy segment
-            tag2 = reader.align_to_marker()
-            pos = reader.pos
+            # resync to the marker ending this entropy segment (skip
+            # 0xFF fill bytes, T.81 §B.1.1.2)
+            p = reader.marker_pos
+            while p + 1 < n and payload[p] == 0xFF and payload[p + 1] == 0xFF:
+                p += 1
+            if p + 1 >= n or payload[p] != 0xFF:
+                raise ValueError("JPEG missing trailing marker")
+            tag2 = payload[p + 1]
             if tag2 == 0xD9:
                 break
-            pos -= 2  # let the main loop re-parse the marker
+            pos = p  # let the main loop re-parse the marker
         # APPn/COM and others: skipped via seglen
     if comps is None or len(planes) != len(comps):
         raise ValueError("JPEG missing scans")
