@@ -95,6 +95,8 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
 # PDF layout leg: heavier per-doc work (geometry windows), fewer docs.
 PDF_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_PDF_BENCH_DOCS", "20000"))
+# Native-codec media decode leg (PNG/JPEG/WAV/AVI mix, r4).
+MEDIA_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_MEDIA_BENCH_DOCS", "16000"))
 
 
 def _force(df) -> None:
@@ -151,6 +153,32 @@ def run_pdf_extraction(
     for i in range(warmups + runs):
         t0 = time.time()
         _force(extract_pdf(pages))
+        if i >= warmups:
+            times.append(time.time() - t0)
+    return min(times)
+
+
+def run_media_decode(
+    spark, n_docs: int | None = None, warmups: int = 1, runs: int = 2
+) -> float:
+    """Steady-state wall-clock for the native-codec media decode
+    stage (mixed PNG/baseline-JPEG/PCM-WAV/MJPEG-AVI corpus with ~1%
+    corrupt blobs).  Min of timed runs, same rationale as the PDF
+    leg."""
+    from clara_ocr_spark.sources.multimodal import decode, ensure_media_corpus
+
+    n_docs = n_docs or MEDIA_BENCH_DOCS
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    path = ensure_media_corpus(
+        os.path.join(base, f"media_bench_{n_docs}.parquet"), n=n_docs
+    )
+    media = spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    times = []
+    for i in range(warmups + runs):
+        t0 = time.time()
+        _force(decode(media))
         if i >= warmups:
             times.append(time.time() - t0)
     return min(times)
@@ -303,6 +331,10 @@ def main() -> None:
     timings["pdf_extraction"] = round(pdf_secs, 3)
     pdf_docs_per_sec = round(PDF_BENCH_DOCS / pdf_secs, 1)
 
+    media_secs = run_media_decode(spark)
+    timings["media_decode"] = round(media_secs, 3)
+    media_blobs_per_sec = round(MEDIA_BENCH_DOCS / media_secs, 1)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -317,6 +349,8 @@ def main() -> None:
                 "extraction_docs_per_sec": docs_per_sec,
                 "pdf_extraction_docs": PDF_BENCH_DOCS,
                 "pdf_extraction_docs_per_sec": pdf_docs_per_sec,
+                "media_decode_blobs": MEDIA_BENCH_DOCS,
+                "media_decode_blobs_per_sec": media_blobs_per_sec,
                 "cores": cores,
             }
         )

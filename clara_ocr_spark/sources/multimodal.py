@@ -620,3 +620,59 @@ def audio_stats(
     return media.filter(F.col("kind") == "audio").mapInPandas(
         batches, schema=AUDIO_STATS_SCHEMA
     )
+
+
+def gen_media_blob(i: int, seed: int = 42) -> tuple[int, str, bytes]:
+    """One deterministic media row (seeded per-index, order-free):
+    cycles PNG image / baseline JPEG / PCM WAV / MJPEG AVI, with ~1%
+    corrupt blobs mixed in (real crawl media is dirty — the decode
+    stage must absorb them as empty rows at full speed)."""
+    rng = np.random.default_rng((seed << 20) ^ i)
+    kind_ix = i % 4
+    if i % 97 == 0:  # corrupt: valid magic, garbage body
+        magic = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF????WAVE",
+                 b"RIFF????AVI "][kind_ix]
+        body = magic + rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        return i, ("image", "image", "audio", "video")[kind_ix], body
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = ((yy * int(rng.integers(1, 5)) + xx * int(rng.integers(1, 5))
+             + int(rng.integers(0, 256))) % 256).astype(np.uint8)
+    if kind_ix == 0:
+        px = np.dstack([base, base[::-1], base.T]).astype(np.uint8)
+        return i, "image", encode_png(px)
+    if kind_ix == 1:
+        from .jpeg import encode_jpeg
+
+        return i, "image", encode_jpeg(base, 85)
+    if kind_ix == 2:
+        t = np.arange(8000)
+        f = float(rng.integers(100, 2000))
+        tone = (10000 * np.sin(2 * np.pi * f * t / 16000)).astype(np.int16)
+        tone[: 2048 * int(rng.integers(0, 2))] = 0  # optional leading silence
+        return i, "audio", encode_wav(tone, 16000)
+    frames = [((base.astype(int) + 16 * j) % 256).astype(np.uint8)
+              for j in range(3)]
+    return i, "video", encode_avi_mjpeg(frames, quality=85)
+
+
+def ensure_media_corpus(path: str, n: int, seed: int = 42) -> str:
+    """Write a deterministic mixed-media parquet once (cached by
+    path): the bench corpus for the native-codec decode stage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        rows = [gen_media_blob(i, seed) for i in range(n)]
+        table = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int32()),
+                "kind": pa.array([r[1] for r in rows], pa.string()),
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+        pq.write_table(table, path + ".tmp", compression="zstd")
+        os.rename(path + ".tmp", path)
+    return path

@@ -597,3 +597,43 @@ def test_audio_stats_fake_codec_path(spark):
         assert r.channels == 1 and r.n_frames > 0
         assert 0.0 <= r.silence_ratio <= 1.0
         assert r.rms > 0.0  # byte-ramp payload is never silent
+
+
+def test_media_corpus_generator_deterministic(tmp_path):
+    """Bench media corpus: deterministic, mixed kinds, ~1% corrupt
+    blobs that decode to ValueError (never anything else)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.sources.multimodal import (
+        _decode_one,
+        ensure_media_corpus,
+        gen_media_blob,
+    )
+
+    assert gen_media_blob(7) == gen_media_blob(7)
+    kinds = collections.Counter(gen_media_blob(i)[1] for i in range(200))
+    assert kinds["image"] == 100 and kinds["audio"] == 50
+    ok = corrupt = 0
+    for i in range(200):
+        _, _, payload = gen_media_blob(i)
+        try:
+            w, h, frames, body = _decode_one(payload)
+            assert w > 0 and len(body) > 0
+            ok += 1
+        except ValueError:
+            corrupt += 1
+    assert corrupt == 3  # i in {0, 97, 194}
+    assert ok == 197
+    p = str(tmp_path / "media.parquet")
+    assert ensure_media_corpus(p, 50) == p
+    t = pq.read_table(p)
+    assert t.num_rows == 50
+    assert t.column_names == ["media_id", "kind", "payload"]
+    # cached: second call must not regenerate (mtime unchanged)
+    import os
+
+    m1 = os.path.getmtime(p)
+    ensure_media_corpus(p, 50)
+    assert os.path.getmtime(p) == m1
