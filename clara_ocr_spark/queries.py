@@ -4176,6 +4176,549 @@ def stream_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# Corpus-scale curation, round 4: the remaining standard web-pipeline
+# passes a 100 TB training-data build needs beyond near-dup — corpus-
+# level line dedup (CCNet/RefinedWeb boilerplate removal), exact
+# duplicated-substring spans (the suffix-array dedup analogue of Lee
+# et al. 2022, recast as hashed shingle equi-joins + interval union),
+# a fixed-point link-graph rank (integer-arithmetic PageRank so the
+# result is bit-reproducible across engines), sequence packing, and a
+# fully declarative Naive-Bayes language classifier (training AND
+# inference as joins/aggregations — no model object, no mllib).
+# ---------------------------------------------------------------------
+
+
+@q(
+    "line_dedup_corpus",
+    f"""
+    with t as (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+               from documents),
+    l as (select t.doc_id, g.i as pos,
+                 array_to_string(
+                   list_slice(t.ws, (g.i - 1) * 8 + 1, g.i * 8), ' ') as line
+          from t,
+               unnest(generate_series(
+                 1, cast(ceil(len(t.ws) / 8.0) as bigint))) as g(i)),
+    freq as (select line from l group by line
+             having count(distinct doc_id) >= 3),
+    k as (select l.doc_id, l.pos, l.line from l
+          anti join freq using (line)),
+    agg as (select doc_id, count(*) as n_kept,
+                   md5(string_agg(line, chr(10) order by pos)) as kept_md5
+            from k group by doc_id),
+    base as (select doc_id,
+                    cast(ceil(len(ws) / 8.0) as bigint) as n_lines
+             from t)
+    select b.doc_id, b.n_lines,
+           coalesce(a.n_kept, 0) as n_kept,
+           coalesce(a.kept_md5, md5('')) as kept_md5
+    from base b left join agg a using (doc_id)
+    """,
+)
+def line_dedup_corpus(spark, sf_dir):
+    """Corpus-level line dedup (CCNet / RefinedWeb boilerplate pass):
+    chunk each doc into positional 8-token lines, count per-line
+    DOCUMENT frequency across the whole corpus, drop every copy of
+    any line appearing in >= 3 docs, and reassemble the survivors in
+    reading order (md5 of the rebuilt text is the per-doc identity).
+    Scale shape: the df shuffle and the anti-join both key on a
+    60-bit line hash, never the line text, so the wide exchange
+    carries 8 bytes per line; reassembly is one per-doc aggregate
+    (array_sort over (pos, line) structs — no window).  Reference
+    analogue: the reference drops recurring inter-page furniture the
+    same way its per-book pattern library suppresses repeated
+    headers (pattern.c's shared-pattern machinery)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    n_lines = F.ceil(F.size("ws") / F.lit(8.0)).cast("bigint")
+    lines_arr = F.when(
+        F.size("ws") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), n_lines),
+            lambda i: F.array_join(
+                F.slice(F.col("ws"), ((i - F.lit(1)) * 8 + 1).cast("int"), 8),
+                " ",
+            ),
+        )
+    )
+    base = t.select("doc_id", n_lines.alias("n_lines"),
+                    lines_arr.alias("lines"))
+    lines = base.select(
+        "doc_id",
+        F.posexplode("lines").alias("pos0", "line"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "line",
+        spark_hash60(F.col("line")).alias("h"),
+    )
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select("h")
+    )
+    kept = lines.join(boiler, "h", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        base.select("doc_id", "n_lines")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+@q(
+    "dup_span_detect",
+    f"""
+    with t as (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+               from documents),
+    w as (select t.doc_id, g.i as pos,
+                 array_to_string(list_slice(t.ws, g.i, g.i + 4), ' ') as win
+          from t, unnest(generate_series(1, len(t.ws) - 4)) as g(i)),
+    dfq as (select win from w group by win
+            having count(distinct doc_id) >= 2),
+    d as (select w.doc_id, w.pos from w join dfq using (win)),
+    m as (select doc_id, pos,
+                 max(pos + 4) over (partition by doc_id order by pos
+                   rows between unbounded preceding and 1 preceding)
+                   as prev_end
+          from d),
+    i as (select doc_id, pos,
+                 sum(case when prev_end is null or pos > prev_end
+                     then 1 else 0 end)
+                   over (partition by doc_id order by pos
+                     rows between unbounded preceding and current row)
+                   as isl
+          from m),
+    sp as (select doc_id, isl, min(pos) as s, max(pos) + 4 as e
+           from i group by doc_id, isl),
+    pd as (select doc_id, count(*) as n_spans,
+                  cast(sum(e - s + 1) as bigint) as dup_tokens
+           from sp group by doc_id),
+    nt as (select doc_id, len(ws) as n_tok from t)
+    select pd.doc_id, pd.n_spans, pd.dup_tokens, nt.n_tok,
+           round(cast(pd.dup_tokens as double) / nt.n_tok, 4) as dup_frac
+    from pd join nt using (doc_id)
+    """,
+)
+def dup_span_detect(spark, sf_dir):
+    """Exact duplicated-substring spans — the Spark-shaped analogue of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better").  A suffix array is a
+    single-machine data structure; the distributed recast: slide a
+    5-token window over every doc, keep windows whose hash occurs in
+    >= 2 distinct docs (one narrow groupBy on the 60-bit window hash
+    — the shuffle carries (hash, doc, pos), never text), then merge
+    each doc's duplicated window positions into maximal spans with an
+    interval-union window (cumulative max of span end), yielding the
+    exact duplicated-token coverage per doc.  Output: docs carrying
+    cross-doc duplicated runs of >= 5 tokens, span count, covered
+    tokens, coverage fraction."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    n_tok = F.size("ws")
+    wins_arr = F.when(
+        n_tok < 5, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 4),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
+        )
+    )
+    wins = t.select(
+        "doc_id", F.posexplode(wins_arr).alias("pos0", "win")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        spark_hash60(F.col("win")).alias("h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + 4).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_isl"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("new_isl")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 4).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return per_doc.join(
+        t.select("doc_id", n_tok.alias("n_tok")), "doc_id"
+    ).select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tok",
+        F.round(F.col("dup_tokens") / F.col("n_tok"), 4).alias("dup_frac"),
+    )
+
+
+@q(
+    "pagerank_bipartite",
+    """
+    with li as (select o.o_custkey as c, l.l_suppkey as s,
+                       count(*) as w
+                from lineitem l join orders o
+                  on l.l_orderkey = o.o_orderkey
+                group by 1, 2),
+    e as (select 'C' || cast(c as varchar) as src,
+                 'S' || cast(s as varchar) as dst, w from li
+          union all
+          select 'S' || cast(s as varchar),
+                 'C' || cast(c as varchar), w from li),
+    ow as (select src, cast(sum(w) as bigint) as out_w
+           from e group by src),
+    nodes as (select distinct src as node from e),
+    n as (select count(*) as n_nodes from nodes),
+    r0 as (select node, 1000000000000 // n_nodes as rank,
+                  n_nodes from nodes, n),
+    i1 as (select e.dst as node,
+                  cast(sum((r.rank * e.w) // ow.out_w) as bigint) as inflow
+           from e join ow using (src) join r0 r on r.node = e.src
+           group by e.dst),
+    r1 as (select r0.node,
+                  (15 * (1000000000000 // r0.n_nodes)) // 100
+                    + (85 * coalesce(i1.inflow, 0)) // 100 as rank,
+                  r0.n_nodes
+           from r0 left join i1 using (node)),
+    i2 as (select e.dst as node,
+                  cast(sum((r.rank * e.w) // ow.out_w) as bigint) as inflow
+           from e join ow using (src) join r1 r on r.node = e.src
+           group by e.dst),
+    r2 as (select r1.node,
+                  (15 * (1000000000000 // r1.n_nodes)) // 100
+                    + (85 * coalesce(i2.inflow, 0)) // 100 as rank,
+                  r1.n_nodes
+           from r1 left join i2 using (node)),
+    i3 as (select e.dst as node,
+                  cast(sum((r.rank * e.w) // ow.out_w) as bigint) as inflow
+           from e join ow using (src) join r2 r on r.node = e.src
+           group by e.dst),
+    r3 as (select r2.node,
+                  (15 * (1000000000000 // r2.n_nodes)) // 100
+                    + (85 * coalesce(i3.inflow, 0)) // 100 as rank
+           from r2 left join i3 using (node))
+    select node, cast(rank as bigint) as rank, rnk from
+      (select node, rank,
+              row_number() over (order by rank desc, node) as rnk
+       from r3)
+    where rnk <= 20
+    """,
+)
+def pagerank_bipartite(spark, sf_dir):
+    """Fixed-point link-graph authority rank: 3 PageRank iterations
+    over the customer<->supplier order graph (the web analogue: the
+    host link graph a crawl-frontier / quality prior is built from).
+    All arithmetic is INTEGER (ranks in 1e-12 units, `div` floor
+    division, damping 85/100) so partial-aggregation order cannot
+    perturb a single bit — the result is exactly reproducible on any
+    partitioning and matches the DuckDB oracle bit-for-bit, which a
+    double-precision PageRank cannot promise.  Scale shape: each
+    iteration is one equi-join of the edge list against the rank
+    table (broadcast — the rank table is |nodes|, tiny next to
+    |edges|) followed by one groupBy(dst) with map-side partial sums;
+    dangling mass is dropped (documented).  Reference analogue: the
+    reference's pattern-preference voting converges the same way
+    (vote mass redistributed along match edges, revision.c)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    fwd = cs.select(
+        F.concat(F.lit("C"), F.col("c").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("s").cast("string")).alias("dst"),
+        "w",
+    )
+    rev = cs.select(
+        F.concat(F.lit("S"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("c").cast("string")).alias("dst"),
+        "w",
+    )
+    e = fwd.unionAll(rev)
+    ow = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(ow, "src")
+    # One plan, reused across iterations: materialize the (small)
+    # weighted edge list once so the lineitem x orders join does not
+    # re-execute per iteration.
+    ew = ew.localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = nodes.crossJoin(n_nodes).select(
+        "node",
+        F.expr("1000000000000 div n_nodes").alias("rank"),
+        "n_nodes",
+    )
+    for _ in range(3):
+        contrib = ew.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank * w) div out_w").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            ranks.select("node", "n_nodes")
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr("(15 * (1000000000000 div n_nodes)) div 100")
+                    + F.expr(
+                        "(85 * coalesce(inflow, cast(0 as bigint))) div 100"
+                    )
+                ).alias("rank"),
+                "n_nodes",
+            )
+        )
+    top = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.select("node", "rank")
+        .withColumn("rnk", F.row_number().over(top))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@q(
+    "pack_token_budget",
+    f"""
+    with t as (select doc_id, lang,
+                      len({_TOK_DUCK.format(x='lower(text)')}) as n_tok
+               from documents),
+    c as (select doc_id, lang, n_tok,
+                 sum(n_tok) over (partition by lang order by doc_id
+                   rows between unbounded preceding and current row)
+                   as cum
+          from t),
+    b as (select lang, cast((cum - n_tok) // 512 as bigint) as bin,
+                 n_tok from c)
+    select lang, bin, count(*) as n_docs,
+           cast(sum(n_tok) as bigint) as bin_tokens
+    from b group by lang, bin
+    """,
+)
+def pack_token_budget(spark, sf_dir):
+    """Sequence packing for training shard assembly: stream each
+    language's docs in doc_id order, running-total their token
+    counts, and assign bin = floor(start_offset / 512) — the
+    cumulative-sum packing used to fill fixed-budget training
+    sequences (docs straddling a boundary stay in the bin they
+    started in, so bins can exceed the budget by one doc's tail;
+    that is the standard pack-with-straddle contract).  At 100 TB the
+    per-lang running sum would be per (lang, shard) — the ordered
+    window is otherwise one task per language; documented trade for
+    the catalog's deterministic oracle."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.lower(F.col("text")))).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "lang",
+            F.expr("(cum - n_tok) div 512").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+    )
+
+
+@q(
+    "nb_lang_classifier",
+    f"""
+    with d as (select doc_id, lang,
+                      {_TOK_DUCK.format(x='lower(text)')} as ws
+               from documents),
+    tr as (select * from d where doc_id % 5 <> 0),
+    te as (select * from d where doc_id % 5 = 0),
+    trt as (select lang, u.w from tr, unnest(tr.ws) as u(w)),
+    cnt as (select lang, w, count(*) as c from trt group by lang, w),
+    tot as (select lang, cast(sum(c) as bigint) as tot
+            from cnt group by lang),
+    v as (select count(distinct w) as v from trt),
+    pri as (select lang, count(*) as nd from tr group by lang),
+    td as (select count(*) as td from tr),
+    langs as (select p.lang,
+                     cast(round(ln(cast(p.nd as double) / td.td) * 1000)
+                          as bigint) as prior_m,
+                     cast(round(ln(1.0 / (tot.tot + v.v)) * 1000)
+                          as bigint) as dfl_m,
+                     tot.tot, v.v
+              from pri p, td, v, tot
+              where tot.lang = p.lang),
+    llr as (select cnt.lang, cnt.w,
+                   cast(round(ln((cnt.c + 1.0) / (langs.tot + langs.v))
+                              * 1000) as bigint) as llr_m
+            from cnt join langs on langs.lang = cnt.lang),
+    tet as (select te.doc_id, te.lang as actual, u.w
+            from te, unnest(te.ws) as u(w)),
+    scored as (select tet.doc_id, tet.actual, langs.lang,
+                      langs.prior_m
+                        + cast(sum(coalesce(llr.llr_m, langs.dfl_m))
+                               as bigint) as score
+               from tet cross join langs
+               left join llr on llr.lang = langs.lang and llr.w = tet.w
+               group by tet.doc_id, tet.actual, langs.lang,
+                        langs.prior_m),
+    pred as (select doc_id, actual, lang as predicted from
+               (select doc_id, actual, lang,
+                       row_number() over (partition by doc_id
+                         order by score desc, lang) as rn
+                from scored)
+             where rn = 1)
+    select actual, predicted, count(*) as n_docs
+    from pred group by actual, predicted
+    """,
+)
+def nb_lang_classifier(spark, sf_dir):
+    """Fully declarative multinomial Naive Bayes language classifier:
+    TRAINING (per-language token counts, Laplace smoothing, priors)
+    and INFERENCE (argmax of summed log-likelihoods) are both plain
+    joins + aggregations — no model object, no driver-side state, no
+    mllib.  Log-likelihoods are quantized to integer milli-nats
+    (round(ln(p)*1000)) so per-doc score sums are exact integer
+    arithmetic: partial-aggregation order cannot perturb the argmax,
+    and the confusion matrix matches the DuckDB oracle bit-for-bit.
+    Deterministic 80/20 split on doc_id % 5.  Scale shape: the
+    (lang, token) likelihood table is vocabulary-sized — broadcast to
+    the scoring join; scoring itself is explode -> broadcast-join ->
+    one groupBy(doc_id, lang) with map-side partial sums.  Reference
+    analogue: the classifier pipeline mirrors how the reference's
+    shape classifier votes per-symbol class from trained pattern
+    statistics (classify tallies, pattern.c)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    tr = d.filter(F.col("doc_id") % 5 != 0)
+    te = d.filter(F.col("doc_id") % 5 == 0)
+    trt = tr.select("lang", F.explode("ws").alias("w"))
+    cnt = trt.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    v = trt.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    pri = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    td = tr.agg(F.count(F.lit(1)).alias("td"))
+    langs = (
+        pri.crossJoin(td)
+        .crossJoin(v)
+        .join(tot, "lang")
+        .select(
+            "lang",
+            F.round(F.log(F.col("nd") / F.col("td")) * 1000)
+            .cast("bigint")
+            .alias("prior_m"),
+            F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))) * 1000)
+            .cast("bigint")
+            .alias("dfl_m"),
+            "tot",
+            "v",
+        )
+    )
+    llr = cnt.join(langs, "lang").select(
+        "lang",
+        "w",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.col("v")))
+            * 1000
+        )
+        .cast("bigint")
+        .alias("llr_m"),
+    )
+    tet = te.select(
+        "doc_id", F.col("lang").alias("actual"), F.explode("ws").alias("w")
+    )
+    # the llr join needs both the lang AND token keys — rename to
+    # avoid ambiguity with tet/langs columns
+    l2 = llr.select(
+        F.col("lang").alias("l_lang"),
+        F.col("w").alias("l_w"),
+        "llr_m",
+    )
+    scored = (
+        tet.crossJoin(F.broadcast(langs.select("lang", "prior_m", "dfl_m")))
+        .join(
+            F.broadcast(l2),
+            (F.col("l_lang") == F.col("lang")) & (F.col("l_w") == F.col("w")),
+            "left",
+        )
+        .groupBy("doc_id", "actual", "lang", "prior_m")
+        .agg(
+            (
+                F.col("prior_m")
+                + F.sum(F.coalesce(F.col("llr_m"), F.col("dfl_m")))
+            ).alias("score")
+        )
+        .select("doc_id", "actual", "lang", "score")
+    )
+    rn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("lang").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registrations of
@@ -4236,12 +4779,16 @@ DRIVER_WINDOW = [
     "baseline_slope",         # §2.4 bl_geo least-squares
     "pivot_by_type",          # §2.4 acc_f pivot
     "deskew_search",          # §2.9 pp_deskew / §2.4 sweep
-    "sessionize",             # §2.3 s_pair / §2.5 word building
-    "dedup_exact",            # §2.3 new_mc / §2.6 / LLM exact dedup
     "layout_lines",           # §2.10/2.11 PDF line build
-    "minhash_signatures",     # LLM MinHash
-    "near_dup_cosine",        # LLM embedding near-dup
     "decontaminate",          # LLM eval-decontamination
+    # -- new in r4 (never signed; families they displace keep another
+    #    window rep: sessionize→argmax_per_group, dedup_exact→
+    #    dedup_keep_first, minhash_signatures→lsh_band_buckets,
+    #    near_dup_cosine→embedding_lsh_buckets) --------------------
+    "line_dedup_corpus",      # LLM corpus-level line dedup (CCNet)
+    "dup_span_detect",        # LLM exact dup-substring spans (Lee+22)
+    "pagerank_bipartite",     # LLM link-graph rank, integer PageRank
+    "nb_lang_classifier",     # LLM declarative NB train+infer
     "pii_redact",             # LLM PII redaction
     "stratified_sample",      # LLM stratified sampling
     "stream_dedup_replay",    # streaming exactly-once replay dedup

@@ -47,16 +47,23 @@ def test_driver_window_invariants():
         "agg_pivot": {"pivot_by_type"},
         "sweep": {"param_sweep", "deskew_search"},
         "window_order": {"sessionize", "ntile_quartiles", "user_journey",
-                         "topk_doubts"},
-        "set_dedup": {"set_ops_users", "dedup_exact", "interval_overlap"},
+                         "topk_doubts", "argmax_per_group",
+                         "funnel_conversion"},
+        "set_dedup": {"set_ops_users", "dedup_exact", "interval_overlap",
+                      "dedup_keep_first"},
         "engines": {"two_pass_match", "broadcast_classify"},
         "preproc": {"hqbin_residual", "deskew_search"},
         "layout_pdf": {"layout_lines", "layout_columns",
                        "layout_line_text"},
-        "llm_exact_dedup": {"dedup_exact"},
-        "llm_minhash": {"minhash_signatures"},
+        "llm_exact_dedup": {"dedup_exact", "dedup_keep_first"},
+        "llm_minhash": {"minhash_signatures", "lsh_band_buckets"},
         "llm_simhash": {"simhash_near_dup", "simhash"},
-        "llm_embedding": {"near_dup_cosine", "dup_clusters"},
+        "llm_embedding": {"near_dup_cosine", "dup_clusters",
+                          "embedding_lsh_buckets"},
+        "llm_line_dedup": {"line_dedup_corpus"},
+        "llm_dup_spans": {"dup_span_detect"},
+        "llm_graph_rank": {"pagerank_bipartite"},
+        "llm_classifier": {"nb_lang_classifier"},
         "llm_ann": {"ivf_topk", "ivf_recall", "ivf_topk_probe2"},
         "llm_quality": {"lm_quality_scores", "repetition_filter",
                         "quality_scores"},
@@ -114,6 +121,11 @@ EDGE_QUERIES = [
     "ngram_jaccard_pairs", "dup_clusters", "simhash_near_dup",
     "dedup_keep_first", "top_sources_by_chars", "grouping_sets_metrics",
     "spell_correct",  # r3: empty/unicode docs must not break tokenize/join
+    # r4: the new corpus passes all read documents.text — empty docs,
+    # single tokens (< window size), exact-duplicate docs (df >= 2/3
+    # triggers), and the %5 train/test split landing on empty docs
+    "line_dedup_corpus", "dup_span_detect", "pack_token_budget",
+    "nb_lang_classifier",
 ]
 
 
