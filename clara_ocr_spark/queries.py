@@ -4719,6 +4719,335 @@ def nb_lang_classifier(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# Training-data pipeline ops: mergeable sketches, bloom structures,
+# fixed-size sampling, vocabulary filtering (round 4 batch 2)
+# ---------------------------------------------------------------------
+def _hll_regs_duck() -> str:
+    """DuckDB CTE body producing (event_type, register, max_rho) HLL
+    registers (p=4, m=16) over the distinct-user stream. The Spark
+    twin is `_hll_regs`."""
+    h = H60_DUCK.format(x="'hll' || user_id::VARCHAR")
+    return f"""
+    with hv as (select event_type, {h} as h from events),
+    rw as (select event_type,
+                  cast(h & 15 as int) as register,
+                  h >> 4 as w
+           from hv),
+    regs as (select event_type, register,
+                    cast(max(case when w = 0 then 57
+                                  else 57 - length(bin(w)) end) as int)
+                      as max_rho
+             from rw group by event_type, register)
+    """
+
+
+def _hll_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_hll_regs_duck`: one map stage + one partial-agg
+    shuffle on (event_type, register) — max() is idempotent over
+    duplicate users, so no distinct pass is needed or wanted."""
+    e = _t(spark, sf_dir, "events")
+    h = spark_hash60(F.concat(F.lit("hll"), F.col("user_id").cast("string")))
+    w = F.shiftright(F.col("h"), 4)
+    return (
+        e.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            F.col("h").bitwiseAND(F.lit(15)).cast("int").alias("register"),
+            w.alias("w"),
+        )
+        .groupBy("event_type", "register")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(57)).otherwise(
+                    F.lit(57) - F.length(F.bin(F.col("w")))
+                )
+            )
+            .cast("int")
+            .alias("max_rho")
+        )
+    )
+
+
+@q(
+    "hll_register_sketch",
+    _hll_regs_duck() + "select event_type, register, max_rho from regs",
+)
+def hll_register_sketch(spark, sf_dir):
+    """Mergeable HyperLogLog registers (Flajolet+07) built as plain
+    DataFrame algebra — the distinct-count sketch a 100 TB pipeline
+    ships between snapshots instead of re-scanning history. p=4 → 16
+    registers per key; register = low 4 bits of the portable 60-bit
+    hash, rho = leading-zero rank of the remaining 56 bits (computed
+    exactly via length(bin(w)), identical in both engines, never
+    floating log2). max() is associative and idempotent, so sketches
+    MERGE: across partitions (that IS the partial aggregation), across
+    days (union the register tables, re-max), across engines. One
+    shuffle carrying ≤ 16 rows per event_type. Spark's own
+    approx_count_distinct hides this structure in an opaque binary
+    buffer; materializing registers keeps the sketch engine-portable
+    and driver-hashable."""
+    return _hll_regs(spark, sf_dir)
+
+
+@q(
+    "hll_estimate",
+    _hll_regs_duck()
+    + """
+    , est as (select event_type,
+                     round(0.673 * 256 / (sum(power(2.0, -max_rho))
+                           + (16 - count(*))), 4) as hll_est
+              from regs group by event_type),
+    ex as (select event_type,
+                  cast(count(distinct user_id) as bigint) as n_exact
+           from events group by event_type)
+    select event_type, hll_est, n_exact,
+           round(abs(hll_est - n_exact) / n_exact, 4) as rel_err
+    from est join ex using (event_type)
+    """,
+)
+def hll_estimate(spark, sf_dir):
+    """Raw HLL cardinality estimate from the 16 materialized registers
+    (alpha_16 = 0.673, absent registers contribute 2^0 = 1), reported
+    against the exact distinct count with relative error — the
+    accuracy audit a pipeline runs once at small scale to qualify the
+    sketch before trusting it at 100 TB (where the exact leg is
+    unaffordable and ONLY the register table survives). The float sum
+    is 16 powers of two per key, exact in double at any realistic rho,
+    so both engines agree bit-for-bit; no small-range linear-counting
+    correction (this is the raw estimator, documented as such)."""
+    regs = _hll_regs(spark, sf_dir)
+    est = regs.groupBy("event_type").agg(
+        F.round(
+            F.lit(0.673 * 256)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(16) - F.count(F.lit(1)))
+            ),
+            4,
+        ).alias("hll_est")
+    )
+    ex = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        "hll_est",
+        "n_exact",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+@q(
+    "bloom_decontaminate",
+    """
+    with t as (
+      select doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 4, 1)),
+               i -> {h60_gram})) as grams
+      from (select doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') as ws
+            from documents)),
+    ev as (select distinct unnest(grams) as g from t where doc_id % 97 = 0),
+    b1 as (select distinct g & 8191 as pos from ev),
+    b2 as (select distinct (g >> 13) & 8191 as pos from ev),
+    b3 as (select distinct (g >> 26) & 8191 as pos from ev),
+    tr as (select doc_id, grams from t where doc_id % 97 <> 0),
+    x as (select doc_id, g, g & 8191 as p1, (g >> 13) & 8191 as p2,
+                 (g >> 26) & 8191 as p3
+          from (select doc_id, unnest(grams) as g from tr)),
+    cand as (select doc_id, g from x
+             where p1 in (select pos from b1)
+               and p2 in (select pos from b2)
+               and p3 in (select pos from b3)),
+    lab as (select c.doc_id,
+                   case when ev.g is null then 0 else 1 end as is_true
+            from cand c left join ev on c.g = ev.g),
+    agg as (select doc_id,
+                   cast(count(*) as bigint) as n_bloom_hits,
+                   cast(sum(is_true) as bigint) as n_true_hits
+            from lab group by doc_id)
+    select tr.doc_id,
+           cast(len(tr.grams) as bigint) as n_shingles,
+           coalesce(a.n_bloom_hits, 0) as n_bloom_hits,
+           coalesce(a.n_true_hits, 0) as n_true_hits,
+           coalesce(a.n_bloom_hits, 0) - coalesce(a.n_true_hits, 0)
+             as n_false_pos,
+           coalesce(a.n_bloom_hits, 0) > 0 as flagged
+    from tr left join agg a on tr.doc_id = a.doc_id
+    """.replace(
+        "{h60_gram}",
+        H60_DUCK.format(x="array_to_string(list_slice(ws, i, i + 4), ' ')"),
+    ),
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the constant-memory variant of
+    `decontaminate` for when even the eval set's distinct-shingle
+    table is too wide to broadcast raw. k=3 positions per shingle are
+    BIT SLICES of the already-uniform portable 60-bit hash (low 13,
+    mid 13, high 13 bits — no second hash family, no multiply that
+    could overflow int64 differently across engines), m=8192 slots per
+    slice. The filter is three ≤8192-row position sets — ~3 KB as
+    bitmaps at ANY eval-set size — broadcast left-semi joined against
+    the train side's exploded shingles, map-only. Candidates (bloom
+    hits) are then labeled against the true shingle set to report the
+    false-positive count the probabilistic structure admits — the
+    audit column a pipeline uses to size m before a 100 TB run. Only
+    shuffle: the per-doc candidate count, on pre-filtered rows."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _gram5_hashes().alias("grams"))
+    ev = (
+        t.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    g = F.col("g")
+    slices = [
+        g.bitwiseAND(F.lit(8191)),
+        F.shiftright(g, 13).bitwiseAND(F.lit(8191)),
+        F.shiftright(g, 26).bitwiseAND(F.lit(8191)),
+    ]
+    tr = t.filter(F.col("doc_id") % 97 != 0)
+    x = tr.select("doc_id", F.explode("grams").alias("g"))
+    cand = x
+    for i, sl in enumerate(slices):
+        b = ev.select(sl.alias("pos")).distinct()
+        cand = cand.join(
+            F.broadcast(b),
+            sl == F.col("pos"),
+            "left_semi",
+        )
+    lab = cand.join(
+        F.broadcast(ev.withColumn("is_true", F.lit(1))), "g", "left"
+    )
+    agg = lab.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits"),
+        F.coalesce(F.sum("is_true"), F.lit(0))
+        .cast("bigint")
+        .alias("n_true_hits"),
+    )
+    nb = F.coalesce(F.col("n_bloom_hits"), F.lit(0))
+    nt = F.coalesce(F.col("n_true_hits"), F.lit(0))
+    return tr.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_shingles"),
+        nb.alias("n_bloom_hits"),
+        nt.alias("n_true_hits"),
+        (nb - nt).alias("n_false_pos"),
+        (nb > 0).alias("flagged"),
+    )
+
+
+@q(
+    "reservoir_per_group",
+    f"""
+    select doc_id, lang, rk from (
+      select doc_id, lang,
+             cast(row_number() over (
+               partition by lang
+               order by {H60_DUCK.format(x="'rsv' || doc_id::VARCHAR")} asc,
+                        doc_id asc) as bigint) as rk
+      from documents)
+    where rk <= 5
+    """,
+)
+def reservoir_per_group(spark, sf_dir):
+    """Fixed-size-per-stratum sampling (the 'reservoir' a curation
+    pipeline keeps per language/domain for eval holdouts and manual
+    audit): rank documents inside each stratum by a salted portable
+    hash of the key and keep the first k=5. Unlike rate-based
+    `stratified_sample`, the output size is EXACTLY k per stratum
+    regardless of stratum skew — and unlike rand()-reservoirs it is
+    reproducible across runs, engines, and partitionings. The
+    row_number window compiles to WindowGroupLimit: each map task
+    pre-prunes to its local top-k before the single per-stratum
+    shuffle, so the exchange carries O(k · partitions) rows, not the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    h = spark_hash60(F.concat(F.lit("rsv"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+_VOCAB_TOK_DUCK = _TOK_DUCK.format(x="lower(text)")
+
+
+@q(
+    "vocab_coverage",
+    f"""
+    with w as (select doc_id, unnest({_VOCAB_TOK_DUCK}) as w
+               from documents),
+    cnt as (select w, count(*) as n from w group by w),
+    vocab as (select w from cnt order by n desc, w asc limit 32),
+    m as (select doc_id, count(*) as matched
+          from w join vocab using (w) group by doc_id),
+    tot as (select doc_id, count(*) as n_tok from w group by doc_id)
+    select t.doc_id,
+           cast(t.n_tok as bigint) as n_tok,
+           cast(case when t.n_tok = 0 then 0
+                     else (1000 * coalesce(m.matched, 0)) // t.n_tok
+                end as bigint) as coverage_pm,
+           cast(case when t.n_tok = 0 then 0
+                     else ((1000 * coalesce(m.matched, 0)) // t.n_tok) // 250
+                end as bigint) as bucket
+    from tot t left join m on t.doc_id = m.doc_id
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """In-vocabulary coverage filter (the CCNet/fastText-style 'does
+    this look like the target language's common words' gate): fraction
+    of token OCCURRENCES that fall in the corpus's top-32 vocabulary,
+    reported as exact integer per-mille ((1000·matched) div n_tok —
+    integer division, no float boundary can disagree across engines)
+    and bucketed by quartile-of-coverage. The vocabulary is
+    deterministic (count desc, word asc — TakeOrderedAndProject, a
+    map-side top-k, not a global sort) and vocabulary-sized, so the
+    probe join BROADCASTS; the two real shuffles are the global word
+    count and the per-doc matched count, both with map-side partial
+    aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = w.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        cnt.orderBy(F.desc("n"), F.asc("w")).limit(32).select("w")
+    )
+    m = (
+        w.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    tot = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    matched = F.coalesce(F.col("matched"), F.lit(0))
+    pm = F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(
+        F.expr("(1000 * coalesce(matched, 0)) div n_tok")
+    )
+    return tot.join(m, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        pm.cast("bigint").alias("coverage_pm"),
+        F.when(F.col("n_tok") == 0, F.lit(0))
+        .otherwise(
+            F.expr("((1000 * coalesce(matched, 0)) div n_tok) div 250")
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registrations of
