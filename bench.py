@@ -85,6 +85,16 @@ HEADLINE = [
     "stream_windowed_counts",  # added r3: streaming watermarked windows
     "stream_sessionize",  # added r3: streaming stateful sessionization
     "stream_dedup_replay",  # added r3: exactly-once replay dedup
+    "line_dedup_corpus",  # added r4: corpus-level line dedup (CCNet)
+    "dup_span_detect",  # added r4: exact dup-substring spans
+    "pagerank_bipartite",  # added r4: integer PageRank, 3 iterations
+    "pack_token_budget",  # added r4: sequence packing to token budget
+    "nb_lang_classifier",  # added r4: declarative NB train+infer
+    "hll_register_sketch",  # added r4: mergeable HLL registers
+    "hll_estimate",  # added r4: HLL estimate vs exact audit
+    "bloom_decontaminate",  # added r4: bloom-filter decontamination
+    "reservoir_per_group",  # added r4: fixed-k per-stratum sample
+    "vocab_coverage",  # added r4: top-vocab coverage gate
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

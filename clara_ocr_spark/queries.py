@@ -4489,12 +4489,19 @@ def pagerank_bipartite(spark, sf_dir):
     # weighted edge list once so the lineitem x orders join does not
     # re-execute per iteration.
     ew = ew.localCheckpoint(eager=False)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # Derive nodes from the CHECKPOINTED edge list (every node appears
+    # as src in the symmetrized graph) — from `e`, each re-execution
+    # would re-run the lineitem x orders join.
+    nodes = ew.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = nodes.crossJoin(n_nodes).select(
-        "node",
-        F.expr("1000000000000 div n_nodes").alias("rank"),
-        "n_nodes",
+    ranks = (
+        nodes.crossJoin(n_nodes)
+        .select(
+            "node",
+            F.expr("1000000000000 div n_nodes").alias("rank"),
+            "n_nodes",
+        )
+        .localCheckpoint(eager=False)
     )
     for _ in range(3):
         contrib = ew.join(
@@ -4517,6 +4524,10 @@ def pagerank_bipartite(spark, sf_dir):
                 ).alias("rank"),
                 "n_nodes",
             )
+            # Truncate lineage per iteration (the dedup_canonicalize
+            # CC discipline): without it, iteration i's broadcast
+            # build re-executes iterations 1..i-1 from scratch.
+            .localCheckpoint(eager=False)
         )
     top = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
