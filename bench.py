@@ -95,6 +95,7 @@ HEADLINE = [
     "bloom_decontaminate",  # added r4: bloom-filter decontamination
     "reservoir_per_group",  # added r4: fixed-k per-stratum sample
     "vocab_coverage",  # added r4: top-vocab coverage gate
+    "stream_hll_registers",  # added r4: streaming HLL sketch maintenance
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

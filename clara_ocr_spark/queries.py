@@ -4752,15 +4752,17 @@ def _hll_regs_duck() -> str:
     """
 
 
-def _hll_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of `_hll_regs_duck`: one map stage + one partial-agg
-    shuffle on (event_type, register) — max() is idempotent over
-    duplicate users, so no distinct pass is needed or wanted."""
-    e = _t(spark, sf_dir, "events")
+def _hll_reg_agg(events: DataFrame) -> DataFrame:
+    """HLL register aggregation over any events-shaped DataFrame —
+    batch table or readStream source (the same plan drives both
+    `hll_register_sketch` and its streaming twin): one map stage +
+    one partial-agg shuffle on (event_type, register) — max() is
+    idempotent over duplicate users, so no distinct pass is needed
+    or wanted."""
     h = spark_hash60(F.concat(F.lit("hll"), F.col("user_id").cast("string")))
     w = F.shiftright(F.col("h"), 4)
     return (
-        e.select("event_type", h.alias("h"))
+        events.select("event_type", h.alias("h"))
         .select(
             "event_type",
             F.col("h").bitwiseAND(F.lit(15)).cast("int").alias("register"),
@@ -4797,7 +4799,7 @@ def hll_register_sketch(spark, sf_dir):
     approx_count_distinct hides this structure in an opaque binary
     buffer; materializing registers keeps the sketch engine-portable
     and driver-hashable."""
-    return _hll_regs(spark, sf_dir)
+    return _hll_reg_agg(_t(spark, sf_dir, 'events'))
 
 
 @q(
@@ -4826,7 +4828,7 @@ def hll_estimate(spark, sf_dir):
     is 16 powers of two per key, exact in double at any realistic rho,
     so both engines agree bit-for-bit; no small-range linear-counting
     correction (this is the raw estimator, documented as such)."""
-    regs = _hll_regs(spark, sf_dir)
+    regs = _hll_reg_agg(_t(spark, sf_dir, 'events'))
     est = regs.groupBy("event_type").agg(
         F.round(
             F.lit(0.673 * 256)
@@ -5056,6 +5058,39 @@ def vocab_coverage(spark, sf_dir):
         .cast("bigint")
         .alias("bucket"),
     )
+
+
+@q(
+    "stream_hll_registers",
+    _hll_regs_duck() + "select event_type, register, max_rho from regs",
+)
+def stream_hll_registers(spark, sf_dir):
+    """Streaming twin of `hll_register_sketch`: the HLL register table
+    maintained INCREMENTALLY over the event feed (readStream →
+    groupBy(event_type, register).max(rho) → complete-mode drain).
+    This is why pipelines keep sketches rather than exact sets: max()
+    is an unordered idempotent merge, so the streaming aggregation
+    needs NO watermark and NO window — state is exactly the 16
+    registers per event_type forever, regardless of feed size, and
+    the end-of-drain table bit-for-bit equals the batch sketch (the
+    same `_hll_reg_agg` plan runs both), which is what the DuckDB
+    oracle checks."""
+    import tempfile
+
+    from .streaming.events_stream import drain_to_memory, read_events_stream
+
+    name = "stream_hll_registers_sink"
+    spark.catalog.dropTempView(name)
+    src = _stream_dir(sf_dir, "events")
+    ck = tempfile.mkdtemp(prefix="ck_shll_")
+    out = drain_to_memory(
+        spark,
+        _hll_reg_agg(read_events_stream(spark, src)),
+        name,
+        ck,
+        output_mode="complete",
+    )
+    return _finalize_stream(spark, out, name, [src, ck])
 
 
 # ---------------------------------------------------------------------
