@@ -37,8 +37,10 @@ from .queries import (
     _jaccard_pairs,
     _min_label_components,
     _minhash_bands,
+    _positional_lines_arr,
     _tokens,
     _top_word_frac,
+    spark_hash60,
 )
 
 REASON_TOO_SHORT = "too_short"
@@ -57,6 +59,9 @@ class CurateConfig:
     top_word_max: float = 0.4
     dup_2gram_max: float = 0.6
     jaccard_tau: float = 0.9
+    # 0 = off; N>0 rewrites each doc dropping lines that occur in >= N
+    # docs corpus-wide BEFORE the quality gate (--set line_dedup_min_df=3)
+    line_dedup_min_df: int = 0
 
     @classmethod
     def from_args(cls, pairs: list) -> "CurateConfig":
@@ -68,6 +73,55 @@ class CurateConfig:
                 raise ValueError(f"unknown config var: {name}")
             kw[name] = (float if types[name] == "float" else int)(value)
         return cls(**kw)
+
+
+def drop_frequent_lines(docs: DataFrame, min_df: int = 3) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    pass, as a curation stage): rewrite each doc's ``text`` dropping
+    every positional 8-token line whose lowercased form occurs in
+    >= ``min_df`` documents corpus-wide.  Same line unit as the
+    oracle-checked ``line_dedup_corpus`` catalog query
+    (queries._positional_lines_arr — single source of truth); lines
+    are built from the ORIGINAL-case tokens so surviving text keeps
+    its casing, while frequency is counted on the lowercased 60-bit
+    line hash (8 bytes per line through both shuffles, never text).
+
+    Whitespace inside a doc is normalized (tokens re-joined with
+    single spaces) — the documented contract of the rewrite.  Docs
+    whose every line is boilerplate come back with empty text and
+    fall to the quality gate's ``too_short`` reason downstream.  All
+    non-text columns pass through untouched (url-keyed rejoin)."""
+    lines = (
+        docs.select("url", _tokens(F.col("text")).alias("ws"))
+        .select("url", F.posexplode(_positional_lines_arr()).alias(
+            "pos", "line"))
+        .select("url", "pos", "line",
+                spark_hash60(F.lower(F.col("line"))).alias("h"))
+    )
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("url").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+        .select("h")
+    )
+    rebuilt = (
+        lines.join(boiler, "h", "left_anti")
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("dedup_text")
+        )
+    )
+    return (
+        docs.join(rebuilt, "url", "left")
+        .withColumn("text", F.coalesce("dedup_text", F.lit("")))
+        .drop("dedup_text")
+    )
 
 
 def text_features(extracted: DataFrame) -> DataFrame:
@@ -187,7 +241,14 @@ def curate(
     with the eval set are rejected as ``contaminated`` BEFORE dedup,
     so a contaminated doc can never be elected canonical for a clean
     family (quality reasons still win when both apply — the gate runs
-    first)."""
+    first).
+
+    With ``cfg.line_dedup_min_df > 0``, corpus-frequent boilerplate
+    lines are stripped from every doc FIRST (drop_frequent_lines), so
+    the quality gate and both dedup tiers see deboilerplated text —
+    docs that were only boilerplate fall out as ``too_short``."""
+    if cfg.line_dedup_min_df:
+        extracted = drop_frequent_lines(extracted, cfg.line_dedup_min_df)
     feats = text_features(extracted).localCheckpoint(eager=False)
     gated = feats.withColumn("reason", quality_reason(cfg))
     if gate_obs is not None:

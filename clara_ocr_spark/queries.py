@@ -4186,6 +4186,28 @@ def stream_sessionize(spark, sf_dir):
 # fully declarative Naive-Bayes language classifier (training AND
 # inference as joins/aggregations — no model object, no mllib).
 # ---------------------------------------------------------------------
+def _positional_lines_arr(col: str = "ws", line_tokens: int = 8) -> F.Column:
+    """Token array column ``col`` → array of positional ``line_tokens``-
+    token lines (space-joined). The line unit of the CCNet/RefinedWeb
+    corpus-level line dedup — shared by the `line_dedup_corpus`
+    catalog query and the `curate.drop_frequent_lines` stage."""
+    ws = F.col(col)
+    n_lines = F.ceil(F.size(ws) / F.lit(float(line_tokens))).cast("bigint")
+    return F.when(
+        F.size(ws) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), n_lines),
+            lambda i: F.array_join(
+                F.slice(
+                    ws,
+                    ((i - F.lit(1)) * line_tokens + 1).cast("int"),
+                    line_tokens,
+                ),
+                " ",
+            ),
+        )
+    )
 
 
 @q(
@@ -4233,19 +4255,8 @@ def line_dedup_corpus(spark, sf_dir):
         "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
     )
     n_lines = F.ceil(F.size("ws") / F.lit(8.0)).cast("bigint")
-    lines_arr = F.when(
-        F.size("ws") == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1).cast("bigint"), n_lines),
-            lambda i: F.array_join(
-                F.slice(F.col("ws"), ((i - F.lit(1)) * 8 + 1).cast("int"), 8),
-                " ",
-            ),
-        )
-    )
     base = t.select("doc_id", n_lines.alias("n_lines"),
-                    lines_arr.alias("lines"))
+                    _positional_lines_arr().alias("lines"))
     lines = base.select(
         "doc_id",
         F.posexplode("lines").alias("pos0", "line"),

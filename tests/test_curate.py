@@ -203,3 +203,58 @@ def test_config_overrides():
     assert cfg.min_tokens == 9 and cfg.jaccard_tau == 0.5
     with pytest.raises(ValueError):
         CurateConfig.from_args(["nope=1"])
+
+
+def test_drop_frequent_lines(spark):
+    """Corpus-frequent 8-token lines are dropped case-insensitively,
+    surviving text keeps its original casing, boilerplate-only docs
+    come back empty, and unique docs pass through (whitespace
+    normalized)."""
+    from clara_ocr_spark.curate import drop_frequent_lines
+
+    boiler = "cookie notice accept all terms and conditions here"
+    docs = spark.createDataFrame(
+        [
+            ("u1", boiler + " alpha beta Gamma one two three four five"),
+            ("u2", boiler.upper() + " six seven eight nine ten eleven"),
+            ("u3", boiler),
+            ("u4", "totally unique text with eight tokens here yes"),
+        ],
+        "url string, text string",
+    )
+    out = {r["url"]: r["text"] for r in drop_frequent_lines(docs, 3).collect()}
+    assert out["u1"] == "alpha beta Gamma one two three four five"
+    assert out["u2"] == "six seven eight nine ten eleven"
+    assert out["u3"] == ""
+    assert out["u4"] == "totally unique text with eight tokens here yes"
+    # below the df threshold nothing is dropped
+    out4 = {r["url"]: r["text"] for r in drop_frequent_lines(docs, 4).collect()}
+    assert out4["u3"] == boiler
+
+
+def test_line_dedup_gate_in_curate(spark):
+    """With line_dedup_min_df set, curate strips boilerplate before
+    the quality gate: a boilerplate-only doc falls out as too_short,
+    the others are curated with the line removed, and the outputs
+    still partition the input exactly."""
+    boiler = "cookie notice accept all terms and conditions here"
+    extracted = spark.createDataFrame(
+        [
+            ("u1", boiler + " alpha beta gamma one two three four five"),
+            ("u2", boiler + " six seven eight nine ten eleven twelve more"),
+            ("u3", boiler),
+        ],
+        "url string, text string",
+    )
+    cfg = CurateConfig.from_args(["line_dedup_min_df=3"])
+    curated, rejected = curate(extracted, cfg)
+    cur = {r["url"]: r["text"] for r in curated.collect()}
+    rej = {r["url"]: r["reason"] for r in rejected.collect()}
+    assert set(cur) | set(rej) == {"u1", "u2", "u3"}
+    assert rej["u3"] == REASON_TOO_SHORT
+    assert cur["u1"] == "alpha beta gamma one two three four five"
+    assert boiler not in cur["u2"]
+    # off by default: the same input keeps its boilerplate
+    cur0, _ = curate(extracted)
+    assert boiler in {r["text"] for r in cur0.collect()
+                      if r["url"] == "u1"}.pop()
