@@ -180,8 +180,10 @@ def run_media_decode(
 
     n_docs = n_docs or MEDIA_BENCH_DOCS
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+    # "g" suffix: corpus generator gained GIF blobs in r4 — a new name,
+    # or the by-path cache silently serves the stale 4-container mix
     path = ensure_media_corpus(
-        os.path.join(base, f"media_bench_{n_docs}.parquet"), n=n_docs
+        os.path.join(base, f"media_bench_{n_docs}g.parquet"), n=n_docs
     )
     media = spark.read.parquet(path).repartition(
         spark.sparkContext.defaultParallelism * 2

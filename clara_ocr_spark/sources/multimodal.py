@@ -6,11 +6,13 @@ reference IS an image pipeline, so the corpus-scale analogue keeps
 media as opaque ``binary`` columns with typed metadata and runs
 decode/feature/resize/frame-sample as Arrow-batched stages.
 
-Four containers decode NATIVELY (stdlib + numpy, from scratch): PNG
+Five containers decode NATIVELY (stdlib + numpy, from scratch): PNG
 (zlib + filter reconstruction), baseline JPEG (``sources/jpeg.py``),
-RIFF/PCM WAV audio, and MJPEG-in-AVI video (RIFF walk + per-frame
-JPEG).  Valid-but-unsupported shapes (progressive JPEG, ADPCM/float
-WAV, non-MJPEG AVI, MP3/OGG/FLAC) raise ``NotImplementedError`` behind
+RIFF/PCM WAV audio, MJPEG-in-AVI video (RIFF walk + per-frame JPEG),
+and GIF87a/89a (``sources/gif.py``, variable-width LZW, interlace,
+multi-frame).  Valid-but-unsupported shapes (progressive JPEG,
+ADPCM/float WAV, non-MJPEG AVI, partial-canvas GIF frames,
+MP3/OGG/FLAC) raise ``NotImplementedError`` behind
 an import-try gate naming the missing optional codec; corrupt payloads
 raise ``ValueError`` and map to empty rows in the decode stages.  A
 deterministic fake "codec" (self-describing header) additionally
@@ -404,6 +406,10 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return _decode_wav(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _decode_avi(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -624,16 +630,16 @@ def audio_stats(
 
 def gen_media_blob(i: int, seed: int = 42) -> tuple[int, str, bytes]:
     """One deterministic media row (seeded per-index, order-free):
-    cycles PNG image / baseline JPEG / PCM WAV / MJPEG AVI, with ~1%
-    corrupt blobs mixed in (real crawl media is dirty — the decode
+    cycles PNG image / baseline JPEG / PCM WAV / MJPEG AVI / GIF, with
+    ~1% corrupt blobs mixed in (real crawl media is dirty — the decode
     stage must absorb them as empty rows at full speed)."""
     rng = np.random.default_rng((seed << 20) ^ i)
-    kind_ix = i % 4
+    kind_ix = i % 5
     if i % 97 == 0:  # corrupt: valid magic, garbage body
         magic = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF????WAVE",
-                 b"RIFF????AVI "][kind_ix]
+                 b"RIFF????AVI ", b"GIF89a"][kind_ix]
         body = magic + rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
-        return i, ("image", "image", "audio", "video")[kind_ix], body
+        return i, ("image", "image", "audio", "video", "image")[kind_ix], body
     yy, xx = np.mgrid[0:64, 0:64]
     base = ((yy * int(rng.integers(1, 5)) + xx * int(rng.integers(1, 5))
              + int(rng.integers(0, 256))) % 256).astype(np.uint8)
@@ -650,9 +656,15 @@ def gen_media_blob(i: int, seed: int = 42) -> tuple[int, str, bytes]:
         tone = (10000 * np.sin(2 * np.pi * f * t / 16000)).astype(np.int16)
         tone[: 2048 * int(rng.integers(0, 2))] = 0  # optional leading silence
         return i, "audio", encode_wav(tone, 16000)
-    frames = [((base.astype(int) + 16 * j) % 256).astype(np.uint8)
-              for j in range(3)]
-    return i, "video", encode_avi_mjpeg(frames, quality=85)
+    if kind_ix == 3:
+        frames = [((base.astype(int) + 16 * j) % 256).astype(np.uint8)
+                  for j in range(3)]
+        return i, "video", encode_avi_mjpeg(frames, quality=85)
+    from .gif import encode_gif
+
+    # single-frame GIF (interlaced half the time) — kind contract:
+    # "image" rows always decode to frames == 1
+    return i, "image", encode_gif([base], interlace=bool(i & 1))
 
 
 def ensure_media_corpus(path: str, n: int, seed: int = 42) -> str:

@@ -614,7 +614,8 @@ def test_media_corpus_generator_deterministic(tmp_path):
 
     assert gen_media_blob(7) == gen_media_blob(7)
     kinds = collections.Counter(gen_media_blob(i)[1] for i in range(200))
-    assert kinds["image"] == 100 and kinds["audio"] == 50
+    # i%5 cycle: PNG/JPEG/GIF are "image", one audio, one video slot
+    assert kinds["image"] == 120 and kinds["audio"] == 40
     ok = corrupt = 0
     for i in range(200):
         _, _, payload = gen_media_blob(i)
