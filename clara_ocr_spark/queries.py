@@ -5072,6 +5072,170 @@ def vocab_coverage(spark, sf_dir):
 
 
 @q(
+    "domain_mix_weights",
+    """
+    with per as (select source, count(*) as n_docs,
+                        cast(sum(n_chars) as bigint) as n_chars,
+                        cast(floor(sqrt(count(*))) as bigint) as w
+                 from documents group by source),
+    tot as (select sum(w) as tw, sum(n_docs) as td from per)
+    select source, n_docs, n_chars,
+           cast((1000 * w) // tw as bigint) as share_pm,
+           cast((1000 * w * td) // (tw * n_docs) as bigint) as boost_pm
+    from per cross join tot
+    """,
+)
+def domain_mix_weights(spark, sf_dir):
+    """Per-domain sampling weights for a training-data mixture
+    (the DoReMi / CCNet 'temperature' reweighting, alpha = 1/2):
+    weight proportional to sqrt(docs) so head domains are downsampled
+    and tail domains upsampled relative to proportional sampling.
+    All arithmetic past sqrt is INTEGER — weight = floor(sqrt(n))
+    (sqrt is IEEE correctly rounded, so both engines get the same
+    bigint), shares and boost factors as exact per-mille integer
+    divisions — no float summation order can disagree across engines
+    or partitionings.  Scale shape: one map-side-partial groupBy to
+    the per-domain relation; the totals row comes from a second tiny
+    aggregate CROSS-JOINED back (broadcast, 1 row) rather than a
+    window over an unpartitioned frame, which would single-task the
+    per-domain relation at web scale (millions of hosts)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("w"),
+    )
+    tot = per.agg(
+        F.sum("w").alias("tw"), F.sum("n_docs").alias("td")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("(1000 * w) div tw").cast("bigint").alias("share_pm"),
+        F.expr("(1000 * w * td) div (tw * n_docs)")
+        .cast("bigint")
+        .alias("boost_pm"),
+    )
+
+
+@q(
+    "leakage_safe_split",
+    f"""
+    with d as (select md5(text) as g,
+                      {H60_DUCK.format(x="text")} % 10 as h,
+                      n_chars
+               from documents),
+    grp as (select g,
+                   case when h < 8 then 'train'
+                        when h = 8 then 'val' else 'test' end as split,
+                   count(*) as n, cast(sum(n_chars) as bigint) as chars
+            from d group by g, h),
+    agg as (select split, cast(count(*) as bigint) as n_groups,
+                   cast(sum(n) as bigint) as n_docs,
+                   cast(sum(case when n > 1 then 1 else 0 end) as bigint)
+                     as n_dup_groups,
+                   cast(sum(chars) as bigint) as n_chars
+            from grp group by split)
+    select * from agg order by split
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Leakage-free train/val/test assignment: the split is a
+    deterministic function of the exact-duplicate GROUP (md5 of the
+    text), never of the row, so byte-identical documents — the classic
+    eval-contamination vector — can never straddle splits (the
+    Lee+22 / GPT-3 dedup-before-split discipline).  The 60-bit md5
+    prefix hash (`spark_hash60`) mod 10 gives an 80/10/10 split that
+    is reproducible across engines, runs, and partitionings.  The
+    shuffle carries 32-byte digests and counts, never text; both
+    aggregations combine map-side.  `n_dup_groups` per split is the
+    audit column: how many groups the split-by-group rule actually
+    had to keep together."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.md5("text").alias("g"),
+        (spark_hash60(F.col("text")) % 10).alias("h"),
+        "n_chars",
+    )
+    split = (
+        F.when(F.col("h") < 8, "train")
+        .when(F.col("h") == 8, "val")
+        .otherwise("test")
+    )
+    grp = d.groupBy("g", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    return (
+        grp.select(split.alias("split"), "n", "chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "token_entropy",
+    f"""
+    with w as (select doc_id, unnest({_VOCAB_TOK_DUCK}) as w
+               from documents),
+    c as (select doc_id, w, count(*) as c from w group by doc_id, w),
+    s as (select doc_id, sum(c) as n, count(*) as n_types,
+                 sum(c * cast(round(ln(cast(c as double)) * 1000)
+                              as bigint)) as plogp
+          from c group by doc_id)
+    select doc_id, cast(n as bigint) as n_tok,
+           cast(n_types as bigint) as n_types,
+           cast(cast(round(ln(cast(n as double)) * 1000) as bigint)
+                - plogp // n as bigint) as entropy_mnat
+    from s
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Per-document unigram token entropy — the information-density
+    quality signal (low entropy = repetitive / template / spam text;
+    complements `repetition_filter`'s top-word fraction and
+    `lm_quality_scores`' corpus-LM view).  H = ln(n) − Σ c·ln(c) / n,
+    quantized the `nb_lang_classifier` way: each ln is rounded to
+    integer MILLI-NATS before the weighted sum, so the per-doc
+    reduction is exact integer arithmetic — associative, partitioning-
+    independent, and engine-exact (the only float op is a single
+    well-separated round(ln·1000) per distinct count value).  Docs
+    with zero tokens have no term rows and are absent in both engines.
+    Scale shape: two map-side-partial aggregations keyed (doc_id,
+    token) then doc_id; only 8-byte counts shuffle with the keys."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    c = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    mnat = F.round(F.log(F.col("c").cast("double")) * 1000).cast("bigint")
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * mnat).alias("plogp"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tok"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        (
+            F.round(F.log(F.col("n").cast("double")) * 1000).cast("bigint")
+            - F.expr("plogp div n")
+        )
+        .cast("bigint")
+        .alias("entropy_mnat"),
+    )
+
+
+@q(
     "stream_hll_registers",
     _hll_regs_duck() + "select event_type, register, max_rho from regs",
 )
@@ -5112,11 +5276,19 @@ def stream_hll_registers(spark, sf_dir):
 # covered registrations 0-49 and left 28 later queries local-only —
 # VERDICT r2 item 1).  ``DRIVER_WINDOW`` pins an explicit order and is
 # ROTATED each round (VERDICT r3 item 2) so every signature stays at
-# most one round old: this round leads with the 32 queries whose last
-# driver signature dates from r1/r2 code, keeps ``inverted_index`` in
-# (its r3 row was red on the canonicalizer contract, fixed by
-# stringifying ``postings``), and backfills with r3-signed
-# representatives so every SURVEY §2 family keeps a driver-green row.
+# most one round old: this round leads with the r1/r2-signed queries
+# due a refresh, keeps ``inverted_index`` in (its r3 row was red on
+# the canonicalizer contract, fixed by stringifying ``postings``),
+# backfills with r3-signed representatives so every SURVEY §2 family
+# keeps a driver-green row, and — the hard requirement — includes
+# EVERY query that has never carried a driver signature in any round
+# (the late-r4 sketch/sampling additions), displacing seven
+# multiply-signed r1/r2 entries whose operator families keep another
+# in-window representative (cosine_topk→ivf_recall/ivf_topk_probe2,
+# bpe_token_stats→token_stats, rollup_metrics→grouping_sets_metrics,
+# funnel_conversion/rolling_value_range→argmax_per_group+
+# retention_cohorts, ngram_jaccard_pairs→lsh_band_buckets,
+# doc_fingerprints→simhash).
 # Everything else — all locally oracle-verified by
 # tests/test_queries_oracle.py at two scales — follows in
 # registration order.
@@ -5125,14 +5297,10 @@ DRIVER_WINDOW = [
     "anti_join_discard",      # §2.2/§2.3 avoid/anti-join discard
     "argmax_per_group",       # §2.5 per-group argmax
     "asof_attach",            # §2.3 accent as-of attachment
-    "bpe_token_stats",        # LLM BPE-ish token counting
-    "cosine_topk",            # LLM brute-force cosine top-k
     "dedup_keep_first",       # §2.6 keep-first dedup
     "distinct_classes",       # §2.4 count_classes
-    "doc_fingerprints",       # LLM rolling-hash fingerprints
     "embedding_lsh_buckets",  # LLM random-hyperplane LSH buckets
     "events_hourly",          # §2.4 hourly event rollup
-    "funnel_conversion",      # §2.5 funnel ordering
     "grouping_sets_metrics",  # §2.4 grouping sets
     "ivf_recall",             # LLM IVF recall vs brute force
     "ivf_topk_probe2",        # LLM IVF multi-probe
@@ -5140,15 +5308,12 @@ DRIVER_WINDOW = [
     "kmeans_refine",          # LLM k-means refinement step
     "lang_id_confusion",      # LLM language-ID n-gram heuristic
     "lsh_band_buckets",       # LLM MinHash band buckets
-    "ngram_jaccard_pairs",    # LLM n-gram Jaccard pairs
     "point_lookup",           # §2.2 symbol_at point lookup
     "pricing_summary",        # §2.4 per-page stats counters
     "quality_scores",         # LLM quality scoring
     "range_filter",           # §2.1/§2.2 list_cl range query
     "retention_cohorts",      # §2.5 cohort retention window
     "revenue_by_nation",      # §2.3/§2.4 join + agg
-    "rolling_value_range",    # §2.5 rolling window range
-    "rollup_metrics",         # §2.4 rollup
     "simhash",                # LLM SimHash signatures
     "token_stats",            # §2.4 token counters
     "top_sources_by_chars",   # §2.4 per-source volume ranking
@@ -5178,6 +5343,14 @@ DRIVER_WINDOW = [
     "pii_redact",             # LLM PII redaction
     "stratified_sample",      # LLM stratified sampling
     "stream_dedup_replay",    # streaming exactly-once replay dedup
+    # -- never driver-signed (added after the r4 rotation): sign now --
+    "pack_token_budget",      # LLM sequence packing to token budget
+    "hll_register_sketch",    # LLM mergeable HLL register sketch
+    "hll_estimate",           # LLM HLL estimate + rel-err audit
+    "bloom_decontaminate",    # LLM bloom-filter decontamination
+    "reservoir_per_group",    # LLM fixed-size per-stratum reservoir
+    "vocab_coverage",         # LLM vocabulary-coverage gate
+    "stream_hll_registers",   # streaming HLL register maintenance
 ]
 
 

@@ -70,6 +70,12 @@ def test_driver_window_invariants():
         "llm_decontaminate": {"decontaminate"},
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
+        "llm_sketch": {"hll_register_sketch", "hll_estimate",
+                       "stream_hll_registers"},
+        "llm_bloom": {"bloom_decontaminate"},
+        "llm_reservoir": {"reservoir_per_group"},
+        "llm_vocab": {"vocab_coverage"},
+        "llm_packing": {"pack_token_budget"},
         "llm_tfidf": {"tfidf_top_terms", "inverted_index"},
         "streaming": {"stream_windowed_counts", "stream_sessionize",
                       "stream_dedup_replay"},
