@@ -96,6 +96,10 @@ HEADLINE = [
     "reservoir_per_group",  # added r4: fixed-k per-stratum sample
     "vocab_coverage",  # added r4: top-vocab coverage gate
     "stream_hll_registers",  # added r4: streaming HLL sketch maintenance
+    "domain_mix_weights",  # added r4: DoReMi-style mixture weights
+    "leakage_safe_split",  # added r4: dedup-group-consistent splits
+    "token_entropy",  # added r4: integer milli-nat unigram entropy
+    "semdedup_cells",  # added r4: SemDeDup within-cell embedding dedup
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

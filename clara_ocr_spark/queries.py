@@ -5236,6 +5236,108 @@ def token_entropy(spark, sf_dir):
 
 
 @q(
+    "semdedup_cells",
+    f"""
+    with {_CENTROID_DUCK},
+    assigned as (
+      select vec_id, embedding, cell from (
+        select e.vec_id, e.embedding, c.label as cell,
+               row_number() over (partition by e.vec_id
+                 order by {_COS_VC_DUCK} desc, c.label) as rn
+        from embeddings e cross join centroids c)
+      where rn = 1),
+    pairs as (
+      select a.cell, a.vec_id as i_id, b.vec_id as j_id,
+             {_COS_AB_DUCK.replace("a.v[", "a.embedding[").replace("b.v[", "b.embedding[")} as cos
+      from assigned a join assigned b
+        on a.cell = b.cell and a.vec_id < b.vec_id),
+    dup as (select cell, i_id, j_id from pairs where cos >= 0.35),
+    rem as (select cell, count(*) as n_dup_pairs,
+                   count(distinct j_id) as n_removed
+            from dup group by cell),
+    n as (select cell, count(*) as n_vecs from assigned group by cell)
+    select n.cell, cast(n.n_vecs as bigint) as n_vecs,
+           cast(coalesce(rem.n_dup_pairs, 0) as bigint) as n_dup_pairs,
+           cast(coalesce(rem.n_removed, 0) as bigint) as n_removed,
+           cast(n.n_vecs - coalesce(rem.n_removed, 0) as bigint) as n_kept
+    from n left join rem on n.cell = rem.cell
+    """,
+)
+def semdedup_cells(spark, sf_dir):
+    """SemDeDup (Abbas+23): semantic dedup restricted to k-means
+    CELLS — assign every vector to its nearest centroid (the same
+    broadcast higher-order argmax as `ivf_topk`, map-only), then score
+    pairwise cosine only WITHIN a cell and drop the higher-id member
+    of every pair above threshold (keep-lowest-id is the paper's
+    'keep one representative', made deterministic).  This is the
+    quadratic-cost fix that makes embedding dedup feasible at corpus
+    scale: candidate pairs are N²/K per cell instead of N² global —
+    the cell is the shuffle key, so each cell's self-join is one
+    co-partitioned task, and (unlike the LSH OR-blocking of
+    `near_dup_cosine`) recall loss is exactly the cross-cell pairs,
+    which `ivf_recall` already quantifies for this quantizer.  Output
+    is the per-cell audit a curation run reports: vectors, dup pairs,
+    removed, kept."""
+    e = _emb(spark, sf_dir).select("vec_id", "v", "label")
+    cent = (
+        e.groupBy("label")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(EMB_DIM)]
+            ).alias("cv")
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("label").alias("cell"), "cv"))
+            ).alias("cents")
+        )
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-F.round(_cos_arrays(F.col("v"), c["cv"]), 6)).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    home = F.element_at(F.slice(F.sort_array(scored), 1, 1), 1)["cell"]
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", home.alias("cell"))
+        # both the self-join sides and the per-cell count read the
+        # assignment; materialize so the centroid argmax runs once
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("i_id"), F.col("v").alias("iv")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("j_id"), F.col("v").alias("jv")
+    )
+    dup = (
+        a.join(b, ["cell"])
+        .filter(F.col("i_id") < F.col("j_id"))
+        .filter(
+            F.round(_cos_arrays(F.col("iv"), F.col("jv")), 6) >= 0.35
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("j_id").alias("n_removed"),
+        )
+    )
+    n = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return n.join(dup, "cell", "left").select(
+        "cell",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+@q(
     "stream_hll_registers",
     _hll_regs_duck() + "select event_type, register, max_rho from regs",
 )

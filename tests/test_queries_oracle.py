@@ -70,6 +70,12 @@ def test_driver_window_invariants():
         "llm_decontaminate": {"decontaminate"},
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
+        "llm_semdedup": {"semdedup_cells", "near_dup_cosine",
+                         "dup_clusters", "embedding_lsh_buckets"},
+        "llm_mix": {"domain_mix_weights", "stratified_sample"},
+        "llm_split": {"leakage_safe_split", "decontaminate"},
+        "llm_entropy": {"token_entropy", "repetition_filter",
+                        "lm_quality_scores"},
         "llm_sketch": {"hll_register_sketch", "hll_estimate",
                        "stream_hll_registers"},
         "llm_bloom": {"bloom_decontaminate"},
