@@ -302,3 +302,50 @@ def curate(
     if cont_rejected is not None:
         all_rejected = all_rejected.unionByName(cont_rejected)
     return curated, all_rejected
+
+
+def assign_split(curated: DataFrame) -> DataFrame:
+    """+ ``split`` ∈ {train, val, test} (80/10/10), the leakage-safe
+    rule of the `leakage_safe_split` catalog query: the split is a
+    deterministic pure function of the CONTENT hash (60-bit md5 prefix
+    mod 10), never of url, position, partition, or run — so re-crawls,
+    shard re-orders, and byte-identical copies that survived upstream
+    in some other corpus slice all land in the same split.  Map-only;
+    composes after dedup, which already guarantees the curated table
+    itself holds one copy per content family."""
+    h = spark_hash60(F.col("text")) % 10
+    return curated.withColumn(
+        "split",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test"),
+    )
+
+
+def domain_mixture(curated: DataFrame) -> DataFrame:
+    """Per-host sampling weights over the CURATED table (the
+    `domain_mix_weights` catalog rule applied at the job boundary):
+    host parsed from the url, weight = floor(sqrt(docs)) — the
+    alpha = 1/2 temperature reweighting — with exact per-mille share
+    and upsample boost via integer division.  One map-side-partial
+    groupBy to the host relation (materialized once); the totals are
+    a 1-row broadcast cross join, never a window over an
+    unpartitioned million-host frame."""
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    per = (
+        curated.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(F.sum("w").alias("tw"), F.sum("n_docs").alias("td"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * w) div tw").cast("bigint").alias("share_pm"),
+        F.expr("(1000 * w * td) div (tw * n_docs)")
+        .cast("bigint")
+        .alias("boost_pm"),
+    )

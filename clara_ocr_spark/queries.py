@@ -5100,10 +5100,17 @@ def domain_mix_weights(spark, sf_dir):
     window over an unpartitioned frame, which would single-task the
     per-domain relation at web scale (millions of hosts)."""
     d = _t(spark, sf_dir, "documents")
-    per = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
-        F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("w"),
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("w"),
+        )
+        # both the totals aggregate and the final projection read the
+        # per-domain relation; materialize it so the 100 TB documents
+        # scan runs ONCE (unmaterialized, Spark plans two full scans)
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(
         F.sum("w").alias("tw"), F.sum("n_docs").alias("td")

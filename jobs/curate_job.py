@@ -62,6 +62,19 @@ def main(argv: list[str] | None = None) -> None:
         "column IS the extraction, so curation starts at the quality "
         "gate: the Common-Crawl-native curation path)",
     )
+    ap.add_argument(
+        "--split",
+        action="store_true",
+        help="add a leakage-safe train/val/test `split` column to the "
+        "curated table (80/10/10, a pure function of the content "
+        "hash — byte-identical docs always share a split)",
+    )
+    ap.add_argument(
+        "--mix-weights",
+        default=None,
+        help="also write the per-host mixture-weight table "
+        "(alpha=1/2 temperature resampling over curated docs) here",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.input_format == "wet" and args.mixed:
@@ -109,9 +122,22 @@ def main(argv: list[str] | None = None) -> None:
     curated, rejected = curate(
         extracted, cfg, eval_texts=eval_texts, gate_obs=obs_in
     )
+    if args.split:
+        from clara_ocr_spark.curate import assign_split
+
+        curated = assign_split(curated)
     curated.observe(obs_cur, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
     ).parquet(args.curated)
+    if args.mix_weights:
+        from clara_ocr_spark.curate import domain_mixture
+
+        # read the just-written table back: the mixture needs only
+        # (url, n_tokens) — a pruned columnar scan of the output, not
+        # a re-run of the extract/dedup lineage
+        domain_mixture(spark.read.parquet(args.curated)).write.mode(
+            "overwrite"
+        ).parquet(args.mix_weights)
     rejected.observe(obs_rej, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
     ).parquet(args.rejects)

@@ -258,3 +258,46 @@ def test_line_dedup_gate_in_curate(spark):
     cur0, _ = curate(extracted)
     assert boiler in {r["text"] for r in cur0.collect()
                       if r["url"] == "u1"}.pop()
+
+
+def test_assign_split_content_pure_and_balanced(spark):
+    """split must be a pure function of text (same text under any url
+    or row order → same split) and roughly 80/10/10 over many docs."""
+    from clara_ocr_spark.curate import assign_split
+
+    docs = spark.range(500).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit("/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("document body "), F.col("id").cast("string")).alias(
+            "text"),
+        F.lit(3).alias("n_tokens"),
+    )
+    out = assign_split(docs)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+    # purity: identical text under a different url gets the same split
+    twin = docs.withColumn("url", F.concat(F.lit("x://other/"), F.col("url")))
+    j = (assign_split(twin).select("text", F.col("split").alias("s2"))
+         .join(out.select("text", "split"), "text"))
+    assert j.filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_domain_mixture_integer_shares(spark):
+    """Mixture weights: exact integer per-mille, head domain
+    downweighted relative to proportional (boost < 1000), tail domain
+    upweighted (boost > 1000)."""
+    from clara_ocr_spark.curate import domain_mixture
+
+    rows = (
+        [{"url": f"https://head.example/p{i}", "text": "t", "n_tokens": 1}
+         for i in range(90)]
+        + [{"url": f"https://tail.example/p{i}", "text": "t", "n_tokens": 1}
+           for i in range(10)]
+    )
+    out = {r["host"]: r.asDict() for r in
+           domain_mixture(spark.createDataFrame(rows)).collect()}
+    assert out["head.example"]["n_docs"] == 90
+    assert out["head.example"]["boost_pm"] < 1000 < out["tail.example"]["boost_pm"]
+    assert sum(v["share_pm"] for v in out.values()) <= 1000
