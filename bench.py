@@ -100,6 +100,7 @@ HEADLINE = [
     "leakage_safe_split",  # added r4: dedup-group-consistent splits
     "token_entropy",  # added r4: integer milli-nat unigram entropy
     "semdedup_cells",  # added r4: SemDeDup within-cell embedding dedup
+    "robots_filter",  # added r4: RFC 9309 longest-match politeness gate
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

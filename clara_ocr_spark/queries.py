@@ -5344,6 +5344,108 @@ def semdedup_cells(spark, sf_dir):
     )
 
 
+#: robots.txt rule set for `robots_filter`, injected as literals in
+#: both engines (the corpus carries no robots payloads — same
+#: deterministic-fake discipline as `pii_redact`).  allow: 1/0.
+_ROBOTS_RULES = [
+    ("h0", "/", 1),
+    ("h0", "/private/", 0),
+    ("h0", "/private/x", 1),  # longest-match override of the deny
+    ("h1", "/", 1),
+    ("h1", "/admin/", 0),
+    ("h2", "/", 1),
+    ("h2", "/private/", 0),
+    ("h3", "/", 0),  # default-deny host
+    ("h3", "/p/", 1),
+    # h4: no rules at all → crawler default (allow)
+]
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES
+)
+
+
+@q(
+    "robots_filter",
+    f"""
+    with u as (select 'h' || cast(doc_id % 5 as varchar) as host,
+                      case cast(doc_id % 4 as int)
+                        when 0 then '/p/'
+                        when 1 then '/private/x/'
+                        when 2 then '/admin/y/'
+                        else '/private/z/' end
+                        || cast(doc_id as varchar) as path
+               from documents),
+    r (host, prefix, allow) as (values {_ROBOTS_VALUES}),
+    best as (select u.host, u.path,
+                    max(2 * length(r.prefix) + r.allow) as score
+             from u left join r
+               on u.host = r.host and starts_with(u.path, r.prefix)
+             group by u.host, u.path)
+    select host,
+           case when score is null then 'default_allow'
+                when score % 2 = 1 then 'allowed'
+                else 'blocked' end as verdict,
+           cast(count(*) as bigint) as n_urls
+    from best group by host, verdict
+    """,
+)
+def robots_filter(spark, sf_dir):
+    """Robots-exclusion gate (RFC 9309) as a DECLARATIVE plan — the
+    politeness filter every crawl-derived corpus applies before
+    extraction: per-host rule tables, longest-matching prefix wins,
+    allow beats deny on ties, hosts without rules default to allow.
+    The whole precedence logic collapses to ONE integer aggregate:
+    score = 2·len(prefix) + allow, so max(score) picks the longest
+    match with allow as the tie-break and score % 2 IS the verdict —
+    no struct argmax, no UDF, engine-exact.  Scale shape: the rule
+    table is host-keyed and tiny (a full CommonCrawl robots set is
+    ~10⁷ rows ≪ corpus) → BROADCAST prefix theta-join, bounded at
+    ~10 rules per url; one agg to elect, one to report.  Urls are
+    synthesized deterministically from doc_id (the
+    `url_canonical_groups` convention) so the oracle sees identical
+    inputs."""
+    d = _t(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow int"
+    )
+    path_kind = (F.col("doc_id") % 4).cast("int")
+    u = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.when(path_kind == 0, "/p/")
+            .when(path_kind == 1, "/private/x/")
+            .when(path_kind == 2, "/admin/y/")
+            .otherwise("/private/z/"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("r_host"), "prefix", "allow"
+        )
+    )
+    j = u.join(
+        r,
+        (F.col("host") == F.col("r_host"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    best = j.groupBy("host", "path").agg(
+        F.max(F.length("prefix") * 2 + F.col("allow")).alias("score")
+    )
+    verdict = (
+        F.when(F.col("score").isNull(), "default_allow")
+        .when(F.col("score") % 2 == 1, "allowed")
+        .otherwise("blocked")
+    )
+    return best.groupBy("host", verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls")
+    )
+
+
 @q(
     "stream_hll_registers",
     _hll_regs_duck() + "select event_type, register, max_rho from regs",
