@@ -101,6 +101,7 @@ HEADLINE = [
     "token_entropy",  # added r4: integer milli-nat unigram entropy
     "semdedup_cells",  # added r4: SemDeDup within-cell embedding dedup
     "robots_filter",  # added r4: RFC 9309 longest-match politeness gate
+    "frontier_waves",  # added r4: per-host politeness wave schedule
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -5447,6 +5447,61 @@ def robots_filter(spark, sf_dir):
 
 
 @q(
+    "frontier_waves",
+    """
+    with f as (select doc_id,
+                      'h' || cast(doc_id % 5 as varchar) as host,
+                      n_chars
+               from documents),
+    w as (select host,
+                 row_number() over (partition by host
+                                    order by n_chars desc, doc_id)
+                   as wave
+          from f)
+    select wave, cast(count(*) as bigint) as n_fetches,
+           cast(count(distinct host) as bigint) as n_hosts
+    from w where wave <= 32 group by wave
+    """,
+)
+def frontier_waves(spark, sf_dir):
+    """Crawl-frontier politeness scheduling: a polite crawler fetches
+    at most ONE url per host per wave (the per-host crawl-delay
+    quantum), so the frontier schedule IS a per-host priority
+    row_number — wave k holds every host's k-th best url (priority =
+    biggest page first, doc_id tie-break).  The report is the wave
+    histogram a frontier dashboard shows, truncated at 32 waves —
+    and Catalyst turns that rank filter into a PARTIAL
+    WindowGroupLimit below the exchange (plan verified), so each map
+    task ships at most 32 rows per host into the shuffle: the
+    schedule costs O(hosts·32), not O(urls).  Scale shape: the
+    ONE shuffle is host-keyed — deliberately the skew-prone key,
+    because politeness semantically REQUIRES per-host ordering
+    (salting would break the schedule); the mitigation at 10^12 urls
+    is range-partitioning hot hosts' already-ordered runs, and the
+    makespan insight — the biggest host bounds total crawl time no
+    matter how many executors — is exactly what this histogram
+    exposes."""
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias(
+            "host"
+        ),
+        "n_chars",
+    )
+    wv = Window.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        f.select(F.row_number().over(wv).alias("wave"), "host")
+        .filter(F.col("wave") <= 32)
+        .groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+    )
+
+
+@q(
     "stream_hll_registers",
     _hll_regs_duck() + "select event_type, register, max_rho from regs",
 )
