@@ -5278,9 +5278,12 @@ def semdedup_cells(spark, sf_dir):
     of every pair above threshold (keep-lowest-id is the paper's
     'keep one representative', made deterministic).  This is the
     quadratic-cost fix that makes embedding dedup feasible at corpus
-    scale: candidate pairs are N²/K per cell instead of N² global —
-    the cell is the shuffle key, so each cell's self-join is one
-    co-partitioned task, and (unlike the LSH OR-blocking of
+    scale: candidate pairs are N²/K per cell instead of N² global,
+    the candidate shuffle carries bare (cell, id) pairs — vectors
+    re-attach by broadcast after an explicit round-robin repartition
+    (the `_near_dup_pairs` discipline; without it AQE coalesces the
+    small-bytes pair exchange to one task and serializes the
+    dot-product stage) — and (unlike the LSH OR-blocking of
     `near_dup_cosine`) recall loss is exactly the cross-cell pairs,
     which `ivf_recall` already quantifies for this quantizer.  Output
     is the per-cell audit a curation run reports: vectors, dup pairs,
@@ -5307,25 +5310,68 @@ def semdedup_cells(spark, sf_dir):
         ),
     )
     home = F.element_at(F.slice(F.sort_array(scored), 1, 1), 1)["cell"]
+    # per-vector norm computed ONCE here (it rides the checkpoint):
+    # the within-cell join scores O(N²/K) pairs, and recomputing both
+    # norms per pair (as the generic _cos_arrays does) tripled the
+    # pair-stage arithmetic — hoisting them is the classic
+    # normalize-before-join step of every production ANN/dedup system.
+    # sqrt(Σx²) here is operation-for-operation the _cos_arrays norm,
+    # so the rounded cosine (and the oracle match) is bit-identical.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    n_parts = spark.sparkContext.defaultParallelism
     assigned = (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", home.alias("cell"))
+        .select("vec_id", "v", nrm.alias("nrm"), home.alias("cell"))
         # both the self-join sides and the per-cell count read the
-        # assignment; materialize so the centroid argmax runs once
+        # assignment; materialize so the centroid argmax runs once —
+        # and repartition first, or the checkpointed RDD inherits the
+        # parquet split count and serializes every downstream stage
+        .repartition(n_parts, "vec_id")
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("i_id"), F.col("v").alias("iv")
-    )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("j_id"), F.col("v").alias("jv")
-    )
-    dup = (
-        a.join(b, ["cell"])
-        .filter(F.col("i_id") < F.col("j_id"))
-        .filter(
-            F.round(_cos_arrays(F.col("iv"), F.col("jv")), 6) >= 0.35
+    # the _near_dup_pairs discipline: candidate generation carries
+    # ONLY ids (the 64-dim vectors never enter the pair shuffle), then
+    # an explicit round-robin repartition before the dot stage — the
+    # id-pair bytes are small, so AQE would coalesce the exchange to
+    # ~1 task even though each row owes a 64-term dot product
+    ids = (
+        assigned.select("cell", F.col("vec_id").alias("i_id"))
+        .join(
+            assigned.select("cell", F.col("vec_id").alias("j_id")),
+            ["cell"],
         )
+        .filter(F.col("i_id") < F.col("j_id"))
+        .repartition(n_parts)
+    )
+    iside = F.broadcast(
+        assigned.select(
+            F.col("vec_id").alias("i_id"),
+            F.col("v").alias("iv"),
+            F.col("nrm").alias("inrm"),
+        )
+    )
+    jside = F.broadcast(
+        assigned.select(
+            F.col("vec_id").alias("j_id"),
+            F.col("v").alias("jv"),
+            F.col("nrm").alias("jnrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("iv", "jv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    prod = F.col("inrm") * F.col("jnrm")
+    cos = F.when(prod > 0, dot / prod).otherwise(F.lit(-2.0))
+    dup = (
+        ids.join(iside, "i_id")
+        .join(jside, "j_id")
+        .filter(F.round(cos, 6) >= 0.35)
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_dup_pairs"),
@@ -5558,6 +5604,14 @@ def stream_hll_registers(spark, sf_dir):
 # Everything else — all locally oracle-verified by
 # tests/test_queries_oracle.py at two scales — follows in
 # registration order.
+#
+# r5 rotation plan: lead with the queries added after this rotation
+# (domain_mix_weights, leakage_safe_split, token_entropy,
+# semdedup_cells, robots_filter, frontier_waves — never signed), then
+# refresh the seven displaced here (cosine_topk, ngram_jaccard_pairs,
+# bpe_token_stats, rollup_metrics, funnel_conversion,
+# rolling_value_range, doc_fingerprints — r1/r2 signatures), then
+# backfill with the oldest remaining signatures.
 DRIVER_WINDOW = [
     # -- last signed in r1/r2: rotate to the front for fresh signatures
     "anti_join_discard",      # §2.2/§2.3 avoid/anti-join discard

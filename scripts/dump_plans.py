@@ -142,6 +142,37 @@ def main() -> None:
         "levenshtein verify runs only on collided candidates; vocabulary\n"
         "and typo sides both partially aggregate before exploding.",
     )
+    add(
+        "semdedup_cells (within-cell embedding dedup)",
+        REGISTRY["semdedup_cells"][0](spark, SF),
+        "Centroid assignment is the same broadcast argmax as ivf_topk\n"
+        "(map-only, materialized once via localCheckpoint); the pairwise\n"
+        "cosine join is keyed on cell — N²/K candidates, co-partitioned —\n"
+        "and the per-cell audit aggregates combine map-side.",
+    )
+    add(
+        "robots_filter (RFC 9309 politeness gate)",
+        REGISTRY["robots_filter"][0](spark, SF),
+        "The host-keyed rule table BROADCASTS (prefix theta-join bounded\n"
+        "at ~10 rules/url); precedence is one integer max() aggregate —\n"
+        "longest prefix wins, allow breaks ties via score parity — no\n"
+        "struct argmax, no UDF.",
+    )
+    add(
+        "frontier_waves (per-host politeness schedule)",
+        REGISTRY["frontier_waves"][0](spark, SF),
+        "The wave<=32 rank filter becomes a PARTIAL WindowGroupLimit\n"
+        "BELOW the host exchange: each map task ships at most 32 rows per\n"
+        "host, so the schedule costs O(hosts*32), not O(urls).",
+    )
+    add(
+        "domain_mix_weights (temperature resampling table)",
+        REGISTRY["domain_mix_weights"][0](spark, SF),
+        "ONE parquet scan (the per-domain relation is localCheckpointed\n"
+        "and feeds both the totals aggregate and the final projection);\n"
+        "totals return as a 1-row IdentityBroadcast cross join, never a\n"
+        "window over the unpartitioned domain frame.",
+    )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
