@@ -146,9 +146,11 @@ def main() -> None:
         "semdedup_cells (within-cell embedding dedup)",
         REGISTRY["semdedup_cells"][0](spark, SF),
         "Centroid assignment is the same broadcast argmax as ivf_topk\n"
-        "(map-only, materialized once via localCheckpoint); the pairwise\n"
-        "cosine join is keyed on cell — N²/K candidates, co-partitioned —\n"
-        "and the per-cell audit aggregates combine map-side.",
+        "(map-only, materialized once via localCheckpoint); candidate\n"
+        "generation joins bare (cell, id) pairs — N²/K candidates, no\n"
+        "vectors in the shuffle — then an explicit round-robin\n"
+        "repartition fans the dot stage out before vectors re-attach by\n"
+        "broadcast; the per-cell audit aggregates combine map-side.",
     )
     add(
         "robots_filter (RFC 9309 politeness gate)",
