@@ -165,6 +165,16 @@ def main(argv: list[str] | None = None) -> None:
         "leg's parsed runs to PATH; the parse executes once for both "
         "the extraction and the report (requires --mixed)",
     )
+    ap.add_argument(
+        "--links",
+        default=None,
+        metavar="PATH",
+        help="also write the out-link table (url, dst_url, dst_host, "
+        "anchor, nofollow — stages/links.extract_links) of the HTML "
+        "leg to PATH; a separate map-only pass over the same pages "
+        "(the link parse is ~10x cheaper than block segmentation, so "
+        "it is not worth entangling with the golden-pinned extractor)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.skew_report and not args.mixed:
@@ -338,6 +348,10 @@ def main(argv: list[str] | None = None) -> None:
         # materialized by the extraction write above — this write
         # reuses them, no second parse
         skew_frames[0].write.mode("append").parquet(args.skew_report)
+    if args.links:
+        from clara_ocr_spark.stages.links import extract_links
+
+        extract_links(dom_pages).write.mode("append").parquet(args.links)
     if args.metrics or args.deskew:
         extracted.unpersist()
     spark.stop()

@@ -1,0 +1,112 @@
+"""Link extraction stage: parser edge cases, url resolution, and the
+Spark stage + graph/anchor aggregations over the synthetic corpus."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyspark.sql.functions as F
+
+from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+from clara_ocr_spark.stages.links import (
+    extract_links,
+    host_graph,
+    parse_links,
+    top_anchor_text,
+)
+
+BASE = "https://host.example/dir/page"
+
+
+def test_parse_links_resolution_and_filters():
+    html = b"""
+    <html><body>
+      <a href="/abs/path">rooted</a>
+      <a href="rel">relative</a>
+      <a href="https://other.example/x?q=1">absolute</a>
+      <a href="#frag">fragment only</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="mailto:x@y.z">mail</a>
+      <a href="//proto.example/p">protocol-relative</a>
+    </body></html>"""
+    got = parse_links(html, BASE)
+    dsts = [d for d, _, _, _ in got]
+    assert dsts == [
+        "https://host.example/abs/path",
+        "https://host.example/dir/rel",
+        "https://other.example/x?q=1",
+        "https://proto.example/p",
+    ]
+    hosts = [h for _, h, _, _ in got]
+    assert hosts == [
+        "host.example", "host.example", "other.example", "proto.example",
+    ]
+
+
+def test_parse_links_nested_unclosed_nofollow():
+    html = b"""
+    <a href="/a"><b>bold <i>anchor</i></b> text</a>
+    <a href="/sponsored" rel="sponsored NOFOLLOW">paid</a>
+    <a href="/dangling">never closed
+    """
+    got = parse_links(html, BASE)
+    assert got[0][2] == "bold anchor text"  # nested tags flattened
+    assert got[1][3] is True  # rel token match, case-insensitive
+    assert got[0][3] is False
+    assert got[2][0].endswith("/dangling")  # EOF flushes the open <a>
+    # implicit close: a new <a> before the old one ends
+    got2 = parse_links(b'<a href="/one">first <a href="/two">second</a>', BASE)
+    assert [(d.rsplit("/", 1)[1], a) for d, _, a, _ in got2] == [
+        ("one", "first"), ("two", "second"),
+    ]
+
+
+def test_parse_links_corrupt_input_contract():
+    assert parse_links(None, BASE) == []
+    assert parse_links(b"\xff\xfe\x00garbage<<<<", BASE) == []
+
+
+def test_extract_links_stage_and_graph(spark):
+    rows = [gen_page(i, seed=23) for i in range(80)]
+    pages = spark.createDataFrame(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+    )
+    links = extract_links(pages).localCheckpoint(eager=False)
+    n = links.count()
+    assert n > 100  # nav + linkfarm templates emit plenty
+    # corpus hrefs are site-relative → every edge stays on the page host
+    bad = links.filter(
+        F.col("dst_host")
+        != F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    ).count()
+    assert bad == 0
+    assert links.filter(~F.col("dst_url").startswith("https://")).count() == 0
+
+    g = host_graph(links)
+    gr = {(r["src_host"], r["dst_host"]): r["n_links"] for r in g.collect()}
+    assert all(s == d for s, d in gr)  # self-edges only, by construction
+    assert sum(gr.values()) == n  # no nofollow in the corpus → all kept
+
+    top = top_anchor_text(links)
+    t = top.filter(F.col("n_inlinks") >= 2).limit(5).collect()
+    for r in t:
+        assert r["top_anchor_n"] >= 1 and r["top_anchor"]
+
+
+def test_top_anchor_election_deterministic(spark):
+    rows = [
+        ("u1", "https://t/x", "t", "beta", False),
+        ("u2", "https://t/x", "t", "alpha", False),
+        ("u3", "https://t/x", "t", "alpha", False),
+        ("u4", "https://t/x", "t", "beta", False),
+        ("u5", "https://t/x", "t", "zzz", False),
+    ]
+    links = spark.createDataFrame(
+        rows, "url string, dst_url string, dst_host string, "
+        "anchor string, nofollow boolean"
+    )
+    r = top_anchor_text(links).collect()[0]
+    # alpha and beta tie at 2; text-asc tiebreak elects alpha
+    assert (r["n_inlinks"], r["top_anchor"], r["top_anchor_n"]) == (5, "alpha", 2)
+    # partitioning invariance
+    r2 = top_anchor_text(links.repartition(7)).collect()[0]
+    assert r.asDict() == r2.asDict()
