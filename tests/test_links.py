@@ -110,3 +110,39 @@ def test_top_anchor_election_deterministic(spark):
     # partitioning invariance
     r2 = top_anchor_text(links.repartition(7)).collect()[0]
     assert r.asDict() == r2.asDict()
+
+
+def test_integer_pagerank_authority_and_determinism(spark):
+    from clara_ocr_spark.stages.links import integer_pagerank
+
+    # hub: everyone links to 'hub'; 'hub' links back to 'a' only
+    edges = spark.createDataFrame(
+        [("a", "hub", 3), ("b", "hub", 1), ("c", "hub", 2),
+         ("hub", "a", 1), ("b", "c", 1)],
+        "src string, dst string, w bigint",
+    )
+    r = {x["node"]: x["rank"] for x in integer_pagerank(edges).collect()}
+    assert set(r) == {"a", "b", "c", "hub"}
+    assert r["hub"] == max(r.values())  # in-link mass concentrates
+    assert r["b"] == min(r.values())  # no in-links at all
+    # bit-identical under any partitioning (the integer discipline)
+    r2 = {x["node"]: x["rank"]
+          for x in integer_pagerank(edges.repartition(13)).collect()}
+    assert r == r2
+
+
+def test_rank_hosts_composition(spark):
+    from clara_ocr_spark.stages.links import rank_hosts
+
+    links = spark.createDataFrame(
+        [(f"https://src{i}.x/p", "https://authority.x/", "authority.x",
+          "best site", False) for i in range(4)]
+        + [("https://authority.x/p", "https://src0.x/", "src0.x",
+            "back", False),
+           ("https://authority.x/p", "https://authority.x/self",
+            "authority.x", "self nav", False)],  # self-loop: excluded
+        "url string, dst_url string, dst_host string, "
+        "anchor string, nofollow boolean",
+    )
+    top = rank_hosts(links, top_k=3).collect()
+    assert top[0]["node"] == "authority.x"
