@@ -102,6 +102,7 @@ HEADLINE = [
     "semdedup_cells",  # added r4: SemDeDup within-cell embedding dedup
     "robots_filter",  # added r4: RFC 9309 longest-match politeness gate
     "frontier_waves",  # added r4: per-host politeness wave schedule
+    "shingle_containment",  # added r4: asymmetric containment dedup
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -5548,6 +5548,91 @@ def frontier_waves(spark, sf_dir):
 
 
 @q(
+    "shingle_containment",
+    """
+    with t as (
+      select doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 4, 1)),
+               i -> {h60_gram})) as grams
+      from (select doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') as ws
+            from documents)),
+    tf as (select * from t where len(grams) >= 5),
+    x as (select doc_id, unnest(grams) as g from tf),
+    keep as (select g from x group by g having count(*) <= 32),
+    xf as (select x.doc_id, x.g from x join keep using (g)),
+    p as (select a.doc_id as i_id, b.doc_id as j_id,
+                 count(*) as shared
+          from xf a join xf b on a.g = b.g and a.doc_id <> b.doc_id
+          group by 1, 2),
+    s as (select doc_id, len(grams) as n from tf)
+    select p.i_id, p.j_id, cast(si.n as bigint) as n_i,
+           cast(p.shared as bigint) as shared,
+           cast((1000 * p.shared) // si.n as bigint) as containment_pm
+    from p join s si on p.i_id = si.doc_id
+    where (1000 * p.shared) // si.n >= 800
+    """.replace(
+        "{h60_gram}",
+        H60_DUCK.format(x="array_to_string(list_slice(ws, i, i + 4), ' ')"),
+    ),
+)
+def shingle_containment(spark, sf_dir):
+    """ASYMMETRIC near-duplicate detection: shingle containment
+    |A∩B| / |A| — the quote/aggregator/boilerplate-wrapper case
+    (doc A reproduced inside a larger doc B) that symmetric Jaccard
+    (`ngram_jaccard_pairs`, `dedup_canonicalize`) scores low and
+    misses; Lee+22 single out exactly this failure mode.  Ordered
+    pairs with containment ≥ 0.8 per-mille-exact (integer division).
+
+    Scale shape: shingles travel as the shared 60-bit hash
+    (`_gram5_hashes`, single source of truth with decontaminate /
+    curate); candidates come from a shingle-keyed EQUI self-join —
+    and the df ≤ 32 stoplist BEFORE the join is the load-bearing
+    skew guard: a boilerplate shingle in 10⁶ docs would otherwise
+    emit 10¹² candidate rows from one key (the inverted-index hot-term
+    problem), while dropping it costs nothing for containment ≥ 0.8
+    (ubiquitous shingles carry no dup signal).  Pair counts partially
+    aggregate map-side; sizes re-attach by a doc-level join."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _gram5_hashes().alias("grams")).filter(
+        F.size("grams") >= 5
+    )
+    x = t.select("doc_id", F.explode("grams").alias("g"))
+    keep = (
+        x.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 32)
+        .select("g")
+    )
+    xf = x.join(keep, "g")
+    p = (
+        xf.select(F.col("doc_id").alias("i_id"), "g")
+        .join(
+            xf.select(F.col("doc_id").alias("j_id"), "g"), "g"
+        )
+        .filter(F.col("i_id") != F.col("j_id"))
+        .groupBy("i_id", "j_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s = t.select(
+        F.col("doc_id").alias("i_id"), F.size("grams").alias("n_i")
+    )
+    cpm = F.expr("(1000 * shared) div n_i")
+    return (
+        p.join(s, "i_id")
+        .filter(cpm >= 800)
+        .select(
+            "i_id",
+            "j_id",
+            F.col("n_i").cast("bigint").alias("n_i"),
+            F.col("shared").cast("bigint").alias("shared"),
+            cpm.cast("bigint").alias("containment_pm"),
+        )
+    )
+
+
+@q(
     "stream_hll_registers",
     _hll_regs_duck() + "select event_type, register, max_rho from regs",
 )
@@ -5607,7 +5692,8 @@ def stream_hll_registers(spark, sf_dir):
 #
 # r5 rotation plan: lead with the queries added after this rotation
 # (domain_mix_weights, leakage_safe_split, token_entropy,
-# semdedup_cells, robots_filter, frontier_waves — never signed), then
+# semdedup_cells, robots_filter, frontier_waves, shingle_containment
+# — never signed), then
 # refresh the seven displaced here (cosine_topk, ngram_jaccard_pairs,
 # bpe_token_stats, rollup_metrics, funnel_conversion,
 # rolling_value_range, doc_fingerprints — r1/r2 signatures), then

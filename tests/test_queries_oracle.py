@@ -74,10 +74,11 @@ def test_driver_window_invariants():
                          "dup_clusters", "embedding_lsh_buckets"},
         "llm_mix": {"domain_mix_weights", "stratified_sample"},
         "llm_split": {"leakage_safe_split", "decontaminate"},
-# llm_entropy {token_entropy} and web_robots {robots_filter} are
-# r4-late additions whose members are outside the r4 driver window
-# (every slot is taken by a never-signed or rotation-due query);
-# add them to this map when the r5 rotation signs them.
+# llm_entropy {token_entropy}, web_robots {robots_filter}, and
+# llm_containment {shingle_containment} are r4-late additions whose
+# members are outside the r4 driver window (every slot is taken by a
+# never-signed or rotation-due query); add them to this map when the
+# r5 rotation signs them.
         "llm_sketch": {"hll_register_sketch", "hll_estimate",
                        "stream_hll_registers"},
         "llm_bloom": {"bloom_decontaminate"},
