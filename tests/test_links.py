@@ -146,3 +146,42 @@ def test_rank_hosts_composition(spark):
     )
     top = rank_hosts(links, top_k=3).collect()
     assert top[0]["node"] == "authority.x"
+
+
+# ---------------------------------------------------------------- fuzz
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SLUG = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=12
+)
+_ANCHOR = st.text(
+    alphabet="abcdefghij klmnop", min_size=1, max_size=30
+).map(lambda s: " ".join(s.split()))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_SLUG, _ANCHOR), min_size=0, max_size=8))
+def test_parse_links_roundtrip(pairs):
+    """Build html from a known link list → parse recovers every link,
+    in document order, with resolved urls and flattened anchors."""
+    body = "".join(
+        f'<p>noise</p><a href="/{slug}">{anchor or "x"}</a>'
+        for slug, anchor in pairs
+    )
+    got = parse_links(f"<html><body>{body}</body></html>".encode(), BASE)
+    assert len(got) == len(pairs)
+    for (slug, anchor), (dst, host, text, nofollow) in zip(pairs, got):
+        assert dst == f"https://host.example/{slug}"
+        assert host == "host.example"
+        assert text == (anchor or "x").strip() or anchor.strip() == text
+        assert nofollow is False
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_links_never_crashes(raw):
+    out = parse_links(raw, BASE)
+    assert isinstance(out, list)
+    for dst, host, _, _ in out:
+        assert host and "://" in dst
