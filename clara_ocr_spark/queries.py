@@ -5371,7 +5371,12 @@ def semdedup_cells(spark, sf_dir):
     dup = (
         ids.join(iside, "i_id")
         .join(jside, "j_id")
-        .filter(F.round(cos, 6) >= 0.35)
+        # round(…, 4) — the _COS_AB_DUCK quantum: the oracle's pair
+        # cosine rounds to 4 decimals, so the threshold compare must
+        # happen at the same grid or a pair sitting within 5e-5 of
+        # 0.35 passes on one engine only (caught by the r4 pre-flight
+        # sweep at sf0.01: one boundary pair → n_dup_pairs 8 vs 9)
+        .filter(F.round(cos, 4) >= 0.35)
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_dup_pairs"),
@@ -5690,31 +5695,36 @@ def stream_hll_registers(spark, sf_dir):
 # tests/test_queries_oracle.py at two scales — follows in
 # registration order.
 #
-# r5 rotation plan: lead with the queries added after this rotation
-# (domain_mix_weights, leakage_safe_split, token_entropy,
-# semdedup_cells, robots_filter, frontier_waves, shingle_containment
-# — never signed), then
-# refresh the seven displaced here (cosine_topk, ngram_jaccard_pairs,
-# bpe_token_stats, rollup_metrics, funnel_conversion,
-# rolling_value_range, doc_fingerprints — r1/r2 signatures), then
+# Late-r4 amendment: the seven web-native queries added AFTER the
+# first r4 rotation (domain_mix_weights, leakage_safe_split,
+# token_entropy, semdedup_cells, robots_filter, frontier_waves,
+# shingle_containment) are swapped IN so the round ends with ZERO
+# never-signed queries, displacing seven more multiply-signed r1/r2
+# entries whose families keep another in-window representative
+# (point_lookup→range_filter, distinct_classes→token_stats,
+# embedding_lsh_buckets→lsh_band_buckets+simhash,
+# top_sources_by_chars→top_suppliers_per_nation,
+# dedup_keep_first→latest_wins, asof_attach→range_join_bucketed+
+# exists_semi_join, ivf_topk_probe2→ivf_recall).
+#
+# r5 rotation plan: lead with the fourteen displaced r1/r2 queries
+# (cosine_topk, ngram_jaccard_pairs, bpe_token_stats, rollup_metrics,
+# funnel_conversion, rolling_value_range, doc_fingerprints,
+# point_lookup, distinct_classes, embedding_lsh_buckets,
+# top_sources_by_chars, dedup_keep_first, asof_attach,
+# ivf_topk_probe2), plus ANY query added after this amendment, then
 # backfill with the oldest remaining signatures.
 DRIVER_WINDOW = [
     # -- last signed in r1/r2: rotate to the front for fresh signatures
     "anti_join_discard",      # §2.2/§2.3 avoid/anti-join discard
     "argmax_per_group",       # §2.5 per-group argmax
-    "asof_attach",            # §2.3 accent as-of attachment
-    "dedup_keep_first",       # §2.6 keep-first dedup
-    "distinct_classes",       # §2.4 count_classes
-    "embedding_lsh_buckets",  # LLM random-hyperplane LSH buckets
     "events_hourly",          # §2.4 hourly event rollup
     "grouping_sets_metrics",  # §2.4 grouping sets
     "ivf_recall",             # LLM IVF recall vs brute force
-    "ivf_topk_probe2",        # LLM IVF multi-probe
     "json_props_stats",       # §2.7 JSON property extraction
     "kmeans_refine",          # LLM k-means refinement step
     "lang_id_confusion",      # LLM language-ID n-gram heuristic
     "lsh_band_buckets",       # LLM MinHash band buckets
-    "point_lookup",           # §2.2 symbol_at point lookup
     "pricing_summary",        # §2.4 per-page stats counters
     "quality_scores",         # LLM quality scoring
     "range_filter",           # §2.1/§2.2 list_cl range query
@@ -5722,9 +5732,16 @@ DRIVER_WINDOW = [
     "revenue_by_nation",      # §2.3/§2.4 join + agg
     "simhash",                # LLM SimHash signatures
     "token_stats",            # §2.4 token counters
-    "top_sources_by_chars",   # §2.4 per-source volume ranking
     "top_suppliers_per_nation",  # §2.5 multi-key ordering
     "value_histogram",        # §2.1/§2.4 loadpgm gray histogram
+    # -- added after the first r4 rotation: never signed, sign now ----
+    "domain_mix_weights",     # LLM domain mixture reweighting
+    "leakage_safe_split",     # LLM leakage-safe train/val split
+    "token_entropy",          # LLM unigram token entropy gate
+    "semdedup_cells",         # LLM SemDeDup within-cell dedup
+    "robots_filter",          # web robots-exclusion gate (RFC 9309)
+    "frontier_waves",         # web crawl-frontier politeness waves
+    "shingle_containment",    # LLM asymmetric shingle containment
     # -- red in r3 (canonicalizer contract), fixed this round ---------
     "inverted_index",         # LLM inverted index (postings stringified)
     # -- r3-signed representatives: keep every §2 family driver-green -
