@@ -103,6 +103,12 @@ HEADLINE = [
     "robots_filter",  # added r4: RFC 9309 longest-match politeness gate
     "frontier_waves",  # added r4: per-host politeness wave schedule
     "shingle_containment",  # added r4: asymmetric containment dedup
+    "charset_sniff",  # added r4: encoding-detection audit (hex-domain)
+    "cdx_index",  # added r4: SURT-keyed web-archive capture index
+    "recrawl_delta",  # added r4: re-crawl change detection
+    "head_metadata",  # added r4: head-metadata coverage report
+    "stream_recrawl_delta",  # added r4: streaming re-crawl change detection
+    "boiler_scope_audit",  # added r4: per-host vs global boilerplate scope
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -62,6 +62,12 @@ class CurateConfig:
     # 0 = off; N>0 rewrites each doc dropping lines that occur in >= N
     # docs corpus-wide BEFORE the quality gate (--set line_dedup_min_df=3)
     line_dedup_min_df: int = 0
+    # 1 = count line frequency PER HOST instead of corpus-wide: the
+    # jusText/site-template reading of boilerplate — one site's
+    # nav/footer repeats across ITS pages, and a line every host uses
+    # ("all rights reserved") should only die where it is template,
+    # not globally (--set line_dedup_per_host=1; needs min_df > 0)
+    line_dedup_per_host: int = 0
 
     @classmethod
     def from_args(cls, pairs: list) -> "CurateConfig":
@@ -75,11 +81,20 @@ class CurateConfig:
         return cls(**kw)
 
 
-def drop_frequent_lines(docs: DataFrame, min_df: int = 3) -> DataFrame:
+def drop_frequent_lines(
+    docs: DataFrame, min_df: int = 3, per_host: bool = False
+) -> DataFrame:
     """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
     pass, as a curation stage): rewrite each doc's ``text`` dropping
     every positional 8-token line whose lowercased form occurs in
-    >= ``min_df`` documents corpus-wide.  Same line unit as the
+    >= ``min_df`` documents corpus-wide.  With ``per_host`` the
+    frequency key becomes (host, line) — the jusText/site-template
+    reading: a line dies only on hosts where it repeats (>= min_df of
+    THAT host's docs), so a phrase many sites use once each survives
+    everywhere.  The host column widens the frequency shuffle by one
+    short string; the Zipf host skew is immaterial because the agg
+    key is (host, line-hash), which line diversity spreads — unlike
+    host-only aggregates, no salt is needed.  Same line unit as the
     oracle-checked ``line_dedup_corpus`` catalog query
     (queries._positional_lines_arr — single source of truth); lines
     are built from the ORIGINAL-case tokens so surviving text keeps
@@ -91,6 +106,7 @@ def drop_frequent_lines(docs: DataFrame, min_df: int = 3) -> DataFrame:
     whose every line is boilerplate come back with empty text and
     fall to the quality gate's ``too_short`` reason downstream.  All
     non-text columns pass through untouched (url-keyed rejoin)."""
+    key = ["host", "h"] if per_host else ["h"]
     lines = (
         docs.select("url", _tokens(F.col("text")).alias("ws"))
         .select("url", F.posexplode(_positional_lines_arr()).alias(
@@ -98,14 +114,18 @@ def drop_frequent_lines(docs: DataFrame, min_df: int = 3) -> DataFrame:
         .select("url", "pos", "line",
                 spark_hash60(F.lower(F.col("line"))).alias("h"))
     )
+    if per_host:
+        lines = lines.withColumn(
+            "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+        )
     boiler = (
-        lines.groupBy("h")
+        lines.groupBy(*key)
         .agg(F.countDistinct("url").alias("n_docs"))
         .filter(F.col("n_docs") >= min_df)
-        .select("h")
+        .select(*key)
     )
     rebuilt = (
-        lines.join(boiler, "h", "left_anti")
+        lines.join(boiler, key, "left_anti")
         .groupBy("url")
         .agg(
             F.array_join(
@@ -248,7 +268,11 @@ def curate(
     the quality gate and both dedup tiers see deboilerplated text —
     docs that were only boilerplate fall out as ``too_short``."""
     if cfg.line_dedup_min_df:
-        extracted = drop_frequent_lines(extracted, cfg.line_dedup_min_df)
+        extracted = drop_frequent_lines(
+            extracted,
+            cfg.line_dedup_min_df,
+            per_host=bool(cfg.line_dedup_per_host),
+        )
     feats = text_features(extracted).localCheckpoint(eager=False)
     gated = feats.withColumn("reason", quality_reason(cfg))
     if gate_obs is not None:

@@ -10,14 +10,23 @@ Reference mapping (cited per SURVEY.md; files under /root/reference/):
   block-level elements plus explicit ``data-zone`` column markers; the
   single-zone fallback (pgmblock.c:1131-1143) is ``zone=0``.
 * ``loadpgm`` charset/format sniffing (pgmblock.c:263-457) →
-  :func:`decode_html`: UTF-8 strict with Latin-1 fallback.
+  :func:`decode_html`: BOM sniff → UTF-8 strict → declared
+  ``<meta charset>`` → Latin-1 fallback.
 * ``skel`` skeleton fingerprints (skel.c:765+) → tag-path n-gram
   fingerprints in :func:`tag_path_ngrams`.
 
 EXTRACTION SPEC (the byte-exact semantics that the distributed pipeline
 must reproduce — the analogue of ``mk_page_output`` html.c:1986-2284):
 
-1. Decode ``html`` bytes as UTF-8 (strict); on failure decode Latin-1.
+1. Decode ``html`` bytes: BOM wins (UTF-8/UTF-16LE/UTF-16BE, BOM
+   stripped); else UTF-8 strict; on failure the charset a ``<meta>``
+   in the first 1024 bytes declares (allowlisted labels); else
+   Latin-1 (never fails).  UTF-8-strict-before-declared deviates
+   from WHATWG's declared-first order deliberately: bytes that parse
+   as strict multi-byte UTF-8 are vanishingly unlikely to be legacy
+   text, while legacy charset labels on valid-UTF-8 pages are the
+   single most common crawl mislabel — and it keeps every previously
+   extracted valid-UTF-8 document byte-identical.
 2. Parse with the stdlib tolerant HTML parser, entities resolved.
 3. Content inside ``script/style/noscript/template/head/svg/iframe``
    is dropped.
@@ -72,18 +81,73 @@ _PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]«»–—]")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
+#: Charset labels a crawler actually sees → Python codec, for the
+#: declared-``<meta charset>`` tier of :func:`decode_html`.  Unknown
+#: labels fall through to Latin-1 (which never fails).  utf-8/ascii
+#: labels are deliberately absent: that tier only runs after UTF-8
+#: strict already failed, so honoring them would re-raise.
+_CHARSET_CODECS = {
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "iso-8859-2": "iso8859-2",
+    "iso-8859-15": "iso8859-15",
+    "windows-1250": "cp1250",
+    "windows-1251": "cp1251",
+    "cp1251": "cp1251",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "windows-1254": "cp1254",
+    "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "euc-kr": "euc_kr",
+    "gb2312": "gbk",  # WHATWG maps the gb2312 label to GBK
+    "gbk": "gbk",
+    "big5": "big5",
+}
+
+#: ``charset=`` declaration inside the head — covers both
+#: ``<meta charset="x">`` and
+#: ``<meta http-equiv="Content-Type" content="text/html; charset=x">``.
+_META_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9._-]+)""", re.IGNORECASE
+)
+
+
 def decode_html(raw: bytes | None) -> str:
-    """UTF-8 strict, Latin-1 fallback (≈ loadpgm format sniffing,
-    pgmblock.c:263-457). Deterministic: Latin-1 never fails. A null
-    payload (crawl rows can carry html = NULL) decodes to the empty
-    document — both the pipeline and the reference extractor share
-    this function, so extraction semantics stay identical."""
+    """Charset sniff + decode (≈ loadpgm format sniffing,
+    pgmblock.c:263-457, which dispatches on the P1/P4/P2/P5 magic the
+    same way this dispatches on BOMs). Precedence: BOM → UTF-8 strict
+    → declared ``<meta charset>`` in the first 1024 bytes → Latin-1.
+    Deterministic, never raises. A null payload (crawl rows can carry
+    html = NULL) decodes to the empty document — the pipeline, the
+    differential twin (fastparse) and the reference extractor all
+    share this function, so extraction semantics stay identical."""
     if raw is None:
         return ""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", errors="replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
-        return raw.decode("latin-1")
+        pass
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii", errors="replace").lower()
+        codec = _CHARSET_CODECS.get(label)
+        if codec is not None:
+            try:
+                return raw.decode(codec)
+            except UnicodeDecodeError:
+                pass
+    return raw.decode("latin-1")
 
 
 @dataclass

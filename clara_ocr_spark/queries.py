@@ -4175,6 +4175,83 @@ def stream_sessionize(spark, sf_dir):
     )
 
 
+@q(
+    "stream_recrawl_delta",
+    """
+    with cap as (
+      select event_id,
+             'u' || cast(event_id // 3 as varchar) as url,
+             md5('rev' || cast(event_id // 2 as varchar)) as digest
+      from events),
+    l as (select url, digest,
+                 lag(digest) over (partition by url order by event_id)
+                   as prev
+          from cap)
+    select url,
+           cast(count(*) as bigint) as n_captures,
+           cast(sum(case when prev is not null and digest = prev
+                         then 1 else 0 end) as bigint) as n_unchanged,
+           cast(sum(case when prev is not null and digest <> prev
+                         then 1 else 0 end) as bigint) as n_changed
+    from l group by url
+    """,
+)
+def stream_recrawl_delta(spark, sf_dir):
+    """Streaming twin of the batch `recrawl_delta`: online re-crawl
+    change detection via ``applyInPandasWithState``
+    (``streaming/events_stream.recrawl_changes_stateful``) — per-url
+    state is ONE 32-byte digest + three counters, so state is O(urls)
+    forever regardless of capture volume.  Captures are synthesized
+    from the event feed with JVM md5 BEFORE the stateful boundary (3
+    captures per url, digest flipping every 2 — the `recrawl_delta`
+    convention on event_id), so Python only ever sees short strings.
+    End-of-drain running counts (monotone, update mode → column-wise
+    max per url) must equal the batch lag(digest) computation — the
+    DuckDB oracle."""
+    import tempfile
+
+    from .streaming.events_stream import (
+        drain_to_memory,
+        read_events_stream,
+        recrawl_changes_stateful,
+    )
+
+    name = "stream_recrawl_delta_sink"
+    spark.catalog.dropTempView(name)
+    src = _stream_dir(sf_dir, "events")
+    ck = tempfile.mkdtemp(prefix="ck_rcd_")
+    captures = read_events_stream(spark, src).select(
+        "event_id",
+        F.concat(
+            F.lit("u"),
+            F.floor(F.col("event_id") / 3).cast("bigint").cast("string"),
+        ).alias("url"),
+        F.md5(
+            F.concat(
+                F.lit("rev"),
+                F.floor(F.col("event_id") / 2).cast("bigint").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    out = drain_to_memory(
+        spark,
+        recrawl_changes_stateful(captures),
+        name,
+        ck,
+        output_mode="update",
+    )
+    return _finalize_stream(
+        spark,
+        out.groupBy("url").agg(
+            F.max("n_captures").alias("n_captures"),
+            F.max("n_unchanged").alias("n_unchanged"),
+            F.max("n_changed").alias("n_changed"),
+        ),
+        name,
+        [src, ck],
+    )
+
+
 # ---------------------------------------------------------------------
 # Corpus-scale curation, round 4: the remaining standard web-pipeline
 # passes a 100 TB training-data build needs beyond near-dup — corpus-
@@ -4294,6 +4371,89 @@ def line_dedup_corpus(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
             F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
         )
+    )
+
+
+@q(
+    "boiler_scope_audit",
+    f"""
+    with t as (select doc_id, source, {_TOK_DUCK.format(x='lower(text)')} as ws
+               from documents),
+    l as (select t.doc_id, t.source,
+                 array_to_string(
+                   list_slice(t.ws, (g.i - 1) * 8 + 1, g.i * 8), ' ') as line
+          from t,
+               unnest(generate_series(
+                 1, cast(ceil(len(t.ws) / 8.0) as bigint))) as g(i)),
+    gf as (select line from l group by line
+           having count(distinct doc_id) >= 3),
+    lf as (select source, line from l group by source, line
+           having count(distinct doc_id) >= 3),
+    cls as (select l.source,
+                   case when lf.line is not null then 1 else 0 end as loc,
+                   case when gf.line is not null and lf.line is null
+                        then 1 else 0 end as spill
+            from l
+            left join gf on l.line = gf.line
+            left join lf on l.source = lf.source and l.line = lf.line)
+    select source,
+           cast(count(*) as bigint) as n_line_occ,
+           cast(sum(loc) as bigint) as n_boiler_local,
+           cast(sum(spill) as bigint) as n_saved_by_scope
+    from cls group by source
+    """,
+)
+def boiler_scope_audit(spark, sf_dir):
+    """Boilerplate SCOPE audit — the decision table behind
+    `curate.drop_frequent_lines(per_host=…)`: for every source (the
+    host analogue), how many of its positional 8-token line
+    occurrences are template WITHIN the source (local df >= 3: both
+    scopes delete these) versus corpus-frequent only ACROSS sources
+    (global df >= 3 but local df < 3: the occurrences per-host scope
+    SAVES — a phrase many sites use once each, which jusText keeps
+    and a global CCNet pass deletes).  Same 60-bit line-hash
+    discipline as `line_dedup_corpus`: both frequency shuffles and
+    both probe joins carry 8-byte hashes plus the short source key,
+    never line text; the (source, hash) key is spread by line
+    diversity, so the Zipf source skew needs no salt."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    lines = t.select(
+        "doc_id",
+        "source",
+        F.explode(_positional_lines_arr()).alias("line"),
+    ).select("doc_id", "source", spark_hash60(F.col("line")).alias("h"))
+    gf = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("h", F.lit(1).alias("g_hit"))
+    )
+    lf = (
+        lines.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("source", "h", F.lit(1).alias("l_hit"))
+    )
+    cls = (
+        lines.join(gf, "h", "left")
+        .join(lf, ["source", "h"], "left")
+        .select(
+            "source",
+            F.coalesce("l_hit", F.lit(0)).alias("loc"),
+            F.when(
+                F.col("g_hit").isNotNull() & F.col("l_hit").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("spill"),
+        )
+    )
+    return cls.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_line_occ"),
+        F.sum("loc").cast("bigint").alias("n_boiler_local"),
+        F.sum("spill").cast("bigint").alias("n_saved_by_scope"),
     )
 
 
@@ -5498,6 +5658,328 @@ def robots_filter(spark, sf_dir):
 
 
 @q(
+    "charset_sniff",
+    """
+    with p as (
+      select doc_id, lang,
+        case cast(doc_id % 5 as int)
+          when 0 then from_hex('EFBBBF') || encode(text)
+          when 1 then from_hex('FFFE') || encode(text)
+          when 2 then from_hex('FEFF') || encode(text)
+          when 3 then encode('<meta charset="windows-1252">' || text)
+          else encode(text) end as payload
+      from documents),
+    h as (select lang, octet_length(payload) as nb, hex(payload) as hx
+          from p)
+    select lang,
+      case when hx like 'EFBBBF%' then 'bom_utf8'
+           when hx like 'FFFE%' then 'bom_utf16le'
+           when hx like 'FEFF%' then 'bom_utf16be'
+           when position('636861727365743D' in hx) > 0 then 'declared'
+           else 'utf8_default' end as cset,
+      cast(count(*) as bigint) as n_docs,
+      cast(sum(nb) as bigint) as n_bytes
+    from h group by lang, cset
+    """,
+)
+def charset_sniff(spark, sf_dir):
+    """Encoding-detection audit over raw page payloads — the
+    distributed twin of ``domparse.decode_html``'s sniffing tiers
+    (BOM → declared ``<meta charset>`` → UTF-8 default), which is
+    itself the web analogue of loadpgm's P1/P4/P2/P5 magic dispatch
+    (pgmblock.c:263-457).  A crawl-ingest job runs exactly this
+    before committing a decode policy: per-lang histogram of how
+    pages DECLARE their bytes, with byte volume per class.  The
+    detection is pure JVM column algebra over the BINARY payload —
+    ``hex()`` then prefix/containment matching, no Python touches the
+    bytes, map-side only, one shuffle for the final agg (identical
+    hex-domain predicates run on both engines, so the oracle sees the
+    same classification regardless of how either engine compares
+    blobs).  Payload classes are injected deterministically from
+    doc_id (the `pii_redact` fake discipline — the corpus carries no
+    BOMs): UTF-8/UTF-16LE/UTF-16BE BOM prefixes via ``unhex``, a
+    declared windows-1252 meta tag, and bare UTF-8."""
+    d = _t(spark, sf_dir, "documents")
+    kind = (F.col("doc_id") % 5).cast("int")
+    payload = F.encode("text", "UTF-8")
+    injected = (
+        F.when(kind == 0, F.concat(F.unhex(F.lit("EFBBBF")), payload))
+        .when(kind == 1, F.concat(F.unhex(F.lit("FFFE")), payload))
+        .when(kind == 2, F.concat(F.unhex(F.lit("FEFF")), payload))
+        .when(
+            kind == 3,
+            F.encode(
+                F.concat(F.lit('<meta charset="windows-1252">'), F.col("text")),
+                "UTF-8",
+            ),
+        )
+        .otherwise(payload)
+    )
+    h = d.select(
+        "lang",
+        F.octet_length(injected).alias("nb"),
+        F.hex(injected).alias("hx"),
+    )
+    cset = (
+        F.when(F.col("hx").startswith("EFBBBF"), "bom_utf8")
+        .when(F.col("hx").startswith("FFFE"), "bom_utf16le")
+        .when(F.col("hx").startswith("FEFF"), "bom_utf16be")
+        .when(F.instr("hx", "636861727365743D") > 0, "declared")
+        .otherwise("utf8_default")
+    )
+    return h.groupBy("lang", cset.alias("cset")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+    )
+
+
+@q(
+    "cdx_index",
+    """
+    with cap as (
+      select doc_id,
+             'www.news' || cast(doc_id % 13 as varchar) || '.co.uk' as host,
+             '/a/' || cast(doc_id // 3 as varchar) as path,
+             20240101000000 + doc_id as ts14,
+             md5('rev' || cast(doc_id // 2 as varchar)) as digest
+      from documents),
+    s as (select list_aggregate(list_reverse(string_split(
+                   regexp_replace(host, '^www\\.', ''), '.')),
+                 'string_agg', ',') || ')' || path as surt,
+                 list_aggregate(list_reverse(string_split(
+                   regexp_replace(host, '^www\\.', ''), '.')),
+                 'string_agg', ',') as surt_host,
+                 ts14, digest
+          from cap)
+    select surt_host,
+           cast(count(*) as bigint) as n_captures,
+           cast(count(distinct surt) as bigint) as n_urls,
+           cast(count(*) - count(distinct (surt, digest)) as bigint)
+             as n_revisits,
+           cast(min(ts14) as bigint) as first_ts,
+           cast(max(ts14) as bigint) as last_ts
+    from s group by surt_host
+    """,
+)
+def cdx_index(spark, sf_dir):
+    """Web-archive capture index (CDX/CDXJ) build: SURT-canonical
+    keys — host labels reversed and comma-joined with the `www.`
+    prefix dropped, so `www.news3.co.uk/a/7` sorts as
+    `uk,co,news3)/a/7` and one host's captures are lexically
+    contiguous — a 14-digit integer timestamp, and a content digest
+    per capture; revisit records (same url, same digest — the
+    storage dedup every web archive applies) counted per host.  At
+    100 TB the index itself is the product: repartitionByRange on
+    the SURT key + sortWithinPartitions(ts) yields the globally
+    range-scannable layout CDX servers binary-search, with ~uniform
+    files because SURT spreads the Zipf `www.` mass across the host
+    alphabet.  Everything here is JVM string/array algebra
+    (regexp_replace → split → reverse → array_join); captures are
+    synthesized deterministically from doc_id (3 captures per url,
+    digests flipping every 2 captures — the `pii_redact` fake
+    discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("www.news"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".co.uk"),
+    )
+    path = F.concat(
+        F.lit("/a/"), F.floor(F.col("doc_id") / 3).cast("bigint").cast("string")
+    )
+    surt_host = F.array_join(
+        F.reverse(F.split(F.regexp_replace(host, r"^www\.", ""), r"\.")), ","
+    )
+    s = d.select(
+        F.concat(surt_host, F.lit(")"), path).alias("surt"),
+        surt_host.alias("surt_host"),
+        (F.lit(20240101000000) + F.col("doc_id")).alias("ts14"),
+        F.md5(
+            F.concat(
+                F.lit("rev"), F.floor(F.col("doc_id") / 2).cast("bigint").cast("string")
+            )
+        ).alias("digest"),
+    )
+    return s.groupBy("surt_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_captures"),
+        F.countDistinct("surt").cast("bigint").alias("n_urls"),
+        (F.count(F.lit(1)) - F.countDistinct("surt", "digest"))
+        .cast("bigint")
+        .alias("n_revisits"),
+        F.min("ts14").cast("bigint").alias("first_ts"),
+        F.max("ts14").cast("bigint").alias("last_ts"),
+    )
+
+
+@q(
+    "recrawl_delta",
+    """
+    with cap as (
+      select doc_id,
+             'u' || cast(doc_id // 3 as varchar) as url,
+             md5('rev' || cast(doc_id // 2 as varchar)) as digest
+      from documents),
+    lagged as (
+      select url, digest,
+             lag(digest) over (partition by url order by doc_id) as prev
+      from cap),
+    st as (select url,
+                  case when prev is null then 'first'
+                       when digest = prev then 'unchanged'
+                       else 'changed' end as status
+           from lagged)
+    select status,
+           cast(count(*) as bigint) as n_captures,
+           cast(count(distinct url) as bigint) as n_urls
+    from st group by status
+    """,
+)
+def recrawl_delta(spark, sf_dir):
+    """Re-crawl change detection — the signal a crawl scheduler feeds
+    back into per-url revisit rates (and the dedup signal that lets a
+    WARC writer emit `revisit` records instead of bodies): for every
+    url's capture sequence, compare each content digest to the
+    PREVIOUS capture's via lag() over (url, ts) and classify
+    first/unchanged/changed.  One shuffle on url (the window key);
+    only 32-byte digests ride it, never payloads; url cardinality is
+    ~corpus-sized so no salt is needed (and per-url capture counts
+    are bounded by the revisit policy itself).  Captures synthesized
+    deterministically from doc_id: 3 captures per url, digest
+    flipping every 2, so all three classes appear."""
+    d = _t(spark, sf_dir, "documents")
+    cap = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.floor(F.col("doc_id") / 3).cast("bigint").cast("string")
+        ).alias("url"),
+        F.md5(
+            F.concat(
+                F.lit("rev"), F.floor(F.col("doc_id") / 2).cast("bigint").cast("string")
+            )
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("url").orderBy("doc_id")
+    st = cap.select(
+        "url",
+        F.when(F.lag("digest").over(w).isNull(), "first")
+        .when(F.col("digest") == F.lag("digest").over(w), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return st.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_captures"),
+        F.countDistinct("url").cast("bigint").alias("n_urls"),
+    )
+
+
+@q(
+    "head_metadata",
+    """
+    with h as (
+      select doc_id, lang,
+        '<head><title>' || lang || '-' || cast(doc_id as varchar)
+          || '</title>'
+          || case when doc_id % 3 = 0
+               then '<meta name="description" content="d'
+                    || cast(doc_id % 17 as varchar) || '">'
+               else '' end
+          || case when doc_id % 4 = 0
+               then '<link rel="canonical" href="https://c.example/'
+                    || cast(doc_id // 8 as varchar) || '">'
+               else '' end
+          || '</head>' as head
+      from documents),
+    x as (
+      select lang,
+             regexp_extract(head, '<title>([^<]*)</title>', 1) as title,
+             regexp_extract(head,
+               'name="description" content="([^"]*)"', 1) as descr,
+             regexp_extract(head,
+               'rel="canonical" href="([^"]*)"', 1) as canonical
+      from h)
+    select lang,
+           cast(count(*) as bigint) as n_pages,
+           cast(sum(case when title <> '' then 1 else 0 end) as bigint)
+             as n_titled,
+           cast(sum(case when descr <> '' then 1 else 0 end) as bigint)
+             as n_described,
+           cast(sum(case when canonical <> '' then 1 else 0 end) as bigint)
+             as n_canonical,
+           cast(count(distinct nullif(canonical, '')) as bigint)
+             as n_canonical_targets,
+           cast(sum(length(title)) as bigint) as title_chars
+    from x group by lang
+    """,
+)
+def head_metadata(spark, sf_dir):
+    """Driver-signable twin of `stages/metadata.harvest_metadata`:
+    head-metadata field extraction (title / meta description /
+    rel=canonical) as pure JVM regexp algebra, aggregated into the
+    per-lang coverage report a corpus run publishes (how many pages
+    are titled/described, how many canonicalize, and to how many
+    distinct targets — the canonical fan-in that drives crawl dedup).
+    The harvest stage itself is an Arrow-batched stdlib parse (it
+    must honor entity refs, attribute order, unclosed heads); THIS
+    query is the schema/aggregation contract both engines can check
+    bit-for-bit, with head markup injected deterministically from
+    doc_id (the `pii_redact` fake discipline — description on every
+    3rd doc, canonical on every 4th, 8 urls per canonical target).
+    Map-only extraction + one agg shuffle; regexp_extract no-match ''
+    on both engines (the `regex_extract_props` convention)."""
+    d = _t(spark, sf_dir, "documents")
+    head = F.concat(
+        F.lit("<head><title>"),
+        F.col("lang"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="d'),
+                (F.col("doc_id") % 17).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://c.example/'),
+                F.floor(F.col("doc_id") / 8).cast("bigint").cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(""),
+        F.lit("</head>"),
+    )
+    x = d.select(
+        "lang",
+        F.regexp_extract(head, "<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(
+            head, 'name="description" content="([^"]*)"', 1
+        ).alias("descr"),
+        F.regexp_extract(head, 'rel="canonical" href="([^"]*)"', 1).alias(
+            "canonical"
+        ),
+    )
+    return x.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.sum((F.col("title") != "").cast("int")).cast("bigint").alias(
+            "n_titled"
+        ),
+        F.sum((F.col("descr") != "").cast("int")).cast("bigint").alias(
+            "n_described"
+        ),
+        F.sum((F.col("canonical") != "").cast("int")).cast("bigint").alias(
+            "n_canonical"
+        ),
+        F.countDistinct(F.nullif("canonical", F.lit("")))
+        .cast("bigint")
+        .alias("n_canonical_targets"),
+        F.sum(F.length("title")).cast("bigint").alias("title_chars"),
+    )
+
+
+@q(
     "frontier_waves",
     """
     with f as (select doc_id,
@@ -5698,42 +6180,47 @@ def stream_hll_registers(spark, sf_dir):
 # Late-r4 amendment: the seven web-native queries added AFTER the
 # first r4 rotation (domain_mix_weights, leakage_safe_split,
 # token_entropy, semdedup_cells, robots_filter, frontier_waves,
-# shingle_containment) are swapped IN so the round ends with ZERO
-# never-signed queries, displacing seven more multiply-signed r1/r2
-# entries whose families keep another in-window representative
-# (point_lookup→range_filter, distinct_classes→token_stats,
-# embedding_lsh_buckets→lsh_band_buckets+simhash,
+# shingle_containment) plus the six added in this session
+# (charset_sniff, cdx_index, recrawl_delta, head_metadata,
+# stream_recrawl_delta, boiler_scope_audit) are swapped IN so the
+# round ends with ZERO never-signed queries, displacing thirteen more
+# multiply-signed r1/r2 entries whose operator families keep another
+# in-window representative per test_driver_window_invariants' family
+# map (point_lookup→range_filter, distinct_classes→pricing_summary,
+# embedding_lsh_buckets→semdedup_cells [llm_embedding/llm_semdedup],
 # top_sources_by_chars→top_suppliers_per_nation,
-# dedup_keep_first→latest_wins, asof_attach→range_join_bucketed+
-# exists_semi_join, ivf_topk_probe2→ivf_recall).
+# ivf_topk_probe2→ivf_recall, quality_scores→token_entropy
+# [llm_quality], value_histogram→range_filter [scan_sink],
+# token_stats→pricing_summary [§2.4 counters],
+# json_props_stats→regex_extract_props [r3-signed, §2.7],
+# revenue_by_nation→broadcast_classify+range_join_bucketed [§2.3/4],
+# events_hourly→grouping_sets_metrics+retention_cohorts [§2.4/5],
+# anti_join_discard→exists_semi_join [§2.2/3 semi/anti probes],
+# lang_id_confusion→nb_lang_classifier [llm language classification]).
 #
-# r5 rotation plan: lead with the fourteen displaced r1/r2 queries
+# r5 rotation plan: lead with the twenty displaced r1/r2 queries
 # (cosine_topk, ngram_jaccard_pairs, bpe_token_stats, rollup_metrics,
 # funnel_conversion, rolling_value_range, doc_fingerprints,
 # point_lookup, distinct_classes, embedding_lsh_buckets,
-# top_sources_by_chars, dedup_keep_first, asof_attach,
-# ivf_topk_probe2), plus ANY query added after this amendment, then
-# backfill with the oldest remaining signatures.
+# top_sources_by_chars, ivf_topk_probe2, quality_scores,
+# value_histogram, token_stats, json_props_stats, revenue_by_nation,
+# events_hourly, anti_join_discard, lang_id_confusion), plus ANY
+# query added after this amendment, then backfill with the oldest
+# remaining signatures.
 DRIVER_WINDOW = [
     # -- last signed in r1/r2: rotate to the front for fresh signatures
-    "anti_join_discard",      # §2.2/§2.3 avoid/anti-join discard
     "argmax_per_group",       # §2.5 per-group argmax
-    "events_hourly",          # §2.4 hourly event rollup
+    "asof_attach",            # §2.3 accent as-of attachment
+    "dedup_keep_first",       # §2.6 keep-first dedup
     "grouping_sets_metrics",  # §2.4 grouping sets
     "ivf_recall",             # LLM IVF recall vs brute force
-    "json_props_stats",       # §2.7 JSON property extraction
     "kmeans_refine",          # LLM k-means refinement step
-    "lang_id_confusion",      # LLM language-ID n-gram heuristic
     "lsh_band_buckets",       # LLM MinHash band buckets
     "pricing_summary",        # §2.4 per-page stats counters
-    "quality_scores",         # LLM quality scoring
     "range_filter",           # §2.1/§2.2 list_cl range query
     "retention_cohorts",      # §2.5 cohort retention window
-    "revenue_by_nation",      # §2.3/§2.4 join + agg
     "simhash",                # LLM SimHash signatures
-    "token_stats",            # §2.4 token counters
     "top_suppliers_per_nation",  # §2.5 multi-key ordering
-    "value_histogram",        # §2.1/§2.4 loadpgm gray histogram
     # -- added after the first r4 rotation: never signed, sign now ----
     "domain_mix_weights",     # LLM domain mixture reweighting
     "leakage_safe_split",     # LLM leakage-safe train/val split
@@ -5742,6 +6229,12 @@ DRIVER_WINDOW = [
     "robots_filter",          # web robots-exclusion gate (RFC 9309)
     "frontier_waves",         # web crawl-frontier politeness waves
     "shingle_containment",    # LLM asymmetric shingle containment
+    "charset_sniff",          # web encoding-detection audit
+    "cdx_index",              # web-archive SURT capture index
+    "recrawl_delta",          # re-crawl change detection (lag digest)
+    "head_metadata",          # head-metadata coverage (stage twin)
+    "stream_recrawl_delta",   # streaming re-crawl change detection
+    "boiler_scope_audit",     # per-host vs global boilerplate scope
     # -- red in r3 (canonicalizer contract), fixed this round ---------
     "inverted_index",         # LLM inverted index (postings stringified)
     # -- r3-signed representatives: keep every §2 family driver-green -

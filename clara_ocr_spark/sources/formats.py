@@ -94,6 +94,67 @@ def write_pages_text(df: DataFrame, path: str, format: str) -> None:
         raise ValueError(f"unknown pages format: {format}")
 
 
+def wat_sidecar(
+    pages: DataFrame, links: DataFrame, head_meta: DataFrame
+) -> DataFrame:
+    """Compose the WAT-style metadata sidecar: one JSON object per
+    page carrying its head metadata and out-links — the companion
+    table Common-Crawl ships NEXT TO the WARC payloads so downstream
+    consumers (graph builders, snippet services) never re-parse HTML.
+
+    Inputs are the two map-only harvest stages
+    (`stages/links.extract_links`, `stages/metadata.harvest_metadata`)
+    plus the pages table for coverage (a page with no links and no
+    head still gets a sidecar row).  Plan shape: three url-keyed
+    Exchanges (the out-link collect_list plus one per join leg — each
+    carries only urls, anchors and short strings; payloads never
+    enter any of it).  At 100 TB, land the three harvests bucketed by
+    url (`plans/bucketing`) and the compose becomes zero-Exchange —
+    the same co-location contract as `classify_by_host`; url is
+    ~unique, so no salt either way.  Output: (url, warc_ts,
+    wat:string) where wat is deterministic JSON (struct field order is
+    fixed by construction; collect_list order is pinned by
+    array_sort on (dst_url, anchor))."""
+    outlinks = links.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("dst_url").alias("u"),
+                    F.col("anchor").alias("a"),
+                    F.col("nofollow").alias("nf"),
+                )
+            )
+        ).alias("outlinks")
+    )
+    meta = head_meta.select(
+        "url",
+        F.struct(
+            "title", "description", "canonical", "og_title", "n_meta", "n_og"
+        ).alias("head"),
+    )
+    return (
+        pages.select("url", "warc_ts")
+        .join(meta, "url", "left")
+        .join(outlinks, "url", "left")
+        .select(
+            "url",
+            "warc_ts",
+            F.to_json(
+                F.struct(
+                    "url",
+                    F.col("head"),
+                    F.coalesce(
+                        "outlinks",
+                        F.array().cast(
+                            "array<struct<u:string,a:string,nf:boolean>>"
+                        ),
+                    ).alias("outlinks"),
+                )
+            ).alias("wat"),
+        )
+    )
+
+
 def write_warc(rows, path: str, gzip_members: bool = False) -> None:
     """Write WARC/1.0 records (test/fixture writer — one file per
     call; a crawler writes these, we only need to READ them at scale).

@@ -146,6 +146,80 @@ def user_sessions_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+_RECRAWL_OUT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("n_captures", LongType()),
+        StructField("n_unchanged", LongType()),
+        StructField("n_changed", LongType()),
+    ]
+)
+
+_RECRAWL_STATE = StructType(
+    [
+        StructField("last_digest", StringType()),
+        StructField("n_captures", LongType()),
+        StructField("n_unchanged", LongType()),
+        StructField("n_changed", LongType()),
+    ]
+)
+
+
+def _recrawl_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-url running change detection: carry the LAST content digest
+    across micro-batches, classify each new capture against it
+    (unchanged/changed; the very first capture of a url is neither).
+    Within a batch rows sort by event_id — the same ordering contract
+    as `_session_update`."""
+    (url,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("event_id")
+    if state.exists:
+        last, n_cap, n_unch, n_chg = state.get
+    else:
+        last, n_cap, n_unch, n_chg = None, 0, 0, 0
+    for d in batch["digest"].tolist():
+        if last is not None:
+            if d == last:
+                n_unch += 1
+            else:
+                n_chg += 1
+        n_cap += 1
+        last = d
+    state.update((last, n_cap, n_unch, n_chg))
+    yield pd.DataFrame(
+        {
+            "url": [url],
+            "n_captures": [n_cap],
+            "n_unchanged": [n_unch],
+            "n_changed": [n_chg],
+        }
+    )
+
+
+def recrawl_changes_stateful(captures: DataFrame) -> DataFrame:
+    """Streaming re-crawl change detection — the online twin of the
+    batch `recrawl_delta` query (lag(digest) per url): a crawler's
+    fetch feed is inherently a stream, and the revisit scheduler wants
+    change counts AS captures arrive, not at end-of-day.  Input must
+    carry (url, event_id, digest); state per url is one 32-byte digest
+    + three counters — O(urls) state forever, independent of capture
+    volume (the digest comparison replaces retaining any history).
+    Update-mode running counts are monotone, so end-of-drain state per
+    url is the column-wise max — which makes the batch-oracle check
+    replay-robust, same as `user_sessions_stateful`."""
+    return captures.groupBy("url").applyInPandasWithState(
+        _recrawl_update,
+        outputStructType=_RECRAWL_OUT,
+        stateStructType=_RECRAWL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def user_totals_tws(stream: DataFrame) -> DataFrame:
     """Running per-user totals via transformWithStateInPandas — the
     Spark 4 arbitrary-state API (typed ValueState, RocksDB-backed;

@@ -14,6 +14,8 @@ Cluster usage (north_rule launch shape):
         [--acts s3://bucket/acts/]            \\
         [--patt-acts s3://bucket/patt_acts/]  \\
         [--incremental]                       \\
+        [--links s3://bucket/links/]          \\
+        [--head-meta s3://bucket/head_meta/]  \\
         [--format text|markup|encap|full_html] \\
         [--set min_text_len=10 --set link_density_max=0.5]
 
@@ -174,6 +176,27 @@ def main(argv: list[str] | None = None) -> None:
         "leg to PATH; a separate map-only pass over the same pages "
         "(the link parse is ~10x cheaper than block segmentation, so "
         "it is not worth entangling with the golden-pinned extractor)",
+    )
+    ap.add_argument(
+        "--wat",
+        default=None,
+        metavar="PATH",
+        help="also write the WAT-style JSONL metadata sidecar (url, "
+        "warc_ts, wat json: head metadata + sorted out-links — "
+        "sources/formats.wat_sidecar) of the HTML leg to PATH; "
+        "composes the --links and --head-meta harvests (computed "
+        "internally, those flags need not be set)",
+    )
+    ap.add_argument(
+        "--head-meta",
+        default=None,
+        metavar="PATH",
+        help="also write the head-metadata table (url, title, "
+        "description, canonical, og_title, n_meta, n_og — "
+        "stages/metadata.harvest_metadata) of the HTML leg to PATH; "
+        "a separate map-only pass bounded per document by head size "
+        "(the parser aborts at the first body tag), kept out of the "
+        "golden-pinned extractor for the same reason as --links",
     )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
@@ -352,6 +375,20 @@ def main(argv: list[str] | None = None) -> None:
         from clara_ocr_spark.stages.links import extract_links
 
         extract_links(dom_pages).write.mode("append").parquet(args.links)
+    if args.head_meta:
+        from clara_ocr_spark.stages.metadata import harvest_metadata
+
+        harvest_metadata(dom_pages).write.mode("append").parquet(
+            args.head_meta
+        )
+    if args.wat:
+        from clara_ocr_spark.sources.formats import wat_sidecar
+        from clara_ocr_spark.stages.links import extract_links
+        from clara_ocr_spark.stages.metadata import harvest_metadata
+
+        wat_sidecar(
+            dom_pages, extract_links(dom_pages), harvest_metadata(dom_pages)
+        ).write.mode("append").json(args.wat)
     if args.metrics or args.deskew:
         extracted.unpersist()
     spark.stop()

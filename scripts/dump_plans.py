@@ -175,6 +175,37 @@ def main() -> None:
         "totals return as a 1-row IdentityBroadcast cross join, never a\n"
         "window over the unpartitioned domain frame.",
     )
+    add(
+        "cdx_index (SURT-keyed capture index)",
+        REGISTRY["cdx_index"][0](spark, SF),
+        "Pure JVM string/array algebra (regexp_replace → split →\n"
+        "reverse → array_join) feeding ONE aggregate exchange on the\n"
+        "SURT host key; at 100 TB the write side adds\n"
+        "repartitionByRange(surt) + sortWithinPartitions(ts) for the\n"
+        "binary-searchable archive layout.",
+    )
+    add(
+        "boiler_scope_audit (per-host vs global boilerplate)",
+        REGISTRY["boiler_scope_audit"][0](spark, SF),
+        "Both frequency aggregates and both probe joins key on the\n"
+        "60-bit line hash (+ short source key) — line text never\n"
+        "shuffles; (source, hash) is spread by line diversity, so the\n"
+        "Zipf source skew needs no salt.",
+    )
+    from clara_ocr_spark.sources.formats import wat_sidecar
+    from clara_ocr_spark.stages.links import extract_links
+    from clara_ocr_spark.stages.metadata import harvest_metadata
+
+    add(
+        "wat_sidecar (links + head metadata JSONL compose)",
+        wat_sidecar(
+            pages, extract_links(pages), harvest_metadata(pages)
+        ),
+        "Two map-only Arrow harvests (html dies inside each parse)\n"
+        "then three url-keyed Exchanges carrying short strings only;\n"
+        "bucket all three harvests by url (plans/bucketing) and the\n"
+        "compose is zero-Exchange.",
+    )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

@@ -232,6 +232,33 @@ def test_drop_frequent_lines(spark):
     assert out4["u3"] == boiler
 
 
+def test_drop_frequent_lines_per_host(spark):
+    """per_host=True: a line is boilerplate only on hosts where IT
+    repeats — host A's template line dies on A but the single use on
+    host B survives, even though the corpus-wide df clears min_df."""
+    from clara_ocr_spark.curate import drop_frequent_lines
+
+    tmpl = "all rights reserved by this site owner today"
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/1", tmpl + " alpha beta gamma delta five six seven one"),
+            ("https://a.example/2", tmpl + " six seven eight nine ten eleven twelve two"),
+            ("https://a.example/3", tmpl),
+            ("https://b.example/1", tmpl + " unique content on host b stays intact ok"),
+        ],
+        "url string, text string",
+    )
+    out = {
+        r["url"]: r["text"]
+        for r in drop_frequent_lines(docs, 3, per_host=True).collect()
+    }
+    assert out["https://a.example/3"] == ""  # template on its host
+    assert out["https://b.example/1"].startswith(tmpl)  # survives on b
+    # corpus-global at the same threshold would kill it on b too
+    g = {r["url"]: r["text"] for r in drop_frequent_lines(docs, 3).collect()}
+    assert not g["https://b.example/1"].startswith(tmpl)
+
+
 def test_line_dedup_gate_in_curate(spark):
     """With line_dedup_min_df set, curate strips boilerplate before
     the quality gate: a boilerplate-only doc falls out as too_short,

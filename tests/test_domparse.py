@@ -7,6 +7,10 @@ exhaustive case tables (clara-tests.c:3-96) and golden fixtures
 
 from __future__ import annotations
 
+from hypothesis import given as _hyp_given
+from hypothesis import settings as _hyp_settings
+from hypothesis import strategies as _hyp_st
+
 from clara_ocr_spark.domparse import (
     Block,
     block_features,
@@ -26,6 +30,53 @@ from clara_ocr_spark.extract_rules import (
 def test_decode_utf8_and_latin1_fallback():
     assert decode_html("café".encode("utf-8")) == "café"
     assert decode_html("café".encode("latin-1")) == "café"
+
+
+def test_decode_bom_wins_and_is_stripped():
+    assert decode_html(b"\xef\xbb\xbf" + "café".encode("utf-8")) == "café"
+    assert decode_html(b"\xff\xfe" + "café".encode("utf-16-le")) == "café"
+    assert decode_html(b"\xfe\xff" + "café".encode("utf-16-be")) == "café"
+
+
+def test_decode_declared_meta_charset():
+    # cp1251 Cyrillic is invalid UTF-8 → the declared tier decodes it
+    doc = '<meta charset="windows-1251"><p>Привет</p>'.encode("cp1251")
+    assert "Привет" in decode_html(doc)
+    # http-equiv Content-Type form, mixed-case label
+    doc = (
+        '<meta http-equiv="Content-Type" '
+        'content="text/html; charset=Shift_JIS"><p>日本語</p>'
+    ).encode("shift_jis")
+    assert "日本語" in decode_html(doc)
+    # WHATWG deviation pinned: valid UTF-8 with a WRONG legacy
+    # declaration stays UTF-8 (mislabeled pages are the common case)
+    doc = '<meta charset="iso-8859-1"><p>café</p>'.encode("utf-8")
+    assert "café" in decode_html(doc)
+
+
+@_hyp_settings(max_examples=300, deadline=None)
+@_hyp_given(
+    _hyp_st.sampled_from(
+        [b"", b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
+         b'<meta charset="windows-1251">',
+         b'<meta charset="shift_jis">',
+         b'<meta charset="nonsense-label">']
+    ),
+    _hyp_st.binary(max_size=200),
+)
+def test_decode_html_never_crashes(prefix, raw):
+    assert isinstance(decode_html(prefix + raw), str)
+
+
+def test_decode_declared_charset_fallbacks():
+    # unknown label → latin-1
+    assert decode_html(b'<meta charset="x-weird">caf\xe9').endswith("café")
+    # declared codec that ALSO fails on the bytes → latin-1, no raise
+    out = decode_html(b'<meta charset="shift_jis">\x82\x00\xff')
+    assert isinstance(out, str) and out
+    # declaration beyond the 1024-byte sniff window is ignored
+    doc = b"<p>" + b"x" * 1100 + b'</p><meta charset="windows-1251">caf\xe9'
+    assert decode_html(doc).endswith("café")  # latin-1 path
 
 
 def test_single_paragraph():

@@ -117,6 +117,53 @@ def test_stateful_sessions_match_batch(spark, sf001, events_dir, tmp_path):
     assert got_map == want_map
 
 
+def test_recrawl_state_carries_across_drains(spark, tmp_path):
+    """Two availableNow drains over a growing capture feed, one
+    checkpoint: the second drain restores each url's last digest from
+    the state store, so a capture whose predecessor arrived in the
+    PREVIOUS drain still classifies correctly."""
+    from clara_ocr_spark.streaming.events_stream import (
+        recrawl_changes_stateful,
+    )
+
+    src, ck = tmp_path / "captures", str(tmp_path / "ck_rc")
+
+    def feed(rows, shard):
+        spark.createDataFrame(rows, "event_id long, url string, digest string") \
+            .coalesce(1).write.parquet(str(src / f"shard={shard}"))
+
+    # memory sinks cannot recover a checkpoint; foreachBatch can
+    emitted = []
+
+    def drain():
+        q = (
+            recrawl_changes_stateful(
+                spark.readStream.schema(
+                    "event_id long, url string, digest string"
+                ).parquet(str(src) + "/shard=*")
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed([(0, "u0", "da"), (1, "u0", "da"), (2, "u1", "dx")], 0)
+    drain()
+    # u0's next capture lands in a LATER drain; 'da' must still match
+    feed([(3, "u0", "da"), (4, "u0", "db"), (5, "u1", "dx")], 1)
+    drain()
+    final = {}  # update mode: last emission per url wins
+    for r in emitted:
+        final[r.url] = (r.n_captures, r.n_unchanged, r.n_changed)
+    assert final["u0"] == (4, 2, 1)  # cross-drain da==da counted
+    assert final["u1"] == (2, 1, 0)
+
+
 def test_streaming_dedup_drops_replays(spark, sf001, tmp_path):
     """Feed the same shard twice (an at-least-once source replay);
     the deduped stream must contain each event_id exactly once."""

@@ -35,6 +35,7 @@ def test_extract_job_mixed(tmp_path):
             "--metrics", str(tmp_path / "metrics"),
             "--mixed",
             "--skew-report", str(tmp_path / "skew"),
+            "--head-meta", str(tmp_path / "head_meta"),
         ],
         capture_output=True,
         text=True,
@@ -62,6 +63,15 @@ def test_extract_job_mixed(tmp_path):
     assert skew and all(abs(r[2]) < 1e-9 for r in skew if r[3] >= 3)
     pdf_urls = {r["url"] for r in rows[30:]}
     assert {r[0] for r in skew} <= pdf_urls
+
+    # --head-meta rode the same run: one row per HTML-leg page (the
+    # PDF leg has no <head>), every corpus template titled "t"
+    meta = duckdb.sql(
+        f"select url, title, n_meta from '{tmp_path}/head_meta/*.parquet'"
+    ).fetchall()
+    html_urls = {r["url"] for r in rows[:30]}
+    assert {r[0] for r in meta} == html_urls
+    assert all(r[1] == "t" for r in meta)
 
     # --incremental + --mixed together: replay must be a no-op (the
     # high-water-mark anti-join sees every url already extracted)

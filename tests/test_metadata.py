@@ -1,0 +1,130 @@
+"""Head-metadata harvest stage: parser edge cases (first-wins, head
+termination, corrupt input) and the Spark stage over the synthetic
+corpus."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+from clara_ocr_spark.stages.metadata import harvest_metadata, parse_head_meta
+
+
+def test_parse_head_meta_full_head():
+    html = b"""<!DOCTYPE html><html><head>
+      <meta charset="utf-8">
+      <title> The &amp; Title </title>
+      <meta name="Description" content="a summary">
+      <meta property="og:title" content="OG Title">
+      <meta property="og:image" content="https://x/img.png">
+      <link rel="canonical" href="https://host.example/canon">
+    </head><body><p>body</p></body></html>"""
+    title, desc, canon, og_title, n_meta, n_og = parse_head_meta(html)
+    assert title == "The & Title"  # entities resolved, ws-normalized
+    assert desc == "a summary"  # attr name case-insensitive
+    assert canon == "https://host.example/canon"
+    assert og_title == "OG Title"
+    assert n_meta == 4 and n_og == 2
+
+
+def test_parse_head_meta_first_wins_and_no_head():
+    html = b"""<head><title>first</title><title>second</title>
+      <meta name="description" content="d1">
+      <meta name="description" content="d2">
+      <link rel="canonical" href="/c1"><link rel="canonical" href="/c2">
+    </head>"""
+    title, desc, canon, _, n_meta, _ = parse_head_meta(html)
+    assert (title, desc, canon) == ("first", "d1", "/c1")
+    assert n_meta == 2  # both metas counted, first content kept
+    # no head at all → all NULL, zero counts
+    assert parse_head_meta(b"<p>just body</p>") == (
+        None, None, None, None, 0, 0,
+    )
+
+
+def test_parse_head_meta_stops_at_body_content():
+    # unclosed <head> (common crawl HTML): the first body-only tag
+    # terminates the harvest, so a body <title>/<meta> is ignored
+    html = (
+        b"<head><title>real</title>"
+        b"<p>body starts here"
+        b'<meta name="description" content="too late">'
+    )
+    title, desc, _, _, n_meta, _ = parse_head_meta(html)
+    assert title == "real" and desc is None and n_meta == 0
+    # title still open when the body starts → flushed, not lost
+    html2 = b"<head><title>cut <div>off"
+    assert parse_head_meta(html2)[0] == "cut"
+
+
+def test_parse_head_meta_corrupt_input_contract():
+    assert parse_head_meta(None) == (None, None, None, None, 0, 0)
+    assert parse_head_meta(b"") == (None, None, None, None, 0, 0)
+    assert parse_head_meta(b"\xff\x00<<<>>&&")[0] is None  # never raises
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_head_meta_never_crashes(raw):
+    out = parse_head_meta(raw)
+    assert len(out) == 6 and isinstance(out[4], int)
+
+
+def test_wat_sidecar_compose(spark):
+    import json
+
+    from clara_ocr_spark.sources.formats import wat_sidecar
+    from clara_ocr_spark.stages.links import extract_links
+
+    rows = [gen_page(i, seed=37) for i in range(40)]
+    # one page with no links and no head: still gets a sidecar row
+    bare = dict(rows[0])
+    bare["url"] = "https://bare.example/p"
+    bare["html"] = b"<p>no head no links</p>"
+    rows.append(bare)
+    pages = spark.createDataFrame(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+    )
+    wat = wat_sidecar(
+        pages, extract_links(pages), harvest_metadata(pages)
+    ).collect()
+    assert len(wat) == 41  # full coverage, left joins
+    by_url = {r["url"]: json.loads(r["wat"]) for r in wat}
+    b = by_url["https://bare.example/p"]
+    assert b["outlinks"] == [] and b["head"]["n_meta"] == 0
+    linked = [w for w in by_url.values() if w["outlinks"]]
+    assert linked  # nav/linkfarm templates emit plenty
+    for w in linked[:5]:
+        ls = [(o["u"], o["a"]) for o in w["outlinks"]]
+        assert ls == sorted(ls)  # deterministic sidecar: sorted links
+        assert w["head"]["title"] == "t"
+    # determinism under repartitioning: same JSON per url
+    wat2 = wat_sidecar(
+        pages.repartition(7), extract_links(pages.repartition(7)),
+        harvest_metadata(pages.repartition(7)),
+    ).collect()
+    assert {r["url"]: r["wat"] for r in wat2} == {
+        r["url"]: r["wat"] for r in wat
+    }
+
+
+def test_harvest_metadata_stage(spark):
+    rows = [gen_page(i, seed=31) for i in range(80)]
+    pages = spark.createDataFrame(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA).to_pandas()
+    )
+    got = harvest_metadata(pages)
+    assert [f.name for f in got.schema.fields] == [
+        "url", "title", "description", "canonical", "og_title",
+        "n_meta", "n_og",
+    ]
+    out = got.collect()
+    assert len(out) == 80  # one row per page, corrupt or not
+    # every corpus template carries <head><title>t</title>…
+    assert all(r["title"] == "t" for r in out)
+    assert all(r["n_og"] == 0 for r in out)
+    # map-only: no Exchange in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

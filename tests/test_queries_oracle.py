@@ -59,14 +59,14 @@ def test_driver_window_invariants():
         "llm_minhash": {"minhash_signatures", "lsh_band_buckets"},
         "llm_simhash": {"simhash_near_dup", "simhash"},
         "llm_embedding": {"near_dup_cosine", "dup_clusters",
-                          "embedding_lsh_buckets"},
+                          "embedding_lsh_buckets", "semdedup_cells"},
         "llm_line_dedup": {"line_dedup_corpus"},
         "llm_dup_spans": {"dup_span_detect"},
         "llm_graph_rank": {"pagerank_bipartite"},
         "llm_classifier": {"nb_lang_classifier"},
         "llm_ann": {"ivf_topk", "ivf_recall", "ivf_topk_probe2"},
         "llm_quality": {"lm_quality_scores", "repetition_filter",
-                        "quality_scores"},
+                        "quality_scores", "token_entropy"},
         "llm_decontaminate": {"decontaminate"},
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
@@ -74,11 +74,16 @@ def test_driver_window_invariants():
                          "dup_clusters", "embedding_lsh_buckets"},
         "llm_mix": {"domain_mix_weights", "stratified_sample"},
         "llm_split": {"leakage_safe_split", "decontaminate"},
-# llm_entropy {token_entropy}, web_robots {robots_filter}, and
-# llm_containment {shingle_containment} are r4-late additions whose
-# members are outside the r4 driver window (every slot is taken by a
-# never-signed or rotation-due query); add them to this map when the
-# r5 rotation signs them.
+        "llm_entropy": {"token_entropy"},
+        "llm_containment": {"shingle_containment"},
+        "web_robots": {"robots_filter"},
+        "web_frontier": {"frontier_waves"},
+        "web_charset": {"charset_sniff"},
+        "web_archive": {"cdx_index"},
+        "web_recrawl": {"recrawl_delta"},
+        "web_head_meta": {"head_metadata"},
+        "web_stream_recrawl": {"stream_recrawl_delta"},
+        "llm_boiler_scope": {"boiler_scope_audit", "line_dedup_corpus"},
         "llm_sketch": {"hll_register_sketch", "hll_estimate",
                        "stream_hll_registers"},
         "llm_bloom": {"bloom_decontaminate"},
