@@ -109,6 +109,9 @@ HEADLINE = [
     "head_metadata",  # added r4: head-metadata coverage report
     "stream_recrawl_delta",  # added r4: streaming re-crawl change detection
     "boiler_scope_audit",  # added r4: per-host vs global boilerplate scope
+    "ngram_lm_score",  # added r4: trained bigram-LM quality gate (CCNet)
+    "dsir_importance",  # added r4: DSIR hashed-ngram importance weights
+    "host_mirror_jaccard",  # added r4: host mirror detection (fp Jaccard)
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -6152,6 +6152,314 @@ def stream_hll_registers(spark, sf_dir):
     return _finalize_stream(spark, out, name, [src, ck])
 
 
+# SQL-lambda bigram builder shared by the trained-LM gate: positions
+# 2..n of the token array as (prev, cur) structs.  The size guard is
+# load-bearing — Spark's sequence(2, 1) generates DESCENDING [2, 1],
+# so a 1-token doc would fabricate a reversed pair instead of none.
+_BIGRAMS = (
+    "case when size(ws) >= 2 then "
+    "transform(sequence(2, size(ws)), "
+    "          i -> struct(ws[i-2] as w1, ws[i-1] as w2)) "
+    "else cast(array() as array<struct<w1:string,w2:string>>) end"
+)
+
+
+@q(
+    "ngram_lm_score",
+    f"""
+    with tok as (select doc_id, source,
+                        {_TOK_DUCK.format(x='lower(text)')} as ws
+                 from documents),
+    ref as (select ws from tok where doc_id % 5 = 0),
+    ev as (select doc_id, source, ws from tok where doc_id % 5 <> 0),
+    runi as (select w, count(*) as cu
+             from (select unnest(ws) as w from ref) group by w),
+    vocab as (select count(*) as v from runi),
+    rbig as (select w1, w2, count(*) as cb
+             from (select ws[i-1] as w1, ws[i] as w2
+                   from ref,
+                        unnest(generate_series(2, len(ws))) as g(i))
+             group by w1, w2),
+    pairs as (select e.doc_id, e.source,
+                     e.ws[i-1] as w1, e.ws[i] as w2
+              from ev e,
+                   unnest(generate_series(2, len(e.ws))) as g(i)),
+    scored as (select p.doc_id, p.source,
+                      ln((coalesce(b.cb, 0) + 0.1)
+                         / (coalesce(u.cu, 0) + 0.1 * v.v)) as lp
+               from pairs p
+               left join rbig b on p.w1 = b.w1 and p.w2 = b.w2
+               left join runi u on p.w1 = u.w
+               cross join vocab v),
+    perdoc as (select doc_id, source, round(-avg(lp), 6) as nll
+               from scored group by doc_id, source)
+    select source, cast(count(*) as bigint) as n_docs,
+           round(avg(nll), 3) as avg_nll,
+           round(min(nll), 3) as best_nll,
+           round(max(nll), 3) as worst_nll
+    from perdoc group by source
+    """,
+)
+def ngram_lm_score(spark, sf_dir):
+    """TRAINED-LM quality gate — the CCNet/RefinedWeb component the
+    heuristic `lm_quality_scores` does not cover: an add-0.1-smoothed
+    bigram language model is trained on a held-out reference slice
+    (doc_id % 5 == 0, the "Wikipedia side" of CCNet's KenLM setup)
+    and every remaining document is scored by mean negative
+    log-likelihood, the head/middle/tail perplexity signal (reported
+    un-exponentiated: exp() would amplify last-ulp ln() divergence
+    between JVM and C libm past the value-hash's rounding).
+
+    Scale shape: training is two partial-aggregating groupBys over
+    the reference slice (unigram + bigram counts — the map-side
+    combine means the shuffle carries one row per distinct n-gram per
+    partition, not per token).  Scoring joins eval bigrams to the
+    model by EQUI key (w1, w2): at 100 TB the model table is itself
+    huge, so this stays a shuffle join rather than a broadcast — and
+    a production run would prune the model to top-k n-grams (exactly
+    what KenLM quantization does) to get back under the broadcast
+    threshold.  The vocabulary size is a 1-row broadcast.  Bigrams
+    are built JVM-side by a SQL lambda (`_BIGRAMS`) — no Python, no
+    extra shuffle; per-doc reduction keys on doc_id (the natural
+    partition), source rides along functionally."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    ref = d.filter(F.col("doc_id") % 5 == 0)
+    ev = d.filter(F.col("doc_id") % 5 != 0)
+    runi = (
+        ref.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = runi.agg(F.count(F.lit(1)).alias("v"))
+    rbig = (
+        ref.select(F.explode(F.expr(_BIGRAMS)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    pairs = ev.select(
+        "doc_id", "source", F.explode(F.expr(_BIGRAMS)).alias("p")
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    scored = (
+        pairs.join(rbig, ["w1", "w2"], "left")
+        .join(runi.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 0.1)
+                / (F.coalesce(F.col("cu"), F.lit(0)) + 0.1 * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.round(-F.avg("lp"), 6).alias("nll")
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 3).alias("avg_nll"),
+        F.round(F.min("nll"), 3).alias("best_nll"),
+        F.round(F.max("nll"), 3).alias("worst_nll"),
+    )
+
+
+@q(
+    "dsir_importance",
+    f"""
+    with tk as (select doc_id, source, lang,
+                       unnest({_TOK_DUCK.format(x='lower(text)')}) as w
+                from documents),
+    tok as (select doc_id, source,  lang,
+                   ({H60_DUCK.format(x='w')}) % 4096 as b
+            from tk),
+    tgt as (select b, count(*) as ct from tok where lang = 'en'
+            group by b),
+    ttot as (select sum(ct) as t from tgt),
+    raw as (select b, count(*) as cr from tok group by b),
+    rtot as (select sum(cr) as r from raw),
+    dist as (select raw.b,
+                    ln((coalesce(t2.ct, 0) + 1.0) / (tt.t + 4096.0))
+                    - ln((raw.cr + 1.0) / (rt.r + 4096.0)) as lw
+             from raw
+             left join tgt t2 on raw.b = t2.b
+             cross join ttot tt cross join rtot rt),
+    perdoc as (select tok.doc_id, tok.source,
+                      round(sum(dist.lw), 6) as logw
+               from tok join dist on tok.b = dist.b
+               group by tok.doc_id, tok.source)
+    select source, cast(count(*) as bigint) as n_docs,
+           round(avg(logw), 3) as avg_logw,
+           cast(sum(case when logw > 0 then 1 else 0 end) as bigint)
+             as n_target_like
+    from perdoc group by source
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie+23, "Data Selection for Language
+    Models via Importance Resampling"): documents are featurized as
+    hashed-unigram counts over 4096 buckets (the portable 60-bit hash
+    shared with dedup/decontaminate), a target distribution is
+    estimated from the in-domain slice (lang = 'en' here; Wikipedia+
+    books in the paper) and a raw distribution from the whole crawl,
+    and each document's log importance weight is the inner product of
+    its bucket counts with the add-1-smoothed log-ratio vector —
+    positive means "looks like target", the resampling key.
+
+    Scale shape: this is the textbook broadcast-dimension pattern —
+    BOTH distributions aggregate to exactly 4096 rows regardless of
+    corpus size (partial aggs map-side), the joined log-ratio table
+    is broadcast (`F.broadcast(dist)`, a few KB), so scoring is one
+    map-side join + one doc-keyed reduction: NO shuffle grows with
+    the vocabulary, unlike the trained-LM gate.  That O(1)-size model
+    is exactly why DSIR scales to importance-sampling trillions of
+    tokens."""
+    tk = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(_tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    tok = tk.select(
+        "doc_id", "source", "lang",
+        (spark_hash60(F.col("w")) % 4096).alias("b"),
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ttot = tgt.agg(F.sum("ct").alias("t"))
+    rtot = raw.agg(F.sum("cr").alias("r"))
+    dist = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("t") + 4096.0)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("r") + 4096.0))
+            ).alias("lw"),
+        )
+    )
+    perdoc = (
+        tok.join(F.broadcast(dist), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("lw"), 6).alias("logw"))
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logw"), 3).alias("avg_logw"),
+        F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_target_like"),
+    )
+
+
+@q(
+    "host_mirror_jaccard",
+    f"""
+    with fp as (select distinct source,
+                  array_to_string(
+                    list_slice({_TOK_DUCK.format(x='lower(text)')},
+                               1, 5), ' ') as pf
+                from documents
+                where length(trim(text)) > 0),
+    keep as (select pf from fp group by pf having count(*) <= 8),
+    f2 as (select fp.source, fp.pf from fp join keep using (pf)),
+    sz as (select source, count(*) as n from f2 group by source),
+    pairs as (select a.source as source_a, b.source as source_b,
+                     count(*) as shared
+              from f2 a
+              join f2 b on a.pf = b.pf and a.source < b.source
+              group by a.source, b.source)
+    select p.source_a, p.source_b,
+           cast(p.shared as bigint) as n_shared,
+           cast(sa.n as bigint) as n_a,
+           cast(sb.n as bigint) as n_b,
+           round(p.shared / (sa.n + sb.n - p.shared), 4) as jaccard
+    from pairs p
+    join sz sa on p.source_a = sa.source
+    join sz sb on p.source_b = sb.source
+    """,
+)
+def host_mirror_jaccard(spark, sf_dir):
+    """Mirror-site detection — the host-level dual of document
+    near-dup: two sources serving largely the same content (mirrors,
+    scraper farms, CDN aliases) are found by Jaccard similarity of
+    their content-fingerprint SETS (first-5-token prefix as the
+    deterministic fingerprint; a real crawl uses the WARC payload
+    digest, same shape).  Crawl schedulers drop the mirror before
+    fetching, which is worth far more than deduping after.
+
+    Scale shape: NEVER all-pairs over hosts — co-occurring host
+    pairs come from an EQUI self-join keyed by fingerprint, so only
+    hosts that actually share content ever meet; pair counts partial-
+    aggregate map-side; union sizes re-attach by two host-keyed joins
+    (inclusion-exclusion |A|+|B|−|A∩B|, no second pass over content).
+    The df ≤ 8 fingerprint stoplist BEFORE the self-join is the skew
+    guard: a boilerplate prefix on 10⁴ hosts would emit 10⁸ pair rows
+    from one key, while carrying zero mirror signal — the same
+    inverted-index hot-key argument as `shingle_containment`."""
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.array_join(
+                F.slice(_tokens(F.lower(F.col("text"))), 1, 5), " "
+            ).alias("pf"),
+        )
+        .distinct()
+    )
+    keep = (
+        fp.groupBy("pf")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= 8)
+        .select("pf")
+    )
+    f2 = fp.join(keep, "pf")
+    sz = f2.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        f2.select(F.col("source").alias("source_a"), "pf")
+        .join(f2.select(F.col("source").alias("source_b"), "pf"), "pf")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sz.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b")
+                                   - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -6198,15 +6506,25 @@ def stream_hll_registers(spark, sf_dir):
 # anti_join_discard→exists_semi_join [§2.2/3 semi/anti probes],
 # lang_id_confusion→nb_lang_classifier [llm language classification]).
 #
-# r5 rotation plan: lead with the twenty displaced r1/r2 queries
-# (cosine_topk, ngram_jaccard_pairs, bpe_token_stats, rollup_metrics,
-# funnel_conversion, rolling_value_range, doc_fingerprints,
-# point_lookup, distinct_classes, embedding_lsh_buckets,
-# top_sources_by_chars, ivf_topk_probe2, quality_scores,
-# value_histogram, token_stats, json_props_stats, revenue_by_nation,
-# events_hourly, anti_join_discard, lang_id_confusion), plus ANY
-# query added after this amendment, then backfill with the oldest
-# remaining signatures.
+# Second late-r4 amendment: three operators landed after the window
+# filled to exactly 50 (ngram_lm_score, dsir_importance,
+# host_mirror_jaccard).  Never-signed queries outrank rotation
+# refreshes, so they displace the only three multiply-signed entries
+# whose families keep another in-window representative
+# (kmeans_refine and retention_cohorts belong to no invariant family;
+# top_suppliers_per_nation's §2.5 multi-key ordering keeps
+# argmax_per_group in-window).
+#
+# r5 rotation plan: lead with the twenty-three displaced r1/r2
+# queries (cosine_topk, ngram_jaccard_pairs, bpe_token_stats,
+# rollup_metrics, funnel_conversion, rolling_value_range,
+# doc_fingerprints, point_lookup, distinct_classes,
+# embedding_lsh_buckets, top_sources_by_chars, ivf_topk_probe2,
+# quality_scores, value_histogram, token_stats, json_props_stats,
+# revenue_by_nation, events_hourly, anti_join_discard,
+# lang_id_confusion, kmeans_refine, retention_cohorts,
+# top_suppliers_per_nation), plus ANY query added after this
+# amendment, then backfill with the oldest remaining signatures.
 DRIVER_WINDOW = [
     # -- last signed in r1/r2: rotate to the front for fresh signatures
     "argmax_per_group",       # §2.5 per-group argmax
@@ -6214,13 +6532,14 @@ DRIVER_WINDOW = [
     "dedup_keep_first",       # §2.6 keep-first dedup
     "grouping_sets_metrics",  # §2.4 grouping sets
     "ivf_recall",             # LLM IVF recall vs brute force
-    "kmeans_refine",          # LLM k-means refinement step
     "lsh_band_buckets",       # LLM MinHash band buckets
     "pricing_summary",        # §2.4 per-page stats counters
     "range_filter",           # §2.1/§2.2 list_cl range query
-    "retention_cohorts",      # §2.5 cohort retention window
     "simhash",                # LLM SimHash signatures
-    "top_suppliers_per_nation",  # §2.5 multi-key ordering
+    # -- second late-r4 amendment: never signed, sign now ------------
+    "ngram_lm_score",         # LLM trained bigram-LM gate (CCNet)
+    "dsir_importance",        # LLM DSIR hashed-ngram importance
+    "host_mirror_jaccard",    # web mirror-site detection
     # -- added after the first r4 rotation: never signed, sign now ----
     "domain_mix_weights",     # LLM domain mixture reweighting
     "leakage_safe_split",     # LLM leakage-safe train/val split

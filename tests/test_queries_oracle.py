@@ -84,6 +84,9 @@ def test_driver_window_invariants():
         "web_head_meta": {"head_metadata"},
         "web_stream_recrawl": {"stream_recrawl_delta"},
         "llm_boiler_scope": {"boiler_scope_audit", "line_dedup_corpus"},
+        "llm_ngram_lm": {"ngram_lm_score"},
+        "llm_dsir": {"dsir_importance"},
+        "web_mirror": {"host_mirror_jaccard"},
         "llm_sketch": {"hll_register_sketch", "hll_estimate",
                        "stream_hll_registers"},
         "llm_bloom": {"bloom_decontaminate"},
@@ -146,6 +149,10 @@ EDGE_QUERIES = [
     # triggers), and the %5 train/test split landing on empty docs
     "line_dedup_corpus", "dup_span_detect", "pack_token_budget",
     "nb_lang_classifier",
+    # late r4: empty docs land in the %5 LM train slice; an identical
+    # doc served from two sources must pair in the mirror join; empty
+    # token arrays must contribute no hashed-unigram buckets
+    "ngram_lm_score", "dsir_importance", "host_mirror_jaccard",
 ]
 
 
