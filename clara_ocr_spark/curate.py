@@ -40,6 +40,8 @@ from .queries import (
     _positional_lines_arr,
     _tokens,
     _top_word_frac,
+    bigram_nll,
+    dsir_logweights,
     spark_hash60,
 )
 
@@ -48,6 +50,7 @@ REASON_TOP_WORD = "repetitive_top_word"
 REASON_DUP_2GRAM = "repetitive_2gram"
 REASON_DUPLICATE = "duplicate"
 REASON_CONTAMINATED = "contaminated"
+REASON_LM = "lm_perplexity"
 
 
 @dataclass(frozen=True)
@@ -68,6 +71,11 @@ class CurateConfig:
     # ("all rights reserved") should only die where it is template,
     # not globally (--set line_dedup_per_host=1; needs min_df > 0)
     line_dedup_per_host: int = 0
+    # 0 = off; > 0 rejects docs whose mean bigram NLL under the
+    # reference LM exceeds it (`lm_perplexity` — the CCNet tail cut;
+    # --set lm_nll_max=9.0, ref corpus via --lm-ref or the content-
+    # hash %5 self-slice)
+    lm_nll_max: float = 0.0
 
     @classmethod
     def from_args(cls, pairs: list) -> "CurateConfig":
@@ -160,8 +168,11 @@ def text_features(extracted: DataFrame) -> DataFrame:
 
 def quality_reason(cfg: CurateConfig) -> F.Column:
     """First failing rule wins (ordered F.when chain — the classify
-    rule-chain discipline); NULL = passes the gate."""
-    return (
+    rule-chain discipline); NULL = passes the gate.  The LM rule is
+    appended only when enabled: the ``lm_nll`` column exists only
+    then, and a doc with no bigrams scores NULL (no evidence), which
+    the when-chain passes through to the heuristic verdict."""
+    r = (
         F.when(F.col("n_tokens") < cfg.min_tokens, F.lit(REASON_TOO_SHORT))
         .when(F.col("top_word_frac") > cfg.top_word_max, F.lit(REASON_TOP_WORD))
         .when(
@@ -169,6 +180,36 @@ def quality_reason(cfg: CurateConfig) -> F.Column:
             F.lit(REASON_DUP_2GRAM),
         )
     )
+    if cfg.lm_nll_max:
+        r = r.when(F.col("lm_nll") > cfg.lm_nll_max, F.lit(REASON_LM))
+    return r
+
+
+def lm_nll(docs: DataFrame, ref: DataFrame) -> DataFrame:
+    """(url, text) × reference corpus (text) → (url, lm_nll): mean
+    bigram NLL under the add-0.1-smoothed LM trained on ``ref`` — the
+    `ngram_lm_score` catalog core (queries.bigram_nll, single source
+    of truth) applied at the job boundary.  Docs with < 2 tokens emit
+    no row (left-join to NULL upstream)."""
+    d = docs.select("url", _tokens(F.lower(F.col("text"))).alias("ws"))
+    r = ref.select(_tokens(F.lower(F.col("text"))).alias("ws"))
+    return bigram_nll(d, r, ["url"]).withColumnRenamed("nll", "lm_nll")
+
+
+def dsir_weights(curated: DataFrame, target: DataFrame) -> DataFrame:
+    """Per-url DSIR log importance weight of every curated doc against
+    a target-domain sample (text column) — the `dsir_importance`
+    catalog core (queries.dsir_logweights) as a job sidecar: the
+    resampling key for target-matched corpus selection.  O(1)-size
+    broadcast model; token-less docs score NULL."""
+    d = curated.select(
+        "url", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    t = target.select(
+        F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    perdoc = dsir_logweights(d, t, ["url"])
+    return curated.select("url").join(perdoc, "url", "left")
 
 
 def near_dup_canonical(docs: DataFrame, tau: float) -> DataFrame:
@@ -242,6 +283,7 @@ def curate(
     cfg: CurateConfig = CurateConfig(),
     eval_texts: DataFrame | None = None,
     gate_obs=None,
+    lm_ref: DataFrame | None = None,
 ) -> tuple:
     """extracted(url, text) → (curated, rejected).
 
@@ -266,7 +308,18 @@ def curate(
     With ``cfg.line_dedup_min_df > 0``, corpus-frequent boilerplate
     lines are stripped from every doc FIRST (drop_frequent_lines), so
     the quality gate and both dedup tiers see deboilerplated text —
-    docs that were only boilerplate fall out as ``too_short``."""
+    docs that were only boilerplate fall out as ``too_short``.
+
+    With ``cfg.lm_nll_max > 0``, docs whose mean bigram NLL under the
+    reference LM exceeds the bound are rejected as ``lm_perplexity``
+    (the CCNet tail cut).  The LM trains on ``lm_ref`` (an in-domain
+    corpus — CCNet's Wikipedia side) or, absent one, on the content-
+    hash %5 self-slice — deterministic under re-partitioning and
+    re-crawls, and scoring the corpus against its own sample makes
+    the gate an out-of-distribution cut rather than a domain cut.
+    Heuristic reasons win when both apply (the LM rule sits last in
+    the when-chain); LM scoring sees the SAME text the gate sees
+    (post line-dedup, via the features checkpoint)."""
     if cfg.line_dedup_min_df:
         extracted = drop_frequent_lines(
             extracted,
@@ -274,6 +327,17 @@ def curate(
             per_host=bool(cfg.line_dedup_per_host),
         )
     feats = text_features(extracted).localCheckpoint(eager=False)
+    if cfg.lm_nll_max:
+        ref = (
+            lm_ref
+            if lm_ref is not None
+            else feats.filter(spark_hash60(F.col("text")) % 5 == 0).select(
+                "url", "text"
+            )
+        )
+        feats = feats.join(
+            lm_nll(feats.select("url", "text"), ref), "url", "left"
+        )
     gated = feats.withColumn("reason", quality_reason(cfg))
     if gate_obs is not None:
         # Input-count observation for the caller's consistency gate,

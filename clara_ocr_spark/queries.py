@@ -6164,6 +6164,85 @@ _BIGRAMS = (
 )
 
 
+def bigram_nll(docs: DataFrame, ref: DataFrame, keys: list) -> DataFrame:
+    """Per-document mean negative log-likelihood under an
+    add-0.1-smoothed bigram LM trained on ``ref`` — the shared core of
+    the `ngram_lm_score` catalog query and the curation job's
+    perplexity gate (curate.CurateConfig.lm_nll_max), one source of
+    truth like _tokens/_positional_lines_arr.
+
+    ``docs`` carries ``keys`` + a tokenized ``ws`` column; ``ref``
+    carries ``ws``.  Returns ``keys`` + ``nll`` (round 6); documents
+    with < 2 tokens emit no row (no bigrams → no evidence)."""
+    runi = (
+        ref.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = runi.agg(F.count(F.lit(1)).alias("v"))
+    rbig = (
+        ref.select(F.explode(F.expr(_BIGRAMS)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    pairs = docs.select(
+        *keys, F.explode(F.expr(_BIGRAMS)).alias("p")
+    ).select(*keys, "p.w1", "p.w2")
+    scored = (
+        pairs.join(rbig, ["w1", "w2"], "left")
+        .join(runi.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            *keys,
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 0.1)
+                / (F.coalesce(F.col("cu"), F.lit(0)) + 0.1 * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(*keys).agg(F.round(-F.avg("lp"), 6).alias("nll"))
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    keys: list) -> DataFrame:
+    """Per-document DSIR log importance weight — the shared core of
+    the `dsir_importance` catalog query and the curation job's
+    `--dsir-weights` sidecar.  ``docs`` carries ``keys`` + a token
+    column ``w`` (one row per token; it is also the raw
+    distribution); ``target`` carries ``w`` for the in-domain sample.
+    Returns ``keys`` + ``logw`` (round 6); token-less docs emit no
+    row.  The 4096-bucket log-ratio table is O(1)-size and broadcast
+    — scoring never shuffles with the vocabulary."""
+    tok = docs.select(*keys, (spark_hash60(F.col("w")) % 4096).alias("b"))
+    ttok = target.select((spark_hash60(F.col("w")) % 4096).alias("b"))
+    tgt = ttok.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ttot = tgt.agg(F.sum("ct").alias("t"))
+    rtot = raw.agg(F.sum("cr").alias("r"))
+    dist = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("t") + 4096.0)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("r") + 4096.0))
+            ).alias("lw"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(dist), "b")
+        .groupBy(*keys)
+        .agg(F.round(F.sum("lw"), 6).alias("logw"))
+    )
+
+
+
 @q(
     "ngram_lm_score",
     f"""
@@ -6227,37 +6306,7 @@ def ngram_lm_score(spark, sf_dir):
     )
     ref = d.filter(F.col("doc_id") % 5 == 0)
     ev = d.filter(F.col("doc_id") % 5 != 0)
-    runi = (
-        ref.select(F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    vocab = runi.agg(F.count(F.lit(1)).alias("v"))
-    rbig = (
-        ref.select(F.explode(F.expr(_BIGRAMS)).alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    pairs = ev.select(
-        "doc_id", "source", F.explode(F.expr(_BIGRAMS)).alias("p")
-    ).select("doc_id", "source", "p.w1", "p.w2")
-    scored = (
-        pairs.join(rbig, ["w1", "w2"], "left")
-        .join(runi.withColumnRenamed("w", "w1"), "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            "source",
-            F.log(
-                (F.coalesce(F.col("cb"), F.lit(0)) + 0.1)
-                / (F.coalesce(F.col("cu"), F.lit(0)) + 0.1 * F.col("v"))
-            ).alias("lp"),
-        )
-    )
-    perdoc = scored.groupBy("doc_id", "source").agg(
-        F.round(-F.avg("lp"), 6).alias("nll")
-    )
+    perdoc = bigram_nll(ev, ref, ["doc_id", "source"])
     return perdoc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("nll"), 3).alias("avg_nll"),
@@ -6322,37 +6371,8 @@ def dsir_importance(spark, sf_dir):
         "lang",
         F.explode(_tokens(F.lower(F.col("text")))).alias("w"),
     )
-    tok = tk.select(
-        "doc_id", "source", "lang",
-        (spark_hash60(F.col("w")) % 4096).alias("b"),
-    )
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    ttot = tgt.agg(F.sum("ct").alias("t"))
-    rtot = raw.agg(F.sum("cr").alias("r"))
-    dist = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(ttot))
-        .crossJoin(F.broadcast(rtot))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("t") + 4096.0)
-                )
-                - F.log((F.col("cr") + 1.0) / (F.col("r") + 4096.0))
-            ).alias("lw"),
-        )
-    )
-    perdoc = (
-        tok.join(F.broadcast(dist), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.round(F.sum("lw"), 6).alias("logw"))
+    perdoc = dsir_logweights(
+        tk, tk.filter(F.col("lang") == "en"), ["doc_id", "source"]
     )
     return perdoc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

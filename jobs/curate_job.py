@@ -75,10 +75,32 @@ def main(argv: list[str] | None = None) -> None:
         help="also write the per-host mixture-weight table "
         "(alpha=1/2 temperature resampling over curated docs) here",
     )
+    ap.add_argument(
+        "--lm-ref",
+        default=None,
+        help="parquet of reference texts (column `text`) the bigram "
+        "perplexity gate trains on (enable the gate with "
+        "--set lm_nll_max=N; without --lm-ref it trains on the "
+        "content-hash %%5 self-slice)",
+    )
+    ap.add_argument(
+        "--dsir-weights",
+        default=None,
+        help="also write the per-url DSIR log importance weight "
+        "sidecar (against --dsir-target) here",
+    )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet of target-domain texts (column `text`) the "
+        "DSIR importance weights are estimated against",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.input_format == "wet" and args.mixed:
         ap.error("--mixed extracts from raw payloads; WET is pre-extracted")
+    if bool(args.dsir_weights) != bool(args.dsir_target):
+        ap.error("--dsir-weights and --dsir-target go together")
 
     from jobs.extract_job import build_session
 
@@ -119,8 +141,10 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import Observation
 
     obs_in, obs_cur, obs_rej = Observation(), Observation(), Observation()
+    lm_ref = spark.read.parquet(args.lm_ref) if args.lm_ref else None
     curated, rejected = curate(
-        extracted, cfg, eval_texts=eval_texts, gate_obs=obs_in
+        extracted, cfg, eval_texts=eval_texts, gate_obs=obs_in,
+        lm_ref=lm_ref,
     )
     if args.split:
         from clara_ocr_spark.curate import assign_split
@@ -138,6 +162,16 @@ def main(argv: list[str] | None = None) -> None:
         domain_mixture(spark.read.parquet(args.curated)).write.mode(
             "overwrite"
         ).parquet(args.mix_weights)
+    if args.dsir_weights:
+        from clara_ocr_spark.curate import dsir_weights
+
+        # same read-back shape as --mix-weights: the sidecar needs only
+        # (url, text) from the published table, never the curation
+        # lineage
+        dsir_weights(
+            spark.read.parquet(args.curated),
+            spark.read.parquet(args.dsir_target),
+        ).write.mode("overwrite").parquet(args.dsir_weights)
     rejected.observe(obs_rej, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
     ).parquet(args.rejects)

@@ -328,3 +328,86 @@ def test_domain_mixture_integer_shares(spark):
     assert out["head.example"]["n_docs"] == 90
     assert out["head.example"]["boost_pm"] < 1000 < out["tail.example"]["boost_pm"]
     assert sum(v["share_pm"] for v in out.values()) <= 1000
+
+
+def test_lm_gate_rejects_ood_doc(spark):
+    """With lm_nll_max set and an explicit reference corpus, a doc
+    whose bigrams the reference LM has never seen is rejected as
+    lm_perplexity; in-distribution docs pass; the outputs still
+    partition the input; and heuristic reasons keep winning when both
+    apply (too_short outranks the LM rule)."""
+    from clara_ocr_spark.curate import REASON_LM
+
+    ref = spark.createDataFrame(
+        [(f"the quick brown fox jumps over the lazy dog number {i}",)
+         for i in range(8)],
+        "text string",
+    )
+    extracted = spark.createDataFrame(
+        [
+            ("u1", "the quick brown fox jumps over the lazy dog number 3"),
+            ("u2", "the quick brown fox jumps over the lazy dog again"),
+            ("u3", "zxq wvv qqj xkz pzw lmf vrr tkk jjq zzx"),
+            ("u4", "zxq wvv"),
+        ],
+        "url string, text string",
+    )
+    # unseen-prev/unseen-bigram NLL ≈ ln(V) ≈ 2.9 at this vocab size;
+    # seen bigrams score ≈ 0.2 — 2.0 separates them
+    cfg = CurateConfig.from_args(["lm_nll_max=2.0", "min_tokens=5"])
+    curated, rejected = curate(extracted, cfg, lm_ref=ref)
+    cur = {r["url"] for r in curated.collect()}
+    rej = {r["url"]: r["reason"] for r in rejected.collect()}
+    assert cur | set(rej) == {"u1", "u2", "u3", "u4"}
+    assert "u1" in cur and "u2" in cur
+    assert rej["u3"] == REASON_LM
+    assert rej["u4"] == REASON_TOO_SHORT  # heuristics outrank the LM
+    # off by default: the gibberish doc passes without the gate
+    cur0, _ = curate(extracted)
+    assert "u3" in {r["url"] for r in cur0.collect()}
+
+
+def test_lm_gate_self_slice_ref(spark):
+    """Without lm_ref the LM trains on the content-hash %5 self-slice:
+    the gate still partitions the input, and with a generous bound
+    nothing is LM-rejected (the corpus scores near its own model)."""
+    from clara_ocr_spark.curate import REASON_LM
+
+    extracted = spark.createDataFrame(
+        [(f"u{i}",
+          f"shared vocabulary document number {i} with common words "
+          f"appearing across every doc in this corpus")
+         for i in range(40)],
+        "url string, text string",
+    )
+    cfg = CurateConfig.from_args(["lm_nll_max=50.0"])
+    curated, rejected = curate(extracted, cfg)
+    rej = {r["url"]: r["reason"] for r in rejected.collect()}
+    assert not [u for u, why in rej.items() if why == REASON_LM]
+    assert ({r["url"] for r in curated.collect()} | set(rej)
+            == {f"u{i}" for i in range(40)})
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """dsir_weights: a curated doc sharing the target's vocabulary
+    must outscore one with disjoint vocabulary; every curated url gets
+    a row (token-less docs score NULL)."""
+    from clara_ocr_spark.curate import dsir_weights
+
+    target = spark.createDataFrame(
+        [("medical clinical trial patient dosage outcome",)] * 5,
+        "text string",
+    )
+    curated = spark.createDataFrame(
+        [
+            ("m1", "clinical patient dosage measured outcome trial"),
+            ("w1", "football striker scored twice last night match"),
+            ("e1", ""),
+        ],
+        "url string, text string",
+    )
+    out = {r["url"]: r["logw"] for r in
+           dsir_weights(curated, target).collect()}
+    assert set(out) == {"m1", "w1", "e1"}
+    assert out["e1"] is None
+    assert out["m1"] > out["w1"]

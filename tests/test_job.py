@@ -454,3 +454,72 @@ def test_curate_job_wet_input(tmp_path):
     dup_pair = {"https://wet.example/0", "https://wet.example/dup"}
     assert len(dup_pair - set(rej)) == 1
     assert any("dup" in (v or "") for k, v in rej.items() if k in dup_pair)
+
+
+def test_curate_job_lm_gate_and_dsir(tmp_path):
+    """spark-submit-shaped curation with the trained-LM gate and the
+    DSIR sidecar: --lm-ref + --set lm_nll_max rejects docs the
+    reference LM has never seen (lm_perplexity), keeps the
+    in-reference doc, and --dsir-weights writes one logw row per
+    curated url against --dsir-target."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+    rows = [gen_page(i, seed=77) for i in range(25)]
+    known = "the quick brown fox jumps over the lazy dog number 3"
+    fox = dict(rows[0])
+    fox["url"] = "https://ref.example/fox"
+    fox["html"] = (
+        b"<html><body><main><p>" + known.encode() + b"</p></main></body></html>"
+    )
+    rows.append(fox)
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(pages))
+    # reference corpus: tiny, so out-of-reference docs score ~ln(V)
+    # (≈ 2.9 here) and in-reference bigrams ~0.2 — 2.0 separates them
+    ref = tmp_path / "ref.parquet"
+    pq.write_table(
+        pa.table({"text": [
+            f"the quick brown fox jumps over the lazy dog number {i}"
+            for i in range(8)
+        ]}),
+        str(ref),
+    )
+    target = tmp_path / "target.parquet"
+    pq.write_table(
+        pa.table({"text": ["quick brown fox lazy dog"] * 4}), str(target)
+    )
+    out_c, out_r = tmp_path / "curated", tmp_path / "rejects"
+    out_w = tmp_path / "dsir"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "curate_job.py"),
+            "--input", str(pages),
+            "--curated", str(out_c),
+            "--rejects", str(out_r),
+            "--lm-ref", str(ref),
+            "--set", "lm_nll_max=2.0",
+            "--dsir-weights", str(out_w),
+            "--dsir-target", str(target),
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    cur = [r[0] for r in duckdb.sql(
+        f"select url from '{out_c}/*.parquet'").fetchall()]
+    rej = {r[0]: r[1] for r in duckdb.sql(
+        f"select url, reason from '{out_r}/*.parquet'").fetchall()}
+    assert len(cur) + len(rej) == len(rows)
+    assert "https://ref.example/fox" in cur
+    assert "lm_perplexity" in set(rej.values())
+    w = {r[0]: r[1] for r in duckdb.sql(
+        f"select url, logw from '{out_w}/*.parquet'").fetchall()}
+    assert set(w) == set(cur)  # one sidecar row per curated url
+    assert w["https://ref.example/fox"] is not None
