@@ -192,6 +192,35 @@ def main() -> None:
         "shuffles; (source, hash) is spread by line diversity, so the\n"
         "Zipf source skew needs no salt.",
     )
+    add(
+        "ngram_lm_score (trained bigram-LM gate)",
+        REGISTRY["ngram_lm_score"][0](spark, SF),
+        "Model training = two map-side-partial aggregates (unigram +\n"
+        "bigram counts, one row per distinct n-gram per partition);\n"
+        "scoring joins eval bigrams to the model by EQUI (w1, w2) —\n"
+        "kept a shuffle join because the un-pruned model scales with\n"
+        "the corpus (KenLM-style pruning would re-enable broadcast);\n"
+        "vocab size is a 1-row broadcast; bigrams built by a JVM SQL\n"
+        "lambda, zero Python.",
+    )
+    add(
+        "dsir_importance (hashed-ngram importance weights)",
+        REGISTRY["dsir_importance"][0](spark, SF),
+        "The O(1)-model pattern: both distributions aggregate to\n"
+        "exactly 4096 rows regardless of corpus size, the log-ratio\n"
+        "table is BROADCAST, so scoring is a map-side join plus one\n"
+        "doc-keyed reduction — no shuffle grows with the vocabulary\n"
+        "(contrast the trained-LM plan above).",
+    )
+    add(
+        "host_mirror_jaccard (mirror-site detection)",
+        REGISTRY["host_mirror_jaccard"][0](spark, SF),
+        "Host pairs come from a fingerprint-keyed EQUI self-join\n"
+        "(never all-pairs over hosts) with the df <= 8 stoplist\n"
+        "applied BEFORE the join (the hot-fingerprint skew guard);\n"
+        "union sizes re-attach via two host-keyed joins\n"
+        "(inclusion-exclusion), no second pass over content.",
+    )
     from clara_ocr_spark.sources.formats import wat_sidecar
     from clara_ocr_spark.stages.links import extract_links
     from clara_ocr_spark.stages.metadata import harvest_metadata
