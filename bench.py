@@ -112,6 +112,7 @@ HEADLINE = [
     "ngram_lm_score",  # added r4: trained bigram-LM quality gate (CCNet)
     "dsir_importance",  # added r4: DSIR hashed-ngram importance weights
     "host_mirror_jaccard",  # added r4: host mirror detection (fp Jaccard)
+    "bpe_merge_candidates",  # added r4: BPE first-merge pair counting
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -6480,6 +6480,66 @@ def host_mirror_jaccard(spark, sf_dir):
     )
 
 
+@q(
+    "bpe_merge_candidates",
+    f"""
+    with tok as (select unnest({_TOK_DUCK.format(x='lower(text)')}) as w
+                 from documents where length(trim(text)) > 0),
+    pairs as (select substring(w, g.i, 2) as pair
+              from tok,
+                   unnest(generate_series(1, len(w) - 1)) as g(i)),
+    c as (select pair, cast(count(*) as bigint) as n
+          from pairs group by pair),
+    r as (select pair, n,
+                 row_number() over (order by n desc, pair) as rk
+          from c)
+    select cast(rk as bigint) as rk, pair, n from r where rk <= 20
+    """,
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """First iteration of BPE tokenizer training (Sennrich+16, the
+    GPT-2/SentencePiece pretokenized variant): count adjacent
+    character pairs within every word occurrence across the corpus —
+    the most frequent pair is the first merge rule.  Top-20 with a
+    DETERMINISTIC total order (count desc, pair asc), because a bare
+    LIMIT over count ties would be partition-dependent.
+
+    Scale shape: the pair explode is per-row JVM lambda work (no
+    shuffle); counting partially aggregates map-side to one row per
+    distinct pair — the shuffle is vocabulary-sized (alphabet², tiny),
+    independent of corpus size.  The rank window is a single-partition
+    pass over that tiny distinct-pair table, which is exactly where a
+    global window is fine; full BPE training iterates this job,
+    re-segmenting with the merged symbol each round — each iteration
+    stays this same one-shuffle shape."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+    )
+    prs = toks.select(
+        F.explode(
+            F.expr(
+                "case when length(w) >= 2 then "
+                "transform(sequence(1, length(w) - 1), "
+                "          i -> substring(w, i, 2)) "
+                "else cast(array() as array<string>) end"
+            )
+        ).alias("pair")
+    )
+    c = prs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    r = c.select(
+        "pair",
+        F.col("n").cast("bigint").alias("n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("pair")))
+        .alias("rk"),
+    )
+    return r.filter(F.col("rk") <= 20).select(
+        F.col("rk").cast("bigint").alias("rk"), "pair", "n"
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
