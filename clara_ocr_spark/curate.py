@@ -77,6 +77,15 @@ class CurateConfig:
     # hash %5 self-slice)
     lm_nll_max: float = 0.0
 
+    def __post_init__(self) -> None:
+        # the per-host switch modifies line dedup; without min_df the
+        # stage never runs and the switch would be a silent no-op —
+        # fail loud like the job's other flag-pairing checks
+        if self.line_dedup_per_host and not self.line_dedup_min_df:
+            raise ValueError(
+                "line_dedup_per_host=1 needs line_dedup_min_df > 0"
+            )
+
     @classmethod
     def from_args(cls, pairs: list) -> "CurateConfig":
         kw = {}
@@ -123,9 +132,9 @@ def drop_frequent_lines(
                 spark_hash60(F.lower(F.col("line"))).alias("h"))
     )
     if per_host:
-        lines = lines.withColumn(
-            "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
-        )
+        from .stages.segment import with_host
+
+        lines = with_host(lines)
     boiler = (
         lines.groupBy(*key)
         .agg(F.countDistinct("url").alias("n_docs"))
@@ -335,9 +344,13 @@ def curate(
                 "url", "text"
             )
         )
+        # re-checkpoint after the join: the LM training aggregates and
+        # the (w1, w2) scoring shuffle must run ONCE, not once per
+        # write action (the same single-execution discipline as
+        # cont/reps below — only feats was checkpointed above)
         feats = feats.join(
             lm_nll(feats.select("url", "text"), ref), "url", "left"
-        )
+        ).localCheckpoint(eager=False)
     gated = feats.withColumn("reason", quality_reason(cfg))
     if gate_obs is not None:
         # Input-count observation for the caller's consistency gate,
@@ -417,9 +430,10 @@ def domain_mixture(curated: DataFrame) -> DataFrame:
     groupBy to the host relation (materialized once); the totals are
     a 1-row broadcast cross join, never a window over an
     unpartitioned million-host frame."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    from .stages.segment import with_host
+
     per = (
-        curated.groupBy(host.alias("host"))
+        with_host(curated).groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),

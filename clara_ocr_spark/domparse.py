@@ -26,7 +26,11 @@ must reproduce — the analogue of ``mk_page_output`` html.c:1986-2284):
    as strict multi-byte UTF-8 are vanishingly unlikely to be legacy
    text, while legacy charset labels on valid-UTF-8 pages are the
    single most common crawl mislabel — and it keeps every previously
-   extracted valid-UTF-8 document byte-identical.
+   extracted BOM-less valid-UTF-8 document byte-identical.  (BOM'd
+   pages are the one deliberate change from the pre-sniffing decoder:
+   the BOM tier strips U+FEFF, where plain UTF-8 decode used to keep
+   it as a zero-width first character — stripping is the WHATWG
+   behavior, and a leading U+FEFF in extracted text was a bug.)
 2. Parse with the stdlib tolerant HTML parser, entities resolved.
 3. Content inside ``script/style/noscript/template/head/svg/iframe``
    is dropped.
@@ -84,8 +88,11 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 #: Charset labels a crawler actually sees → Python codec, for the
 #: declared-``<meta charset>`` tier of :func:`decode_html`.  Unknown
 #: labels fall through to Latin-1 (which never fails).  utf-8/ascii
-#: labels are deliberately absent: that tier only runs after UTF-8
-#: strict already failed, so honoring them would re-raise.
+#: labels map to utf-8 WITH errors='replace': the tier only runs
+#: after UTF-8 strict failed, so a correctly-labeled page with one
+#: truncated/corrupt byte should lose that one character, not have
+#: its every multi-byte sequence mangled by the Latin-1 fallback.
+_UTF8_LABELS = frozenset({"utf-8", "utf8", "ascii", "us-ascii"})
 _CHARSET_CODECS = {
     "iso-8859-1": "latin-1",
     "latin-1": "latin-1",
@@ -109,11 +116,15 @@ _CHARSET_CODECS = {
     "big5": "big5",
 }
 
-#: ``charset=`` declaration inside the head — covers both
-#: ``<meta charset="x">`` and
+#: ``charset=`` declaration inside an actual ``<meta`` tag — covers
+#: both ``<meta charset="x">`` and
 #: ``<meta http-equiv="Content-Type" content="text/html; charset=x">``.
+#: The ``<meta`` anchor is load-bearing: a bare ``charset=`` search
+#: would match query strings in links (``<a href="/c?charset=gbk">``)
+#: or commented-out markup in the first 1 KB and misdecode the page.
 _META_CHARSET_RE = re.compile(
-    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9._-]+)""", re.IGNORECASE
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9._-]+)""",
+    re.IGNORECASE,
 )
 
 
@@ -141,6 +152,10 @@ def decode_html(raw: bytes | None) -> str:
     m = _META_CHARSET_RE.search(raw[:1024])
     if m:
         label = m.group(1).decode("ascii", errors="replace").lower()
+        if label in _UTF8_LABELS:
+            # strict already failed above — honor the (correct) label
+            # and lose only the corrupt bytes, not the whole document
+            return raw.decode("utf-8", errors="replace")
         codec = _CHARSET_CODECS.get(label)
         if codec is not None:
             try:

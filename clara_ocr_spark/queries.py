@@ -5738,7 +5738,8 @@ def charset_sniff(spark, sf_dir):
     """
     with cap as (
       select doc_id,
-             'www.news' || cast(doc_id % 13 as varchar) || '.co.uk' as host,
+             'www.news' || cast((doc_id // 3) % 13 as varchar) || '.co.uk'
+               as host,
              '/a/' || cast(doc_id // 3 as varchar) as path,
              20240101000000 + doc_id as ts14,
              md5('rev' || cast(doc_id // 2 as varchar)) as digest
@@ -5775,13 +5776,17 @@ def cdx_index(spark, sf_dir):
     files because SURT spreads the Zipf `www.` mass across the host
     alphabet.  Everything here is JVM string/array algebra
     (regexp_replace → split → reverse → array_join); captures are
-    synthesized deterministically from doc_id (3 captures per url,
-    digests flipping every 2 captures — the `pii_redact` fake
+    synthesized deterministically from doc_id (3 captures per url —
+    host AND path both key on doc_id // 3, so a url's captures truly
+    share a SURT and the revisit counter has real work to count: a
+    review pass caught the original host = doc_id % 13 synthesis
+    making every surt unique and n_revisits identically zero;
+    digests flip every 2 captures — the `pii_redact` fake
     discipline)."""
     d = _t(spark, sf_dir, "documents")
     host = F.concat(
         F.lit("www.news"),
-        (F.col("doc_id") % 13).cast("string"),
+        (F.floor(F.col("doc_id") / 3) % 13).cast("bigint").cast("string"),
         F.lit(".co.uk"),
     )
     path = F.concat(

@@ -114,7 +114,11 @@ def wat_sidecar(
     ~unique, so no salt either way.  Output: (url, warc_ts,
     wat:string) where wat is deterministic JSON (struct field order is
     fixed by construction; collect_list order is pinned by
-    array_sort on (dst_url, anchor))."""
+    array_sort on (dst_url, anchor)) and embeds url AND warc_ts — the
+    record is self-contained, so the job writes the wat column as raw
+    text lines (true JSONL, one WAT record per line), never
+    DataFrameWriter.json over the 3-col frame, which would
+    double-encode the record as an escaped string field."""
     outlinks = links.groupBy("url").agg(
         F.array_sort(
             F.collect_list(
@@ -142,6 +146,9 @@ def wat_sidecar(
             F.to_json(
                 F.struct(
                     "url",
+                    F.date_format(
+                        "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                    ).alias("ts"),
                     F.col("head"),
                     F.coalesce(
                         "outlinks",

@@ -161,10 +161,11 @@ def host_graph(links: DataFrame) -> DataFrame:
     map-side-partial aggregation; hot hosts (the Zipf head) are the
     documented skew key — the same salting/AQE mitigations as every
     host-keyed stage (SCALE.md §Skew) apply."""
-    src = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    from .segment import with_host
+
     return (
-        links.filter(~F.col("nofollow"))
-        .groupBy(src.alias("src_host"), "dst_host")
+        with_host(links.filter(~F.col("nofollow")))
+        .groupBy(F.col("host").alias("src_host"), "dst_host")
         .agg(
             F.count(F.lit(1)).alias("n_links"),
             F.countDistinct("dst_url").alias("n_dst_urls"),

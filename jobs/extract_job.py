@@ -371,24 +371,38 @@ def main(argv: list[str] | None = None) -> None:
         # materialized by the extraction write above — this write
         # reuses them, no second parse
         skew_frames[0].write.mode("append").parquet(args.skew_report)
-    if args.links:
+    # --links/--head-meta/--wat share the two Arrow-batched HTML
+    # harvests: build each DataFrame once and lazily localCheckpoint
+    # it when two write actions will consume it, so the dominant
+    # mapInPandas parse runs once per harvest, not once per sink
+    # (review finding: --links --head-meta --wat used to parse the
+    # corpus twice per harvest).
+    links_df = meta_df = None
+    if args.links or args.wat:
         from clara_ocr_spark.stages.links import extract_links
 
-        extract_links(dom_pages).write.mode("append").parquet(args.links)
-    if args.head_meta:
+        links_df = extract_links(dom_pages)
+        if args.links and args.wat:
+            links_df = links_df.localCheckpoint(eager=False)
+    if args.head_meta or args.wat:
         from clara_ocr_spark.stages.metadata import harvest_metadata
 
-        harvest_metadata(dom_pages).write.mode("append").parquet(
-            args.head_meta
-        )
+        meta_df = harvest_metadata(dom_pages)
+        if args.head_meta and args.wat:
+            meta_df = meta_df.localCheckpoint(eager=False)
+    if args.links:
+        links_df.write.mode("append").parquet(args.links)
+    if args.head_meta:
+        meta_df.write.mode("append").parquet(args.head_meta)
     if args.wat:
         from clara_ocr_spark.sources.formats import wat_sidecar
-        from clara_ocr_spark.stages.links import extract_links
-        from clara_ocr_spark.stages.metadata import harvest_metadata
 
-        wat_sidecar(
-            dom_pages, extract_links(dom_pages), harvest_metadata(dom_pages)
-        ).write.mode("append").json(args.wat)
+        # the wat record embeds url + ts — write it as raw text lines
+        # (true JSONL), not .json() over the 3-col frame, which
+        # double-encodes the record as an escaped string field
+        wat_sidecar(dom_pages, links_df, meta_df).select(
+            "wat"
+        ).write.mode("append").text(args.wat)
     if args.metrics or args.deskew:
         extracted.unpersist()
     spark.stop()

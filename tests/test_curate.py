@@ -411,3 +411,10 @@ def test_dsir_weights_rank_target_like_docs(spark):
     assert set(out) == {"m1", "w1", "e1"}
     assert out["e1"] is None
     assert out["m1"] > out["w1"]
+
+
+def test_per_host_switch_requires_min_df():
+    """line_dedup_per_host without min_df would silently disable line
+    dedup — the config fails loud instead (review finding)."""
+    with pytest.raises(ValueError, match="line_dedup_min_df"):
+        CurateConfig.from_args(["line_dedup_per_host=1"])

@@ -48,6 +48,32 @@ def test_decode_declared_meta_charset():
         'content="text/html; charset=Shift_JIS"><p>日本語</p>'
     ).encode("shift_jis")
     assert "日本語" in decode_html(doc)
+
+
+def test_decode_declared_utf8_label_survives_corrupt_byte():
+    """A correctly-labeled UTF-8 page with one truncated byte loses
+    ONE character (replace), not every multi-byte sequence to the
+    Latin-1 fallback (review finding: the utf-8 label used to be
+    deliberately absent from the allowlist, with a wrong rationale)."""
+    doc = '<meta charset="utf-8"><p>café résumé</p>'.encode("utf-8") + b"\xff"
+    out = decode_html(doc)
+    assert "café résumé" in out
+    assert "Ã©" not in out  # the mojibake the old path produced
+    assert out.endswith("\ufffd")
+
+
+def test_decode_charset_needs_meta_context():
+    """A bare charset= in a link query string must NOT select a codec:
+    only an actual <meta ...charset=...> declaration counts."""
+    body = '<a href="/convert?charset=gb2312">x</a><p>café</p>'
+    doc = body.encode("latin-1")  # invalid UTF-8 via é, no meta tag
+    assert "café" in decode_html(doc)  # latin-1 fallback, not GBK
+    # and the real meta form still wins over a link earlier in the doc
+    doc2 = (
+        '<a href="/c?charset=latin-1">x</a>'
+        '<meta charset="windows-1251"><p>Привет</p>'
+    ).encode("cp1251")
+    assert "Привет" in decode_html(doc2)
     # WHATWG deviation pinned: valid UTF-8 with a WRONG legacy
     # declaration stays UTF-8 (mislabeled pages are the common case)
     doc = '<meta charset="iso-8859-1"><p>café</p>'.encode("utf-8")

@@ -36,6 +36,8 @@ def test_extract_job_mixed(tmp_path):
             "--mixed",
             "--skew-report", str(tmp_path / "skew"),
             "--head-meta", str(tmp_path / "head_meta"),
+            "--links", str(tmp_path / "links"),
+            "--wat", str(tmp_path / "wat"),
         ],
         capture_output=True,
         text=True,
@@ -72,6 +74,24 @@ def test_extract_job_mixed(tmp_path):
     html_urls = {r["url"] for r in rows[:30]}
     assert {r[0] for r in meta} == html_urls
     assert all(r[1] == "t" for r in meta)
+
+    # --wat rode the same run, sharing the two harvests with
+    # --links/--head-meta (one parse each): raw-text JSONL, one
+    # SELF-CONTAINED record per line — json.loads must succeed
+    # directly and the `head`/`outlinks` fields must be objects, not
+    # double-encoded strings (review finding: .json() over the 3-col
+    # frame used to escape the record into a string field)
+    import glob as _glob
+    import json as _json
+
+    wat_lines = []
+    for f in _glob.glob(f"{tmp_path}/wat/part-*"):
+        with open(f) as fh:
+            wat_lines += [ln for ln in fh.read().splitlines() if ln]
+    recs = [_json.loads(ln) for ln in wat_lines]
+    assert {r["url"] for r in recs} == html_urls  # HTML leg only
+    assert all(isinstance(r.get("outlinks"), list) for r in recs)
+    assert all("ts" in r for r in recs)
 
     # --incremental + --mixed together: replay must be a no-op (the
     # high-water-mark anti-join sees every url already extracted)
