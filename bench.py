@@ -113,6 +113,7 @@ HEADLINE = [
     "dsir_importance",  # added r4: DSIR hashed-ngram importance weights
     "host_mirror_jaccard",  # added r4: host mirror detection (fp Jaccard)
     "bpe_merge_candidates",  # added r4: BPE first-merge pair counting
+    "sitemap_coverage",  # added r4: sitemap-vs-crawl coverage audit
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

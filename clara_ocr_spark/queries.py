@@ -6545,6 +6545,74 @@ def bpe_merge_candidates(spark, sf_dir):
     )
 
 
+@q(
+    "sitemap_coverage",
+    """
+    with crawled as (select distinct doc_id // 3 as u from documents),
+    declared as (select distinct doc_id // 4 + 50 as u from documents),
+    j as (select coalesce(c.u, d.u) as u,
+                 (c.u is not null) as crawled,
+                 (d.u is not null) as declared
+          from crawled c full outer join declared d on c.u = d.u)
+    select cast(u % 13 as bigint) as host_id,
+           cast(sum(case when declared then 1 else 0 end) as bigint)
+             as n_declared,
+           cast(sum(case when crawled then 1 else 0 end) as bigint)
+             as n_crawled,
+           cast(sum(case when declared and crawled then 1 else 0 end)
+                as bigint) as n_both,
+           cast(sum(case when declared and not crawled then 1 else 0 end)
+                as bigint) as n_sitemap_only,
+           cast(sum(case when crawled and not declared then 1 else 0 end)
+                as bigint) as n_crawl_only
+    from j group by u % 13
+    """,
+)
+def sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage audit — the consumer side of
+    `sources/sitemap.read_sitemaps`: per host, how many urls the
+    publisher declares, how many the crawl holds, and the two gaps
+    that drive scheduling (`n_sitemap_only` = declared-but-unfetched,
+    the frontier's highest-priority feed; `n_crawl_only` = fetched-
+    but-undeclared, the orphan/trap-suspect set).  Url spaces are
+    synthesized deterministically from doc_id (crawled = the
+    `cdx_index` capture keys; declared = a shifted window, so both
+    gaps are NONEMPTY and genuinely exercised — the cdx revisit
+    lesson applied up front).
+
+    Scale shape: ONE full-outer equi-join on the url key — at 10¹²
+    urls this is the shuffle; both sides arrive pre-deduped (distinct
+    partially aggregates map-side), per-host rollup partially
+    aggregates too, and the host key needs no salt because the join
+    key is the ~unique url, not the Zipf host."""
+    d = _t(spark, sf_dir, "documents")
+    crawled = d.select(
+        F.floor(F.col("doc_id") / 3).cast("bigint").alias("u")
+    ).distinct()
+    declared = d.select(
+        (F.floor(F.col("doc_id") / 4) + 50).cast("bigint").alias("u")
+    ).distinct()
+    j = (
+        crawled.withColumn("crawled", F.lit(True))
+        .join(
+            declared.withColumn("declared", F.lit(True)), "u", "full_outer"
+        )
+        .select(
+            "u",
+            F.coalesce("crawled", F.lit(False)).alias("crawled"),
+            F.coalesce("declared", F.lit(False)).alias("declared"),
+        )
+    )
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.groupBy((F.col("u") % 13).cast("bigint").alias("host_id")).agg(
+        b(F.col("declared")).alias("n_declared"),
+        b(F.col("crawled")).alias("n_crawled"),
+        b(F.col("declared") & F.col("crawled")).alias("n_both"),
+        b(F.col("declared") & ~F.col("crawled")).alias("n_sitemap_only"),
+        b(F.col("crawled") & ~F.col("declared")).alias("n_crawl_only"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------

@@ -87,10 +87,11 @@ def test_driver_window_invariants():
         "llm_ngram_lm": {"ngram_lm_score"},
         "llm_dsir": {"dsir_importance"},
         "web_mirror": {"host_mirror_jaccard"},
-        # llm_bpe_train {bpe_merge_candidates} is an r4-late addition
+        # llm_bpe_train {bpe_merge_candidates} and web_sitemap
+        # {sitemap_coverage} are r4-late additions
         # outside the (full) r4 window — every slot holds a never-
-        # signed or sole-family-rep query; add it to this map when the
-        # r5 rotation signs it.
+        # signed or sole-family-rep query; add them to this map when the
+        # r5 rotation signs them.
         "llm_sketch": {"hll_register_sketch", "hll_estimate",
                        "stream_hll_registers"},
         "llm_bloom": {"bloom_decontaminate"},
@@ -158,6 +159,7 @@ EDGE_QUERIES = [
     # token arrays must contribute no hashed-unigram buckets
     "ngram_lm_score", "dsir_importance", "host_mirror_jaccard",
     "bpe_merge_candidates",  # single-char words emit no pairs
+    "sitemap_coverage",  # sparse doc_ids: both gap classes still nonzero
 ]
 
 
