@@ -198,8 +198,26 @@ def main(argv: list[str] | None = None) -> None:
         "(the parser aborts at the first body tag), kept out of the "
         "golden-pinned extractor for the same reason as --links",
     )
+    ap.add_argument(
+        "--sitemaps",
+        default=None,
+        metavar="PATH",
+        help="parquet of fetched sitemap files (url, payload binary); "
+        "parsed by sources/sitemap.read_sitemaps (urlset + "
+        "sitemapindex, gzip-sniffing, corrupt-tolerant) into the "
+        "url-discovery table written at --sitemap-out",
+    )
+    ap.add_argument(
+        "--sitemap-out",
+        default=None,
+        metavar="PATH",
+        help="destination for the parsed sitemap discovery table "
+        "(sitemap_url, loc, lastmod, changefreq, priority, is_index)",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
+    if bool(args.sitemaps) != bool(args.sitemap_out):
+        ap.error("--sitemaps and --sitemap-out go together")
     if args.skew_report and not args.mixed:
         ap.error("--skew-report reads the PDF leg's runs; requires --mixed")
     if args.spell and args.format == "markup":
@@ -403,6 +421,12 @@ def main(argv: list[str] | None = None) -> None:
         wat_sidecar(dom_pages, links_df, meta_df).select(
             "wat"
         ).write.mode("append").text(args.wat)
+    if args.sitemaps:
+        from clara_ocr_spark.sources.sitemap import read_sitemaps
+
+        read_sitemaps(spark.read.parquet(args.sitemaps)).write.mode(
+            "append"
+        ).parquet(args.sitemap_out)
     if args.metrics or args.deskew:
         extracted.unpersist()
     spark.stop()

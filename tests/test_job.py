@@ -24,6 +24,20 @@ def test_extract_job_mixed(tmp_path):
     ]
     inp = tmp_path / "pages.parquet"
     pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
+    sm_xml = (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://sm.example/a</loc><priority>0.9</priority></url>"
+        b"<url><loc>https://sm.example/b</loc></url></urlset>"
+    )
+    sitemaps = tmp_path / "sitemaps.parquet"
+    pq.write_table(
+        pa.table({
+            "url": ["https://sm.example/sitemap.xml",
+                    "https://sm.example/broken.xml"],
+            "payload": pa.array([sm_xml, b"not xml"], pa.binary()),
+        }),
+        str(sitemaps),
+    )
     out = tmp_path / "out"
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     proc = subprocess.run(
@@ -38,6 +52,8 @@ def test_extract_job_mixed(tmp_path):
             "--head-meta", str(tmp_path / "head_meta"),
             "--links", str(tmp_path / "links"),
             "--wat", str(tmp_path / "wat"),
+            "--sitemaps", str(sitemaps),
+            "--sitemap-out", str(tmp_path / "sm_out"),
         ],
         capture_output=True,
         text=True,
@@ -92,6 +108,16 @@ def test_extract_job_mixed(tmp_path):
     assert {r["url"] for r in recs} == html_urls  # HTML leg only
     assert all(isinstance(r.get("outlinks"), list) for r in recs)
     assert all("ts" in r for r in recs)
+
+    # --sitemaps rode the same run: discovery rows for the valid file,
+    # zero (not a crash) for the corrupt one
+    sm = duckdb.sql(
+        f"select sitemap_url, loc, priority from '{tmp_path}/sm_out/*.parquet'"
+    ).fetchall()
+    assert {(r[0], r[1]) for r in sm} == {
+        ("https://sm.example/sitemap.xml", "https://sm.example/a"),
+        ("https://sm.example/sitemap.xml", "https://sm.example/b"),
+    }
 
     # --incremental + --mixed together: replay must be a no-op (the
     # high-water-mark anti-join sees every url already extracted)
