@@ -1,0 +1,153 @@
+"""Perceptual image hashing + media near-duplicate detection.
+
+The multimodal leg of the dedup family: `dedup_exact` catches
+byte-identical payloads, but re-encoded / re-scaled / lightly-edited
+images (the dominant duplication mode in crawled media) need a
+PERCEPTUAL key.  dHash — row-wise brightness gradients of an
+area-averaged 9×8 thumbnail, 64 bits — is the standard cheap one
+(robust to scaling/compression, brittle to crops, which is the right
+trade for crawl dedup).  Reference analogue: the bitmap-comparison
+classifiers (`bmpcmp_skel`/`bmpcmp_map`, SURVEY §2.8) reduce a
+bitmap to a comparable fingerprint before matching; this is the same
+move over crawl media.
+
+Scale shape mirrors `simhash_near_dup`'s pigeonhole banding: the
+64-bit hash splits into 4×16-bit bands, and Hamming distance ≤ 3
+guarantees at least one band matches exactly — so candidates come
+from a band-keyed EQUI self-join (never all-pairs over images), and
+the exact popcount verify (`F.bit_count(xor)`) runs only on
+candidates, JVM-side.  Hashing itself is a map-only Arrow-batched
+pass over the decoded pixels; payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: dHash thumbnail geometry: 9 columns × 8 rows → 8×8 = 64 gradient
+#: bits (each bit: cell brighter than its right neighbor).
+_DH_W, _DH_H = 9, 8
+
+
+def dhash64(
+    w: int, h: int, channels: int, body: bytes
+) -> Optional[int]:
+    """64-bit difference hash of a decoded image (row-major uint8
+    pixels, ``channels`` per sample).  Deterministic area-mean
+    downsample (np.array_split — no interpolation library), gray =
+    channel mean.  Degenerate input (zero dims, short body) → None,
+    the corrupt-media discipline."""
+    if w <= 0 or h <= 0 or channels <= 0:
+        return None
+    arr = np.frombuffer(body, dtype=np.uint8)
+    if arr.size < w * h * channels:
+        return None
+    px = arr[: w * h * channels].reshape(h, w, channels)
+    gray = px.astype(np.float64).mean(axis=2)
+    # area-mean resize to (_DH_H, _DH_W): split each axis into
+    # near-equal runs and average — deterministic for any input size
+    rows = [r.mean(axis=0) for r in np.array_split(gray, _DH_H, axis=0)]
+    thumb = np.stack(
+        [
+            np.array([c.mean() for c in np.array_split(row, _DH_W)])
+            for row in rows
+        ]
+    )
+    bits = (thumb[:, :-1] > thumb[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # map to signed 64-bit so the value round-trips through Spark's
+    # LongType (bit 63 set would otherwise overflow)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, kind, payload) → (media_id, dhash:bigint).
+
+    Map-only Arrow-batched decode+hash (payloads die inside the
+    batch); corrupt media and non-image kinds yield a NULL dhash row
+    — coverage is total, so the downstream anti-join can separate
+    'unhashable' from 'unique'."""
+    import pandas as pd
+
+    from ..sources.multimodal import _decode_one
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dh: Optional[int] = None
+                try:
+                    w, h, frames, body = _decode_one(bytes(payload))
+                    ch = (
+                        len(body) // (w * h) if w > 0 and h > 0 else 0
+                    )
+                    dh = dhash64(w, h, ch, body)
+                except ValueError:
+                    dh = None
+                out.append((int(mid), dh))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, schema="media_id bigint, dhash bigint")
+
+
+def dhash_near_dup(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+    """(media_id, dhash) → near-dup pairs (id_a < id_b, hamming ≤
+    max_dist).
+
+    Pigeonhole banding: with 4 disjoint 16-bit bands, any pair at
+    Hamming ≤ 3 shares at least one EXACT band (max_dist must stay
+    < 4 for the guarantee) — candidates are a band-keyed equi
+    self-join, the popcount verify is `bit_count(a ^ b)` JVM-side on
+    candidates only, and duplicate candidate pairs (two shared bands)
+    collapse with distinct ON IDS before the verify join re-attaches
+    hashes.  The same ids-only-shuffle discipline as
+    `near_dup_cosine`."""
+    if not 0 <= max_dist < 4:
+        raise ValueError("banding guarantees Hamming <= 3 only")
+    h = hashes.filter(F.col("dhash").isNotNull())
+    bands = h.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "b.band", "b.key")
+    cand = (
+        bands.select(F.col("media_id").alias("id_a"), "band", "key")
+        .join(
+            bands.select(F.col("media_id").alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"))
+    hb = h.select(F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+    )

@@ -1,0 +1,107 @@
+"""Perceptual media dedup: dHash determinism and robustness, the
+banded Hamming join's guarantee, corrupt-media tolerance, and the
+plan shape (payloads never shuffle; candidates via equi-join)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clara_ocr_spark.functions.phash import (
+    dhash64,
+    dhash_near_dup,
+    media_dhash,
+)
+from clara_ocr_spark.sources.multimodal import encode_png
+
+
+def _img(seed: int, w: int = 45, h: int = 32) -> np.ndarray:
+    # random 8×9 block pattern upscaled to (h, w): per-seed structure
+    # COARSER than the dHash thumbnail, so distinct seeds land far
+    # apart (a monotone gradient would hash to 0 for every seed)
+    rng = np.random.RandomState(seed)
+    cells = rng.randint(0, 255, (8, 9)).astype(np.uint8)
+    return np.kron(cells, np.ones((h // 8, w // 9), dtype=np.uint8))
+
+
+def test_dhash_deterministic_and_scale_robust():
+    a = _img(1)
+    h1 = dhash64(45, 32, 1, a.tobytes())
+    assert h1 == dhash64(45, 32, 1, a.tobytes())
+    # 2x nearest-neighbor upscale: same gradients, same hash (or a
+    # couple of boundary bits)
+    big = np.kron(a, np.ones((2, 2), dtype=np.uint8))
+    h2 = dhash64(90, 64, 1, big.tobytes())
+    assert bin((h1 ^ h2) & (2**64 - 1)).count("1") <= 3
+    # a different image is far away
+    h3 = dhash64(45, 32, 1, _img(99).tobytes())
+    assert bin((h1 ^ h3) & (2**64 - 1)).count("1") > 10
+
+
+def test_dhash_degenerate_inputs():
+    assert dhash64(0, 10, 1, b"") is None
+    assert dhash64(10, 10, 1, b"short") is None
+    assert dhash64(10, 10, 0, b"") is None
+
+
+def test_media_dhash_and_near_dup_end_to_end(spark):
+    base = _img(7)
+    tweak = base.copy()
+    tweak[0, 0] = 255 - tweak[0, 0]  # one-pixel edit → near-dup
+    other = _img(8191)
+    rows = [
+        (1, 0, bytearray(encode_png(base, color_type=0))),
+        (2, 0, bytearray(encode_png(tweak, color_type=0))),
+        (3, 0, bytearray(encode_png(other, color_type=0))),
+        (4, 0, bytearray(b"\x89PNG\r\n\x1a\ncorrupt")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind int, payload binary"
+    )
+    hashes = media_dhash(media)
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert set(got) == {1, 2, 3, 4}  # total coverage
+    assert got[4] is None  # corrupt → NULL, never a crash
+    assert got[1] is not None and got[1] == got[1]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_dup(hashes).collect()
+    }
+    assert (1, 2) in pairs  # the one-pixel edit is found
+    assert all(k in ((1, 2),) or 3 not in k for k in pairs)
+    assert not any(3 in k for k in pairs)  # distinct image not paired
+
+
+def test_near_dup_plan_is_banded_equi_join(spark):
+    df = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "media_id bigint, dhash bigint"
+    )
+    plan = (
+        dhash_near_dup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_near_dup_rejects_unguaranteed_distance(spark):
+    df = spark.createDataFrame([(1, 2)], "media_id bigint, dhash bigint")
+    with pytest.raises(ValueError, match="Hamming"):
+        dhash_near_dup(df, max_dist=4)
+
+
+def test_pigeonhole_guarantee_exhaustive():
+    """Any 64-bit pair at Hamming <= 3 shares an exact 16-bit band —
+    the join's correctness, checked against brute force on crafted
+    worst cases (3 flipped bits spread across distinct bands)."""
+    rng = np.random.RandomState(3)
+    for _ in range(200):
+        a = int(rng.randint(0, 2**31)) | (int(rng.randint(0, 2**31)) << 32)
+        flips = rng.choice(64, size=3, replace=False)
+        b = a
+        for f in flips:
+            b ^= 1 << int(f)
+        shares = any(
+            ((a >> (16 * i)) & 0xFFFF) == ((b >> (16 * i)) & 0xFFFF)
+            for i in range(4)
+        )
+        assert shares  # 3 flips cannot touch all 4 bands
