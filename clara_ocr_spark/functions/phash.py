@@ -96,6 +96,71 @@ def media_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema="media_id bigint, dhash bigint")
 
 
+def audio_fp64(
+    channels: int, n_frames: int, pcm: bytes
+) -> Optional[int]:
+    """64-bit audio fingerprint: sign of the energy delta across 65
+    equal time chunks of the channel-mixed waveform.  Gain-invariant
+    (uniform volume scaling preserves energy ordering) — the audio
+    twin of dHash's brightness gradients; the same
+    :func:`dhash_near_dup` banding join dedups either (it only sees a
+    64-bit column).  Sample width inferred from the body length
+    (8-bit unsigned / 16-bit signed PCM, the `_decode_wav` contract);
+    degenerate input → None."""
+    if channels <= 0 or n_frames < 65:
+        return None
+    width = len(pcm) // (n_frames * channels)
+    if width == 2:
+        arr = np.frombuffer(
+            pcm[: n_frames * channels * 2], dtype="<i2"
+        ).astype(np.float64)
+    elif width == 1:
+        arr = (
+            np.frombuffer(pcm[: n_frames * channels], dtype=np.uint8)
+            .astype(np.float64)
+            - 128.0
+        )
+    else:
+        return None
+    mono = arr.reshape(n_frames, channels).mean(axis=1)
+    energies = np.array(
+        [np.mean(c * c) for c in np.array_split(mono, 65)]
+    )
+    bits = energies[:-1] > energies[1:]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def media_audio_fp(media: DataFrame) -> DataFrame:
+    """(media_id, kind, payload) → (media_id, dhash:bigint) over
+    RIFF/WAVE payloads (column named ``dhash`` so
+    :func:`dhash_near_dup` consumes it unchanged).  Non-audio,
+    corrupt, or codec-gated payloads yield NULL — total coverage,
+    same contract as :func:`media_dhash`."""
+    import pandas as pd
+
+    from ..sources.multimodal import _decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fp: Optional[int] = None
+                raw = bytes(payload) if payload is not None else b""
+                if raw[:4] == b"RIFF":
+                    try:
+                        _rate, ch, n, pcm = _decode_wav(raw)
+                        fp = audio_fp64(ch, n, pcm)
+                    except (ValueError, NotImplementedError):
+                        fp = None
+                out.append((int(mid), fp))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, schema="media_id bigint, dhash bigint")
+
+
 def dhash_near_dup(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
     """(media_id, dhash) → near-dup pairs (id_a < id_b, hamming ≤
     max_dist).

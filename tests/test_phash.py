@@ -105,3 +105,52 @@ def test_pigeonhole_guarantee_exhaustive():
             for i in range(4)
         )
         assert shares  # 3 flips cannot touch all 4 bands
+
+
+def test_audio_fp_gain_invariant_and_discriminative():
+    from clara_ocr_spark.functions.phash import audio_fp64
+
+    rng = np.random.RandomState(5)
+    # structured energy envelope: 65 chunks of distinct loudness
+    env = np.repeat(rng.randint(1, 100, 65), 100).astype(np.float64)
+    sig = (env * np.sin(np.arange(env.size))).astype(np.int16)
+    f1 = audio_fp64(1, sig.size, sig.astype("<i2").tobytes())
+    half = (sig // 2).astype("<i2")  # -6 dB gain: same envelope order
+    f2 = audio_fp64(1, half.size, half.tobytes())
+    assert f1 == f2  # gain-invariant
+    rng2 = np.random.RandomState(77)
+    env3 = np.repeat(rng2.randint(1, 100, 65), 100).astype(np.float64)
+    sig3 = (env3 * np.sin(np.arange(env3.size))).astype("<i2")
+    f3 = audio_fp64(1, sig3.size, sig3.tobytes())
+    assert bin((f1 ^ f3) & (2**64 - 1)).count("1") > 10
+    assert audio_fp64(1, 64, b"\x00" * 128) is None  # < 65 frames
+
+
+def test_media_audio_fp_end_to_end(spark):
+    from clara_ocr_spark.functions.phash import media_audio_fp
+    from clara_ocr_spark.sources.multimodal import encode_wav
+
+    rng = np.random.RandomState(9)
+    env = np.repeat(rng.randint(1, 100, 65), 80).astype(np.float64)
+    base = (env * np.sin(np.arange(env.size))).astype(np.int16)
+    quieter = (base * 3) // 4  # gain change → same fingerprint
+    rng2 = np.random.RandomState(4242)
+    env2 = np.repeat(rng2.randint(1, 100, 65), 80).astype(np.float64)
+    other = (env2 * np.cos(np.arange(env2.size))).astype(np.int16)
+    rows = [
+        (1, 1, bytearray(encode_wav(base))),
+        (2, 1, bytearray(encode_wav(quieter.astype(np.int16)))),
+        (3, 1, bytearray(encode_wav(other))),
+        (4, 1, bytearray(b"RIFFcorrupt")),
+        (5, 0, bytearray(b"\x89PNGnot-audio")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind int, payload binary"
+    )
+    fps = media_audio_fp(media)
+    got = {r["media_id"]: r["dhash"] for r in fps.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # total coverage
+    assert got[4] is None and got[5] is None
+    pairs = {(r["id_a"], r["id_b"]) for r in dhash_near_dup(fps).collect()}
+    assert (1, 2) in pairs  # the re-gained copy is found
+    assert not any(3 in p for p in pairs)
