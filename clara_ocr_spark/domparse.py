@@ -121,7 +121,9 @@ _CHARSET_CODECS = {
 #: ``<meta http-equiv="Content-Type" content="text/html; charset=x">``.
 #: The ``<meta`` anchor is load-bearing: a bare ``charset=`` search
 #: would match query strings in links (``<a href="/c?charset=gbk">``)
-#: or commented-out markup in the first 1 KB and misdecode the page.
+#: and misdecode the page.  Commented-out markup is handled separately
+#: — the caller strips ``<!-- … -->`` spans (including an unclosed
+#: trailing comment) from the sniffed head before searching.
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9._-]+)""",
     re.IGNORECASE,
@@ -149,7 +151,10 @@ def decode_html(raw: bytes | None) -> str:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
         pass
-    m = _META_CHARSET_RE.search(raw[:1024])
+    # comments stripped first: '<!-- <meta charset=gb2312> -->' must
+    # not select a codec (the <meta anchor alone can't tell)
+    head = re.sub(rb"<!--.*?(?:-->|$)", b"", raw[:1024], flags=re.S)
+    m = _META_CHARSET_RE.search(head)
     if m:
         label = m.group(1).decode("ascii", errors="replace").lower()
         if label in _UTF8_LABELS:

@@ -41,7 +41,10 @@ def dhash64(
     downsample (np.array_split — no interpolation library), gray =
     channel mean.  Degenerate input (zero dims, short body) → None,
     the corrupt-media discipline."""
-    if w <= 0 or h <= 0 or channels <= 0:
+    if w < _DH_W or h < _DH_H or channels <= 0:
+        # sub-thumbnail images (icons, 1×1 tracking pixels) carry no
+        # gradient signal, and empty array_split chunks would mean()
+        # to NaN — unhashable, not hash-0
         return None
     arr = np.frombuffer(body, dtype=np.uint8)
     if arr.size < w * h * channels:
@@ -57,6 +60,12 @@ def dhash64(
             for row in rows
         ]
     )
+    if np.all(thumb == thumb.flat[0]):
+        # flat/solid-color image: every such image would hash to the
+        # SAME value (0), making a white banner a hamming-0 "dup" of
+        # a black divider and piling the whole class onto one join
+        # key — no perceptual signal, so no hash
+        return None
     bits = (thumb[:, :-1] > thumb[:, 1:]).flatten()
     v = 0
     for b in bits:
@@ -66,13 +75,29 @@ def dhash64(
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _is_image_payload(raw: bytes) -> bool:
+    """Container sniff: only payloads whose magic says IMAGE get an
+    image hash — a WAV would otherwise 'decode' to w=sample_rate rows
+    of waveform bytes and emit a garbage-but-valid dhash that can
+    band-collide with real images (review finding)."""
+    from ..sources.multimodal import _MAGIC, _PNG_SIG
+
+    return (
+        raw[:8] == _PNG_SIG
+        or raw[:6] in (b"GIF87a", b"GIF89a")
+        or raw[:2] == b"\xff\xd8"
+        or (raw[:4] == _MAGIC and len(raw) >= 5 and raw[4] == 0)
+    )
+
+
 def media_dhash(media: DataFrame) -> DataFrame:
     """(media_id, kind, payload) → (media_id, dhash:bigint).
 
     Map-only Arrow-batched decode+hash (payloads die inside the
-    batch); corrupt media and non-image kinds yield a NULL dhash row
-    — coverage is total, so the downstream anti-join can separate
-    'unhashable' from 'unique'."""
+    batch); NULL payloads, corrupt media, codec-gated shapes
+    (NotImplementedError) and non-image containers all yield a NULL
+    dhash row — coverage is total and NOTHING fails the task, so the
+    downstream anti-join can separate 'unhashable' from 'unique'."""
     import pandas as pd
 
     from ..sources.multimodal import _decode_one
@@ -82,14 +107,16 @@ def media_dhash(media: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 dh: Optional[int] = None
-                try:
-                    w, h, frames, body = _decode_one(bytes(payload))
-                    ch = (
-                        len(body) // (w * h) if w > 0 and h > 0 else 0
-                    )
-                    dh = dhash64(w, h, ch, body)
-                except ValueError:
-                    dh = None
+                raw = bytes(payload) if payload is not None else b""
+                if _is_image_payload(raw):
+                    try:
+                        w, h, frames, body = _decode_one(raw)
+                        ch = (
+                            len(body) // (w * h) if w > 0 and h > 0 else 0
+                        )
+                        dh = dhash64(w, h, ch, body)
+                    except (ValueError, NotImplementedError):
+                        dh = None
                 out.append((int(mid), dh))
             yield pd.DataFrame(out, columns=["media_id", "dhash"])
 
@@ -161,7 +188,9 @@ def media_audio_fp(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema="media_id bigint, dhash bigint")
 
 
-def dhash_near_dup(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+def dhash_near_dup(
+    hashes: DataFrame, max_dist: int = 3, band_cap: int = 64
+) -> DataFrame:
     """(media_id, dhash) → near-dup pairs (id_a < id_b, hamming ≤
     max_dist).
 
@@ -172,7 +201,13 @@ def dhash_near_dup(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
     candidates only, and duplicate candidate pairs (two shared bands)
     collapse with distinct ON IDS before the verify join re-attaches
     hashes.  The same ids-only-shuffle discipline as
-    `near_dup_cosine`."""
+    `near_dup_cosine` — and the same hot-key guard as
+    `host_mirror_jaccard`/`shingle_containment`: a (band, key) group
+    larger than ``band_cap`` is dropped BEFORE the self-join, because
+    one degenerate band value shared by n images would emit C(n, 2)
+    candidate rows from a single key (a template thumbnail re-used
+    site-wide is the realistic case), while a ≥-cap-sized identical
+    band carries near-zero discriminating signal."""
     if not 0 <= max_dist < 4:
         raise ValueError("banding guarantees Hamming <= 3 only")
     h = hashes.filter(F.col("dhash").isNotNull())
@@ -192,6 +227,13 @@ def dhash_near_dup(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
             )
         ).alias("b"),
     ).select("media_id", "b.band", "b.key")
+    keep = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= band_cap)
+        .select("band", "key")
+    )
+    bands = bands.join(keep, ["band", "key"])
     cand = (
         bands.select(F.col("media_id").alias("id_a"), "band", "key")
         .join(

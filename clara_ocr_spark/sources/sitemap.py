@@ -40,6 +40,13 @@ SITEMAP_SCHEMA = (
 #: ballooning an output batch.
 MAX_URLS_PER_SITEMAP = 50_000
 
+#: The protocol caps one UNCOMPRESSED sitemap at 50 MB; decompression
+#: is budgeted to slightly above that so a small gzip bomb (~1000:1
+#: ratios are trivial) cannot allocate gigabytes before the entry cap
+#: ever sees a byte — the `_decode_png` max_pixels / `_decode_wav`
+#: max_samples discipline applied to this container.
+MAX_SITEMAP_BYTES = 64 * 1024 * 1024
+
 
 def _local(tag: str) -> str:
     """Element tag without its XML namespace (sitemaps appear with
@@ -59,7 +66,12 @@ def parse_sitemap_bytes(
         return []
     if raw[:2] == b"\x1f\x8b":
         try:
-            raw = gzip.decompress(raw)
+            # stream-decompress under a byte budget: never allocate
+            # the full expansion of a hostile bomb
+            with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gz:
+                raw = gz.read(MAX_SITEMAP_BYTES + 1)
+            if len(raw) > MAX_SITEMAP_BYTES:
+                return []
         except (OSError, EOFError):
             return []
     out: List[

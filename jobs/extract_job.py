@@ -424,8 +424,12 @@ def main(argv: list[str] | None = None) -> None:
     if args.sitemaps:
         from clara_ocr_spark.sources.sitemap import read_sitemaps
 
+        # overwrite, not append: the discovery table is a pure
+        # function of the sitemaps input, and --incremental replays
+        # (whose page extraction is a high-water-mark no-op) must not
+        # stack duplicate copies of every row (review finding)
         read_sitemaps(spark.read.parquet(args.sitemaps)).write.mode(
-            "append"
+            "overwrite"
         ).parquet(args.sitemap_out)
     if args.metrics or args.deskew:
         extracted.unpersist()

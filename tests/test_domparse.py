@@ -275,3 +275,21 @@ def test_emph_fast_slow_parity():
     ]
     for h in cases:
         assert parse_blocks(h) == parse_blocks_fast(h), h
+
+
+def test_decode_commented_out_meta_ignored():
+    """A charset declaration inside an HTML comment must not select a
+    codec (review finding): the head is comment-stripped before the
+    meta search, including an unclosed trailing comment."""
+    doc = (
+        '<!-- <meta charset="gb2312"> --><p>café</p>'
+    ).encode("latin-1")
+    assert "café" in decode_html(doc)  # latin-1 fallback, not GBK
+    # unclosed comment swallows the declaration too
+    doc2 = ('<!-- <meta charset="gb2312"> <p>café</p>').encode("latin-1")
+    assert "café" in decode_html(doc2)
+    # a real declaration AFTER a closed comment still wins
+    doc3 = (
+        '<!-- banner --><meta charset="windows-1251"><p>Привет</p>'
+    ).encode("cp1251")
+    assert "Привет" in decode_html(doc3)

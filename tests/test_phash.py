@@ -154,3 +154,63 @@ def test_media_audio_fp_end_to_end(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in dhash_near_dup(fps).collect()}
     assert (1, 2) in pairs  # the re-gained copy is found
     assert not any(3 in p for p in pairs)
+
+
+def test_media_dhash_total_coverage_hardening(spark):
+    """Review findings: NULL payloads, codec-gated media
+    (NotImplementedError), and non-image containers must yield NULL
+    rows — never a task failure, never a garbage image hash."""
+    from clara_ocr_spark.sources.multimodal import encode_fake, encode_wav
+
+    wav = encode_wav(np.zeros(200, dtype=np.int16))
+    # float-format WAVE → NotImplementedError inside the decoder
+    float_wav = bytearray(wav)
+    float_wav[20] = 3  # audio_format = IEEE float
+    rows = [
+        (1, 0, bytearray(encode_png(_img(3), color_type=0))),
+        (2, 1, bytearray(wav)),          # valid audio: not an image
+        (3, 1, bytes(float_wav)),        # codec-gated
+        (4, 0, None),                    # NULL payload
+        (5, 2, bytearray(encode_fake(5, 2, 32, 32, 4))),  # fake video
+    ]
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in media_dhash(
+            spark.createDataFrame(
+                rows, "media_id bigint, kind int, payload binary"
+            )
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
+    assert got[4] is None and got[5] is None
+
+
+def test_dhash_flat_and_tiny_images_are_unhashable():
+    """Solid-color images would ALL hash to 0 (hamming-0 false dups +
+    one hot join key); sub-thumbnail images would mean() empty chunks
+    to NaN — both must be None."""
+    flat = np.full((32, 45), 200, dtype=np.uint8)
+    assert dhash64(45, 32, 1, flat.tobytes()) is None
+    assert dhash64(1, 1, 1, b"\x80") is None  # 1x1 tracking pixel
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NaN mean would warn → fail
+        assert dhash64(5, 4, 1, bytes(20)) is None
+
+
+def test_near_dup_hot_band_cap(spark):
+    """A degenerate band value shared by > band_cap images is dropped
+    before the self-join (quadratic-candidate guard); distinct pairs
+    that share a healthy band still verify."""
+    # 40 hashes sharing band0 == 0x1234 but differing elsewhere: with
+    # band_cap=8 that band dies; each pair still differs by > 3 bits
+    rows = [(i, 0x1234 | (i << 16)) for i in range(40)]
+    rows += [(100, 7 | (9 << 16)), (101, 7 | (9 << 16))]  # true dup pair
+    df = spark.createDataFrame(rows, "media_id bigint, dhash bigint")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dhash_near_dup(df, band_cap=8).collect()}
+    assert (100, 101) in pairs
+    assert all(p == (100, 101) for p in pairs)

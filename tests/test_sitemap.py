@@ -112,3 +112,18 @@ def test_read_sitemaps_map_only_plan_and_fanout(spark):
     }
     pr = {r["loc"]: r["priority"] for r in rows}
     assert pr["https://ex.org/a"] == pytest.approx(0.8)
+
+
+def test_gzip_bomb_bounded():
+    """A small .xml.gz expanding past the 50 MB protocol cap must be
+    rejected by the streaming budget BEFORE full decompression — zero
+    rows, no multi-GB allocation (review finding)."""
+    from clara_ocr_spark.sources.sitemap import MAX_SITEMAP_BYTES
+
+    bomb = gzip.compress(b"\x00" * (MAX_SITEMAP_BYTES + 1024))
+    assert len(bomb) < 100_000  # it IS a bomb
+    assert parse_sitemap_bytes(bomb) == []
+    # a legitimately gzipped sitemap still parses
+    assert parse_sitemap_bytes(gzip.compress(URLSET))[0][0] == (
+        "https://ex.org/a"
+    )
