@@ -214,3 +214,78 @@ def test_near_dup_hot_band_cap(spark):
              dhash_near_dup(df, band_cap=8).collect()}
     assert (100, 101) in pairs
     assert all(p == (100, 101) for p in pairs)
+
+
+def test_media_job_end_to_end(tmp_path):
+    """jobs/media_job.py in a fresh interpreter: decode + image dups +
+    audio dups + barcodes from one media table, NULL-tolerant, with
+    lineage metrics."""
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.sources.multimodal import encode_wav
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = _img(13)
+    tweak = base.copy()
+    tweak[0, 0] ^= 0xFF
+    rng = np.random.RandomState(6)
+    env = np.repeat(rng.randint(1, 100, 65), 80).astype(np.float64)
+    snd = (env * np.sin(np.arange(env.size))).astype(np.int16)
+    louder = np.clip(snd.astype(np.int32) * 2, -32768, 32767).astype(
+        np.int16
+    )
+    rows = [
+        (1, "image", encode_png(base, color_type=0)),
+        (2, "image", encode_png(tweak, color_type=0)),
+        (3, "audio", encode_wav(snd)),
+        (4, "audio", encode_wav(louder)),
+        (5, "image", b"\x89PNG\r\n\x1a\ncorrupt"),
+    ]
+    inp = tmp_path / "media.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int32()),
+                "kind": [r[1] for r in rows],
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        ),
+        str(inp),
+    )
+    envv = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "jobs", "media_job.py"),
+            "--input", str(inp),
+            "--decoded", str(tmp_path / "dec"),
+            "--image-dups", str(tmp_path / "idups"),
+            "--audio-dups", str(tmp_path / "adups"),
+            "--barcodes", str(tmp_path / "bc"),
+            "--metrics", str(tmp_path / "metrics"),
+        ],
+        capture_output=True, text=True, env=envv, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    dec = duckdb.sql(
+        f"select media_id, width from '{tmp_path}/dec/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in dec} == {1, 2, 3, 4, 5}  # corrupt row kept
+    idups = duckdb.sql(
+        f"select id_a, id_b from '{tmp_path}/idups/*.parquet'"
+    ).fetchall()
+    assert (1, 2) in {(r[0], r[1]) for r in idups}
+    adups = duckdb.sql(
+        f"select id_a, id_b from '{tmp_path}/adups/*.parquet'"
+    ).fetchall()
+    assert (3, 4) in {(r[0], r[1]) for r in adups}
+    n_m = duckdb.sql(
+        f"select count(*) from '{tmp_path}/metrics/*.parquet'"
+    ).fetchone()[0]
+    assert n_m >= 1
