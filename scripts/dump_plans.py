@@ -221,6 +221,27 @@ def main() -> None:
         "union sizes re-attach via two host-keyed joins\n"
         "(inclusion-exclusion), no second pass over content.",
     )
+    add(
+        "sitemap_coverage (sitemap-vs-crawl audit)",
+        REGISTRY["sitemap_coverage"][0](spark, SF),
+        "ONE full-outer equi-join on the ~unique url key (both sides\n"
+        "pre-deduped with map-side-partial distinct), then a per-host\n"
+        "rollup that also partially aggregates — no salt needed\n"
+        "because the join key is the url, not the Zipf host.",
+    )
+    from clara_ocr_spark.functions.phash import dhash_near_dup
+
+    hashes = spark.range(2000).selectExpr(
+        "id as media_id", "cast(id * 7919 as bigint) as dhash"
+    )
+    add(
+        "dhash_near_dup (banded Hamming media dedup)",
+        dhash_near_dup(hashes),
+        "4x16-bit pigeonhole bands as an EQUI self-join (no\n"
+        "CartesianProduct anywhere), hot (band,key) groups dropped\n"
+        "before the join, candidates deduped ON IDS, popcount verify\n"
+        "bit_count(a^b) JVM-side on candidates only.",
+    )
     from clara_ocr_spark.sources.formats import wat_sidecar
     from clara_ocr_spark.stages.links import extract_links
     from clara_ocr_spark.stages.metadata import harvest_metadata
