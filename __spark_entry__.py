@@ -10,11 +10,13 @@ extraction pipeline (the SURVEY north-star) is exercised by the pytest
 byte-identity suite and by ``bench.py``.
 
 Catalog order is the explicit ``queries.DRIVER_WINDOW`` (the driver
-samples the first 50 registrations): the 28 round-2-unsigned queries
-and the round-3 additions first, then one representative per SURVEY
-§2 operator family — every family keeps a driver-green CORRECTNESS
-row. All 81 queries (driver-sampled or not) pass the identical local
-oracle check at sf0.001 AND sf0.01 in tests/test_queries_oracle.py.
+samples the first 50 registrations), rotated per round so every
+signature stays at most one round old; the r4 window leads with every
+never-signed query and keeps one representative per SURVEY §2
+operator family driver-green (rotation plan documented above
+DRIVER_WINDOW in queries.py). All 111 queries (driver-sampled or
+not) pass the identical local oracle check at sf0.001 AND sf0.01 in
+tests/test_queries_oracle.py, plus adversarial edge-corpus reruns.
 """
 
 from __future__ import annotations
