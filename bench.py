@@ -114,6 +114,7 @@ HEADLINE = [
     "host_mirror_jaccard",  # added r4: host mirror detection (fp Jaccard)
     "bpe_merge_candidates",  # added r4: BPE first-merge pair counting
     "sitemap_coverage",  # added r4: sitemap-vs-crawl coverage audit
+    "url_trap_audit",  # added r4: crawl-trap (param-variant) detection
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

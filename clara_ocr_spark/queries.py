@@ -6613,6 +6613,87 @@ def sitemap_coverage(spark, sf_dir):
     )
 
 
+@q(
+    "url_trap_audit",
+    """
+    with cap as (
+      select 'h' || cast(event_id % 7 as varchar)
+             || '/p' || cast(event_id % 50 as varchar)
+             || case when event_id % 7 in (0, 1)
+                       or event_id % 11 = 0
+                     then '?sid=' || cast(event_id as varchar)
+                     else '' end as url
+      from events),
+    u as (select distinct url,
+                 regexp_replace(url, '\\?.*$', '') as clean
+          from cap),
+    h as (select split_part(url, '/', 1) as host, url, clean from u)
+    select host,
+           cast(count(*) as bigint) as n_urls,
+           cast(count(distinct clean) as bigint) as n_clean,
+           cast(count(*) - count(distinct clean) as bigint)
+             as n_param_variants,
+           cast((1000 * (count(*) - count(distinct clean)))
+                // count(*) as bigint) as trap_pm
+    from h group by host
+    """,
+)
+def url_trap_audit(spark, sf_dir):
+    """Crawl-trap detection — the frontier's self-defense against
+    infinite url spaces (session ids, calendars, faceted search):
+    per host, how many DISTINCT urls collapse onto the same
+    query-stripped path.  A host whose url count is dominated by
+    parameter variants (`trap_pm` → 1000) is spending the crawl
+    budget re-fetching one page under infinite names; schedulers cap
+    or canonicalize such hosts (the `url_canonical_groups` rule, at
+    host granularity).  Urls are synthesized deterministically from
+    the event feed with two TRAP hosts (every capture unique-by-sid)
+    and five healthy hosts (occasional params) so both classes are
+    genuinely exercised.
+
+    Scale shape: the distinct and both counts key on url/host — one
+    map-side-partial distinct then one host-keyed agg; integer
+    per-mille keeps the hash exact.  The Zipf host key is safe here
+    because the heavy lifting (distinct urls) happened BEFORE the
+    host rollup, which only merges counters."""
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("h"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("/p"),
+        (F.col("event_id") % 50).cast("string"),
+        F.when(
+            ((F.col("event_id") % 7).isin(0, 1))
+            | (F.col("event_id") % 11 == 0),
+            F.concat(F.lit("?sid="), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    u = (
+        e.select(url.alias("url"))
+        .distinct()
+        .select(
+            "url", F.regexp_replace("url", r"\?.*$", "").alias("clean")
+        )
+    )
+    h = u.select(
+        F.split_part(F.col("url"), F.lit("/"), F.lit(1)).alias("host"),
+        "url",
+        "clean",
+    )
+    n = F.count(F.lit(1))
+    nc = F.countDistinct("clean")
+    return h.groupBy("host").agg(
+        n.cast("bigint").alias("n_urls"),
+        nc.cast("bigint").alias("n_clean"),
+        (n - nc).cast("bigint").alias("n_param_variants"),
+        F.expr(
+            "(1000 * (count(1) - count(distinct clean))) div count(1)"
+        )
+        .cast("bigint")
+        .alias("trap_pm"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------

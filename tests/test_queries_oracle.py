@@ -87,8 +87,9 @@ def test_driver_window_invariants():
         "llm_ngram_lm": {"ngram_lm_score"},
         "llm_dsir": {"dsir_importance"},
         "web_mirror": {"host_mirror_jaccard"},
-        # llm_bpe_train {bpe_merge_candidates} and web_sitemap
-        # {sitemap_coverage} are r4-late additions
+        # llm_bpe_train {bpe_merge_candidates}, web_sitemap
+        # {sitemap_coverage}, and web_trap {url_trap_audit} are
+        # r4-late additions
         # outside the (full) r4 window — every slot holds a never-
         # signed or sole-family-rep query; add them to this map when the
         # r5 rotation signs them.
@@ -237,6 +238,7 @@ EDGE_EVENT_QUERIES = [
     "exists_semi_join", "anti_join_discard", "range_join_bucketed",
     "stream_windowed_counts", "stream_sessionize",  # r3 streaming twins
     "stream_dedup_replay",  # unique ids in fixture: oracle stays exact
+    "url_trap_audit",  # late r4: sparse/duplicate event_ids
 ]
 
 
