@@ -188,6 +188,52 @@ def media_audio_fp(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema="media_id bigint, dhash bigint")
 
 
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, kind, payload) → (media_id, image_dhash,
+    audio_fp): BOTH perceptual keys from ONE Arrow-batched payload
+    scan — the job surface uses this instead of running
+    :func:`media_dhash` and :func:`media_audio_fp` back-to-back,
+    which would read and Python-decode every payload twice.  Exactly
+    one of the two columns can be non-NULL per row (a payload is one
+    container); the same total-coverage NULL contract as both
+    single-key functions."""
+    import pandas as pd
+
+    from ..sources.multimodal import _decode_one, _decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dh: Optional[int] = None
+                fp: Optional[int] = None
+                raw = bytes(payload) if payload is not None else b""
+                if _is_image_payload(raw):
+                    try:
+                        w, h, frames, body = _decode_one(raw)
+                        ch = (
+                            len(body) // (w * h) if w > 0 and h > 0 else 0
+                        )
+                        dh = dhash64(w, h, ch, body)
+                    except (ValueError, NotImplementedError):
+                        dh = None
+                elif raw[:4] == b"RIFF":
+                    try:
+                        _rate, ch, n, pcm = _decode_wav(raw)
+                        fp = audio_fp64(ch, n, pcm)
+                    except (ValueError, NotImplementedError):
+                        fp = None
+                out.append((int(mid), dh, fp))
+            yield pd.DataFrame(
+                out, columns=["media_id", "image_dhash", "audio_fp"]
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id bigint, image_dhash bigint, audio_fp bigint",
+    )
+
+
 def dhash_near_dup(
     hashes: DataFrame, max_dist: int = 3, band_cap: int = 64
 ) -> DataFrame:

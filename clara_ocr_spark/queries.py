@@ -6682,15 +6682,17 @@ def url_trap_audit(spark, sf_dir):
     )
     n = F.count(F.lit(1))
     nc = F.countDistinct("clean")
-    return h.groupBy("host").agg(
-        n.cast("bigint").alias("n_urls"),
-        nc.cast("bigint").alias("n_clean"),
-        (n - nc).cast("bigint").alias("n_param_variants"),
-        F.expr(
-            "(1000 * (count(1) - count(distinct clean))) div count(1)"
+    return (
+        h.groupBy("host")
+        .agg(
+            n.cast("bigint").alias("n_urls"),
+            nc.cast("bigint").alias("n_clean"),
+            (n - nc).cast("bigint").alias("n_param_variants"),
         )
-        .cast("bigint")
-        .alias("trap_pm"),
+        .withColumn(
+            "trap_pm",
+            F.expr("(1000 * n_param_variants) div n_urls").cast("bigint"),
+        )
     )
 
 

@@ -24,17 +24,10 @@ import sys
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
-# Python workers are separate processes and resolve imports from env,
-# not the driver's sys.path: without this, running the job from any
-# cwd outside the repo dies with ModuleNotFoundError on the first
-# mapInPandas batch (same hook as session.get_spark; on a real
-# cluster --py-files ships the package instead).
-if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = (
-        _ROOT
-        + (os.pathsep + os.environ["PYTHONPATH"]
-           if os.environ.get("PYTHONPATH") else "")
-    )
+# The worker PYTHONPATH export (Python workers resolve imports from
+# env, not the driver's sys.path) lives in jobs/extract_job.py — the
+# single copy of the bootstrap — and runs when main() imports
+# build_session from it, before any Spark session exists.
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -27,12 +27,10 @@ import sys
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
-if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = (
-        _ROOT
-        + (os.pathsep + os.environ["PYTHONPATH"]
-           if os.environ.get("PYTHONPATH") else "")
-    )
+# The worker PYTHONPATH export (Python workers resolve imports from
+# env, not the driver's sys.path) lives in jobs/extract_job.py — the
+# single copy of the bootstrap — and runs when main() imports
+# build_session from it, before any Spark session exists.
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -67,10 +65,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from jobs.extract_job import build_session
 
+    import pyspark.sql.functions as F
+
     from clara_ocr_spark.functions.phash import (
         dhash_near_dup,
-        media_audio_fp,
-        media_dhash,
+        media_fingerprints,
     )
     from clara_ocr_spark.sources.multimodal import decode
     from clara_ocr_spark.stages.consist import (
@@ -82,16 +81,22 @@ def main(argv: list[str] | None = None) -> None:
     media = spark.read.parquet(args.input)
 
     decode(media).write.mode("overwrite").parquet(args.decoded)
+    if args.image_dups or args.audio_dups:
+        # ONE payload scan computes both perceptual keys; the lazy
+        # checkpoint makes the two dedup writes share it
+        fps = media_fingerprints(media).localCheckpoint(eager=False)
     if args.image_dups:
-        hashes = media_dhash(media).localCheckpoint(eager=False)
-        dhash_near_dup(hashes, band_cap=args.band_cap).write.mode(
-            "overwrite"
-        ).parquet(args.image_dups)
+        dhash_near_dup(
+            fps.select(
+                "media_id", F.col("image_dhash").alias("dhash")
+            ),
+            band_cap=args.band_cap,
+        ).write.mode("overwrite").parquet(args.image_dups)
     if args.audio_dups:
-        fps = media_audio_fp(media).localCheckpoint(eager=False)
-        dhash_near_dup(fps, band_cap=args.band_cap).write.mode(
-            "overwrite"
-        ).parquet(args.audio_dups)
+        dhash_near_dup(
+            fps.select("media_id", F.col("audio_fp").alias("dhash")),
+            band_cap=args.band_cap,
+        ).write.mode("overwrite").parquet(args.audio_dups)
     if args.barcodes:
         from clara_ocr_spark.functions.barcode import scan_barcodes
 

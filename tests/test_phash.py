@@ -285,6 +285,12 @@ def test_media_job_end_to_end(tmp_path):
         f"select id_a, id_b from '{tmp_path}/adups/*.parquet'"
     ).fetchall()
     assert (3, 4) in {(r[0], r[1]) for r in adups}
+    bc = duckdb.sql(
+        f"select media_id, barcode from '{tmp_path}/bc/*.parquet'"
+    ).fetchall()
+    # total coverage: every row present, none of these carry a Code 39
+    assert {r[0] for r in bc} == {1, 2, 3, 4, 5}
+    assert all(r[1] is None for r in bc)
     n_m = duckdb.sql(
         f"select count(*) from '{tmp_path}/metrics/*.parquet'"
     ).fetchone()[0]

@@ -238,7 +238,8 @@ EDGE_EVENT_QUERIES = [
     "exists_semi_join", "anti_join_discard", "range_join_bucketed",
     "stream_windowed_counts", "stream_sessionize",  # r3 streaming twins
     "stream_dedup_replay",  # unique ids in fixture: oracle stays exact
-    "url_trap_audit",  # late r4: sparse/duplicate event_ids
+    "url_trap_audit",  # late r4: sparse ids; param-free url
+    #   collisions across distinct ids exercise the distinct-dedup
 ]
 
 
