@@ -295,3 +295,39 @@ def test_media_job_end_to_end(tmp_path):
         f"select count(*) from '{tmp_path}/metrics/*.parquet'"
     ).fetchone()[0]
     assert n_m >= 1
+
+
+# ---- hypothesis fuzz: the pure functions must never crash and must
+# ---- stay inside their contracts on ARBITRARY bytes (the link-parser
+# ---- fuzz discipline applied to the media keys)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(-2, 40),
+    h=st.integers(-2, 40),
+    ch=st.integers(-1, 5),
+    body=st.binary(max_size=4096),
+)
+def test_dhash64_fuzz_never_raises(w, h, ch, body):
+    out = dhash64(w, h, ch, body)
+    assert out is None or (
+        isinstance(out, int) and -(2**63) <= out < 2**63
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ch=st.integers(-1, 4),
+    n=st.integers(-1, 400),
+    pcm=st.binary(max_size=2048),
+)
+def test_audio_fp64_fuzz_never_raises(ch, n, pcm):
+    from clara_ocr_spark.functions.phash import audio_fp64
+
+    out = audio_fp64(ch, n, pcm)
+    assert out is None or (
+        isinstance(out, int) and -(2**63) <= out < 2**63
+    )

@@ -127,3 +127,25 @@ def test_gzip_bomb_bounded():
     assert parse_sitemap_bytes(gzip.compress(URLSET))[0][0] == (
         "https://ex.org/a"
     )
+
+
+# ---- hypothesis fuzz: arbitrary bytes (including gzip-magic-prefixed
+# ---- garbage and truncated XML) must yield a list, never an exception
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(raw=st.binary(max_size=2048))
+def test_parse_sitemap_fuzz_never_raises(raw):
+    rows = parse_sitemap_bytes(raw)
+    assert isinstance(rows, list)
+    for loc, lastmod, changefreq, priority, is_index in rows:
+        assert isinstance(loc, str) and loc
+        assert isinstance(is_index, bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(raw=st.binary(max_size=1024))
+def test_parse_sitemap_fuzz_gzip_prefixed(raw):
+    assert isinstance(parse_sitemap_bytes(b"\x1f\x8b" + raw), list)
