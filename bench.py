@@ -115,6 +115,7 @@ HEADLINE = [
     "bpe_merge_candidates",  # added r4: BPE first-merge pair counting
     "sitemap_coverage",  # added r4: sitemap-vs-crawl coverage audit
     "url_trap_audit",  # added r4: crawl-trap (param-variant) detection
+    "robots_wildcards",  # added r4: RFC 9309 wildcard rule precedence
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -6696,6 +6696,142 @@ def url_trap_audit(spark, sf_dir):
     )
 
 
+def _robots_rx(pattern: str) -> str:
+    """RFC 9309 rule pattern → anchored regex, shared by the Spark
+    rule table and the DuckDB oracle VALUES (compiled ONCE per rule at
+    broadcast-build time — never per url).  '*' matches any sequence;
+    '$' is an end anchor only in final position (mid-string '$' is
+    literal, per the RFC); everything else is literal.  The escaped
+    output uses only syntax Java regex and RE2 agree on."""
+    import re as _re
+
+    s = _re.escape(pattern)
+    s = s.replace(r"\*", ".*")
+    if s.endswith(r"\$"):
+        s = s[: -2] + "$"
+    return "^" + s
+
+
+#: (host, pattern, allow) — wildcard politeness rules; w3/w4 have no
+#: rules (default-allow path).  Kept tiny and literal so the VALUES
+#: oracle and the broadcast table are byte-for-byte the same rules.
+_ROBOTS_W_RULES = [
+    ("w0", "/private/*", 0),
+    ("w0", "/private/*.html$", 1),
+    ("w0", "/", 1),
+    ("w1", "/*?sid=", 0),
+    ("w1", "/", 1),
+    ("w2", "/docs/$", 0),
+    ("w2", "/", 1),
+]
+
+_ROBOTS_W_VALUES = ", ".join(
+    "('{}', '{}', '{}', {})".format(h, p, _robots_rx(p), a)
+    for h, p, a in _ROBOTS_W_RULES
+)
+
+
+@q(
+    "robots_wildcards",
+    f"""
+    with u as (select 'w' || cast(doc_id % 5 as varchar) as host,
+                      case cast(doc_id % 6 as int)
+                        when 0 then '/p/' || cast(doc_id as varchar)
+                        when 1 then '/private/a' || cast(doc_id as varchar)
+                        when 2 then '/private/a' || cast(doc_id as varchar)
+                                    || '.html'
+                        when 3 then '/x' || cast(doc_id as varchar)
+                                    || '?sid=9'
+                        when 4 then '/docs/'
+                        else '/p/' || cast(doc_id as varchar) || '.html'
+                      end as path
+               from documents),
+    r (host, pattern, rx, allow) as (values {_ROBOTS_W_VALUES}),
+    best as (select u.host, u.path,
+                    max(2 * length(r.pattern) + r.allow) as score
+             from u left join r
+               on u.host = r.host and regexp_matches(u.path, r.rx)
+             group by u.host, u.path),
+    v as (select host,
+                 case when score is null then 'default_allow'
+                      when score % 2 = 1 then 'allowed'
+                      else 'blocked' end as verdict
+          from best)
+    select host, verdict, cast(count(*) as bigint) as n_urls
+    from v group by host, verdict
+    """,
+)
+def robots_wildcards(spark, sf_dir):
+    """RFC 9309 WILDCARD rules — the `robots_filter` gate extended
+    from prefix matching to the full `*` / `$` pattern grammar every
+    large site uses (`Disallow: /private/*`, `Allow: /*.html$`).
+    Precedence is still ONE integer aggregate: score = 2·len(pattern)
+    + allow, max elects (longest pattern = most specific, RFC
+    tie-break to allow), score parity is the verdict, NULL score =
+    no matching rule = default allow.  The w0 case pins the
+    interesting interaction: `/private/a7.html` matches both the
+    block `/private/*` (score 20) and the LONGER allow
+    `/private/*.html$` (score 33) — the specific allow wins, exactly
+    the RFC's most-specific-match rule.
+
+    Scale shape: rule patterns compile to regexes ONCE per rule at
+    broadcast-build time (`_robots_rx`, shared verbatim with the
+    DuckDB oracle) — never per url; the probe is a host-keyed
+    broadcast join where each url meets only ITS host's O(10) rules,
+    and the regex predicate runs JVM-side (`rlike` inside the join
+    condition).  Same shuffle budget as the prefix gate: one
+    (host, path) aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    u = d.select(
+        F.concat(F.lit("w"), (F.col("doc_id") % 5).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/p/"), did))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("/private/a"), did))
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("/private/a"), did, F.lit(".html")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("/x"), did, F.lit("?sid=9")),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.lit("/docs/"))
+        .otherwise(F.concat(F.lit("/p/"), did, F.lit(".html")))
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [(h, p, _robots_rx(p), a) for h, p, a in _ROBOTS_W_RULES],
+        "host string, pattern string, rx string, allow int",
+    )
+    best = (
+        u.join(
+            F.broadcast(rules),
+            (u["host"] == rules["host"])
+            & F.expr("path rlike rx"),
+            "left",
+        )
+        .select(
+            u["host"].alias("host"),
+            "path",
+            (2 * F.length("pattern") + F.col("allow")).alias("s"),
+        )
+        .groupBy("host", "path")
+        .agg(F.max("s").alias("score"))
+    )
+    v = best.select(
+        "host",
+        F.when(F.col("score").isNull(), "default_allow")
+        .when(F.col("score") % 2 == 1, "allowed")
+        .otherwise("blocked")
+        .alias("verdict"),
+    )
+    return v.groupBy("host", "verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls")
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------

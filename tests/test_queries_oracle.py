@@ -76,7 +76,7 @@ def test_driver_window_invariants():
         "llm_split": {"leakage_safe_split", "decontaminate"},
         "llm_entropy": {"token_entropy"},
         "llm_containment": {"shingle_containment"},
-        "web_robots": {"robots_filter"},
+        "web_robots": {"robots_filter", "robots_wildcards"},
         "web_frontier": {"frontier_waves"},
         "web_charset": {"charset_sniff"},
         "web_archive": {"cdx_index"},
@@ -161,6 +161,7 @@ EDGE_QUERIES = [
     "ngram_lm_score", "dsir_importance", "host_mirror_jaccard",
     "bpe_merge_candidates",  # single-char words emit no pairs
     "sitemap_coverage",  # sparse doc_ids: both gap classes still nonzero
+    "robots_wildcards",  # sparse ids: every verdict class still derives
 ]
 
 
