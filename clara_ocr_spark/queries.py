@@ -6887,16 +6887,20 @@ def robots_wildcards(spark, sf_dir):
 # top_suppliers_per_nation's §2.5 multi-key ordering keeps
 # argmax_per_group in-window).
 #
-# r5 rotation plan: lead with the twenty-three displaced r1/r2
-# queries (cosine_topk, ngram_jaccard_pairs, bpe_token_stats,
-# rollup_metrics, funnel_conversion, rolling_value_range,
-# doc_fingerprints, point_lookup, distinct_classes,
-# embedding_lsh_buckets, top_sources_by_chars, ivf_topk_probe2,
-# quality_scores, value_histogram, token_stats, json_props_stats,
-# revenue_by_nation, events_hourly, anti_join_discard,
-# lang_id_confusion, kmeans_refine, retention_cohorts,
-# top_suppliers_per_nation), plus ANY query added after this
-# amendment, then backfill with the oldest remaining signatures.
+# r5 rotation plan: lead with (a) the FOUR never-signed r4-late
+# queries (bpe_merge_candidates, sitemap_coverage, url_trap_audit,
+# robots_wildcards — never-signed outranks everything), then (b) the
+# twenty-three displaced r1/r2 queries (cosine_topk,
+# ngram_jaccard_pairs, bpe_token_stats, rollup_metrics,
+# funnel_conversion, rolling_value_range, doc_fingerprints,
+# point_lookup, distinct_classes, embedding_lsh_buckets,
+# top_sources_by_chars, ivf_topk_probe2, quality_scores,
+# value_histogram, token_stats, json_props_stats, revenue_by_nation,
+# events_hourly, anti_join_discard, lang_id_confusion, kmeans_refine,
+# retention_cohorts, top_suppliers_per_nation), plus ANY query added
+# after this note, then backfill with the oldest remaining
+# signatures (the r4-signed block rotates out; every §2 family must
+# keep an in-window rep per test_driver_window_invariants).
 DRIVER_WINDOW = [
     # -- last signed in r1/r2: rotate to the front for fresh signatures
     "argmax_per_group",       # §2.5 per-group argmax
