@@ -116,6 +116,7 @@ HEADLINE = [
     "sitemap_coverage",  # added r4: sitemap-vs-crawl coverage audit
     "url_trap_audit",  # added r4: crawl-trap (param-variant) detection
     "robots_wildcards",  # added r4: RFC 9309 wildcard rule precedence
+    "cdc_chunk_dedup",  # added r4: content-defined chunk overlap
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -6832,6 +6832,125 @@ def robots_wildcards(spark, sf_dir):
     )
 
 
+@q(
+    "cdc_chunk_dedup",
+    f"""
+    with t as (select d.doc_id, d.source, g.i - 1 as pos, d.ws[g.i] as w
+               from (select doc_id, source,
+                            {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents
+                     where length(trim(text)) > 0) d,
+                    unnest(generate_series(1, len(d.ws))) as g(i)),
+    b as (select doc_id, source, pos, w,
+                 case when ({H60_DUCK.format(x='w')}) % 8 = 0
+                      then 1 else 0 end as bnd
+          from t),
+    c as (select doc_id, source, pos, w,
+                 coalesce(sum(bnd) over (partition by doc_id
+                          order by pos rows between unbounded preceding
+                          and 1 preceding), 0) as cid
+          from b),
+    ch as (select doc_id, source,
+                  {H60_DUCK.format(
+                      x="string_agg(w, ' ' order by pos)")} as dg
+           from c group by doc_id, source, cid),
+    df as (select dg, count(distinct doc_id) as ddf from ch group by dg),
+    pd as (select ch.doc_id, ch.source,
+                  cast(count(*) as bigint) as n_chunks,
+                  cast(sum(case when df.ddf >= 2 then 1 else 0 end)
+                       as bigint) as n_shared
+           from ch join df on ch.dg = df.dg
+           group by ch.doc_id, ch.source)
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chunks) as bigint) as total_chunks,
+           cast(sum(n_shared) as bigint) as shared_chunks,
+           cast((1000 * sum(n_shared)) // sum(n_chunks) as bigint)
+             as shared_pm
+    from pd group by source
+    """,
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup — the backup/storage-dedup
+    technique applied to corpus text: chunk boundaries fall where the
+    TOKEN HASH hits a modulus (h60(w) % 8 == 0), so they move WITH
+    the content — inserting a sentence early in a doc re-chunks only
+    the chunk it lands in, and every later chunk keeps its identity
+    (a fixed-width chunker would shift every boundary and miss all
+    downstream overlap).  Cross-doc shared-chunk rate per source is
+    the partial-overlap signal sitting between exact dedup (whole-doc
+    digest) and dup_span_detect (exact substring spans).
+
+    Scale shape: boundary flags are a map-only hash; the running
+    chunk id is one window per doc (doc_id the natural partition);
+    chunk digests aggregate map-side; the chunk-frequency side
+    (`df`) shuffles 8-byte digests only and joins back by EQUI digest
+    — text never shuffles after the per-doc chunk build.  Integer
+    per-mille keeps the value hash exact."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(_tokens(F.lower(F.col("text")))).alias(
+                "pos", "w"
+            ),
+        )
+    )
+    b = d.withColumn(
+        "bnd", F.when(spark_hash60(F.col("w")) % 8 == 0, 1).otherwise(0)
+    )
+    w_cid = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.withColumn(
+        "cid", F.coalesce(F.sum("bnd").over(w_cid), F.lit(0))
+    )
+    ch = (
+        c.groupBy("doc_id", "source", "cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        .select(
+            "doc_id", "source", spark_hash60(F.col("chunk")).alias("dg")
+        )
+    )
+    df = ch.groupBy("dg").agg(F.countDistinct("doc_id").alias("ddf"))
+    pd_ = (
+        ch.join(df, "dg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("ddf") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+            F.sum("n_shared").cast("bigint").alias("shared_chunks"),
+        )
+        .withColumn(
+            "shared_pm",
+            F.expr("(1000 * shared_chunks) div total_chunks").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -6887,9 +7006,10 @@ def robots_wildcards(spark, sf_dir):
 # top_suppliers_per_nation's §2.5 multi-key ordering keeps
 # argmax_per_group in-window).
 #
-# r5 rotation plan: lead with (a) the FOUR never-signed r4-late
-# queries (bpe_merge_candidates, sitemap_coverage, url_trap_audit,
-# robots_wildcards — never-signed outranks everything), then (b) the
+# r5 rotation plan: lead with (a) the never-signed r4-late queries
+# (bpe_merge_candidates, sitemap_coverage, url_trap_audit,
+# robots_wildcards, cdc_chunk_dedup — never-signed outranks
+# everything), then (b) the
 # twenty-three displaced r1/r2 queries (cosine_topk,
 # ngram_jaccard_pairs, bpe_token_stats, rollup_metrics,
 # funnel_conversion, rolling_value_range, doc_fingerprints,

@@ -61,7 +61,7 @@ def test_driver_window_invariants():
         "llm_embedding": {"near_dup_cosine", "dup_clusters",
                           "embedding_lsh_buckets", "semdedup_cells"},
         "llm_line_dedup": {"line_dedup_corpus"},
-        "llm_dup_spans": {"dup_span_detect"},
+        "llm_dup_spans": {"dup_span_detect", "cdc_chunk_dedup"},
         "llm_graph_rank": {"pagerank_bipartite"},
         "llm_classifier": {"nb_lang_classifier"},
         "llm_ann": {"ivf_topk", "ivf_recall", "ivf_topk_probe2"},
@@ -162,6 +162,7 @@ EDGE_QUERIES = [
     "bpe_merge_candidates",  # single-char words emit no pairs
     "sitemap_coverage",  # sparse doc_ids: both gap classes still nonzero
     "robots_wildcards",  # sparse ids: every verdict class still derives
+    "cdc_chunk_dedup",  # empty/1-token docs; dup docs share ALL chunks
 ]
 
 
