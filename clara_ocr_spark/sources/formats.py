@@ -162,6 +162,39 @@ def wat_sidecar(
     )
 
 
+def to_wet_records(extracted: DataFrame) -> DataFrame:
+    """(url, warc_ts, text) → one WET ``conversion`` record per row in
+    a single ``value`` string column, ready for ``.write.text()`` —
+    the EXPORT side of the WET story (``read_pages_warc`` +
+    ``--input-format wet`` are the read side): after extraction, ship
+    the corpus back out in the Common-Crawl interchange shape so any
+    WET-speaking consumer (including this repo's own reader — the
+    round-trip test) can use it without parquet.
+
+    Pure JVM string algebra, map-only, zero shuffle; Content-Length is
+    ``octet_length`` (utf-8 OCTETS, exactly what ``.text()`` writes —
+    a char count would corrupt the framing on any non-ASCII doc).
+    A text payload containing 'WARC/1.0' lookalikes is safe because
+    readers slice by Content-Length before re-searching.  The text
+    writer's per-row '\\n' lands between records, where WARC parsers
+    skip bytes anyway."""
+    body = F.coalesce(F.col("text"), F.lit(""))
+    return extracted.select(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"),
+            F.lit("WARC-Target-URI: "),
+            F.col("url"),
+            F.lit("\r\nWARC-Date: "),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("\r\nContent-Length: "),
+            F.octet_length(body).cast("string"),
+            F.lit("\r\n\r\n"),
+            body,
+            F.lit("\r\n\r\n"),
+        ).alias("value")
+    )
+
+
 def write_warc(rows, path: str, gzip_members: bool = False) -> None:
     """Write WARC/1.0 records (test/fixture writer — one file per
     call; a crawler writes these, we only need to READ them at scale).

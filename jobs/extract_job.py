@@ -199,6 +199,14 @@ def main(argv: list[str] | None = None) -> None:
         "golden-pinned extractor for the same reason as --links",
     )
     ap.add_argument(
+        "--wet-out",
+        default=None,
+        metavar="PATH",
+        help="also export the extraction as WET conversion records "
+        "(Common-Crawl interchange; sources/formats.to_wet_records) — "
+        "raw text lines, readable back by --input-format wet",
+    )
+    ap.add_argument(
         "--sitemaps",
         default=None,
         metavar="PATH",
@@ -384,6 +392,14 @@ def main(argv: list[str] | None = None) -> None:
         from clara_ocr_spark.stages.calibrate import deskew_profile
 
         deskew_profile(extracted).write.mode("append").parquet(args.deskew)
+    if args.wet_out:
+        from clara_ocr_spark.sources.formats import to_wet_records
+
+        # warc_ts rides back in from the input by url (extraction
+        # output carries url+text only); map-only after the join
+        to_wet_records(
+            extracted.join(pages.select("url", "warc_ts"), "url")
+        ).write.mode("append").text(args.wet_out)
     if skew_frames:
         # the PDF runs were localCheckpointed inside extract_pdf and
         # materialized by the extraction write above — this write

@@ -54,6 +54,7 @@ def test_extract_job_mixed(tmp_path):
             "--wat", str(tmp_path / "wat"),
             "--sitemaps", str(sitemaps),
             "--sitemap-out", str(tmp_path / "sm_out"),
+            "--wet-out", str(tmp_path / "wet"),
         ],
         capture_output=True,
         text=True,
@@ -118,6 +119,17 @@ def test_extract_job_mixed(tmp_path):
         ("https://sm.example/sitemap.xml", "https://sm.example/a"),
         ("https://sm.example/sitemap.xml", "https://sm.example/b"),
     }
+
+    # --wet-out rode the same run: one conversion record per input
+    # url (both legs), framed well enough for the repo's own reader
+    from clara_ocr_spark.sources.formats import _parse_warc_bytes
+
+    wet_payload = b"".join(
+        open(f, "rb").read()
+        for f in sorted(_glob.glob(f"{tmp_path}/wet/part-*"))
+    )
+    wet_urls = {u for u, _ts, _b, _t in _parse_warc_bytes(wet_payload)}
+    assert wet_urls == {r["url"] for r in rows}
 
     # --incremental + --mixed together: replay must be a no-op (the
     # high-water-mark anti-join sees every url already extracted)

@@ -128,3 +128,36 @@ def test_harvest_metadata_stage(spark):
     # map-only: no Exchange in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_wet_export_roundtrips_through_own_reader(spark, tmp_path):
+    """to_wet_records → .text() → read_pages_warc must round-trip the
+    extracted text byte-identically (incl. non-ASCII: Content-Length
+    counts utf-8 OCTETS, the framing a char count would corrupt) and
+    tolerate WARC-lookalike payloads."""
+    import datetime
+
+    from clara_ocr_spark.sources.formats import (
+        read_pages_warc,
+        to_wet_records,
+    )
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        ("https://w.example/a", ts, "plain ascii body"),
+        ("https://w.example/b", ts, "café résumé — non-ascii ✓"),
+        ("https://w.example/c", ts, ""),
+        ("https://w.example/d", ts,
+         "hostile body containing WARC/1.0\r\nWARC-Type: response"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    out = tmp_path / "wet"
+    to_wet_records(df).write.text(str(out))
+    back = {
+        r["url"]: r["text"]
+        for r in read_pages_warc(spark, f"{out}/part-*").collect()
+    }
+    assert back == {u: t for u, t, in
+                    ((r[0], r[2]) for r in rows)}
