@@ -177,15 +177,35 @@ def to_wet_records(extracted: DataFrame) -> DataFrame:
     A text payload containing 'WARC/1.0' lookalikes is safe because
     readers slice by Content-Length before re-searching.  The text
     writer's per-row '\\n' lands between records, where WARC parsers
-    skip bytes anyway."""
+    skip bytes anyway.
+
+    Framing hardening (review pass): a CR/LF inside the url would
+    truncate the header block before Content-Length and turn the body
+    into forged records, so the url is stripped of [\\r\\n]; a NULL
+    url/warc_ts must not NULL the whole concat (Spark concat is
+    NULL-propagating) and silently drop the page — they coalesce to
+    '' / the epoch sentinel; and WARC-Date renders in UTC REGARDLESS
+    of the session timezone (``to_utc_timestamp(ts,
+    current_timezone())`` — the writer twin of the reader's
+    session-tz correction at the ``warc_ts`` ingest side)."""
     body = F.coalesce(F.col("text"), F.lit(""))
+    url = F.regexp_replace(
+        F.coalesce(F.col("url"), F.lit("")), r"[\r\n]", ""
+    )
+    ts = F.coalesce(
+        F.date_format(
+            F.to_utc_timestamp(F.col("warc_ts"), F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ),
+        F.lit("1970-01-01T00:00:00Z"),
+    )
     return extracted.select(
         F.concat(
             F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"),
             F.lit("WARC-Target-URI: "),
-            F.col("url"),
+            url,
             F.lit("\r\nWARC-Date: "),
-            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            ts,
             F.lit("\r\nContent-Length: "),
             F.octet_length(body).cast("string"),
             F.lit("\r\n\r\n"),

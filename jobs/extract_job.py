@@ -373,8 +373,8 @@ def main(argv: list[str] | None = None) -> None:
                 skew_report=skew_frames,
             )
         )
-    if args.metrics or args.deskew:
-        # lineage/deskew re-read `extracted`; cache it through the
+    if args.metrics or args.deskew or args.wet_out:
+        # lineage/deskew/WET-export re-read `extracted`; cache it through the
         # write so those passes read the materialized increment
         # instead of re-running the parse (the same single-execution
         # discipline as the observe() gate)
@@ -393,13 +393,20 @@ def main(argv: list[str] | None = None) -> None:
 
         deskew_profile(extracted).write.mode("append").parquet(args.deskew)
     if args.wet_out:
+        import pyspark.sql.functions as F
+
         from clara_ocr_spark.sources.formats import to_wet_records
 
-        # warc_ts rides back in from the input by url (extraction
-        # output carries url+text only); map-only after the join
-        to_wet_records(
-            extracted.join(pages.select("url", "warc_ts"), "url")
-        ).write.mode("append").text(args.wet_out)
+        # warc_ts rides back in from the input by url, reduced to ONE
+        # row per url first (a recrawl input carries several captures
+        # per url — an unreduced join would fan every extracted row
+        # out to duplicate WET records); latest capture wins
+        ts_by_url = pages.groupBy("url").agg(
+            F.max("warc_ts").alias("warc_ts")
+        )
+        to_wet_records(extracted.join(ts_by_url, "url")).write.mode(
+            "append"
+        ).text(args.wet_out)
     if skew_frames:
         # the PDF runs were localCheckpointed inside extract_pdf and
         # materialized by the extraction write above — this write
@@ -447,7 +454,7 @@ def main(argv: list[str] | None = None) -> None:
         read_sitemaps(spark.read.parquet(args.sitemaps)).write.mode(
             "overwrite"
         ).parquet(args.sitemap_out)
-    if args.metrics or args.deskew:
+    if args.metrics or args.deskew or args.wet_out:
         extracted.unpersist()
     spark.stop()
 

@@ -161,3 +161,57 @@ def test_wet_export_roundtrips_through_own_reader(spark, tmp_path):
     }
     assert back == {u: t for u, t, in
                     ((r[0], r[2]) for r in rows)}
+
+
+def test_wet_export_hardening(spark, tmp_path):
+    """Review findings: NULL warc_ts/url must not NULL-propagate the
+    whole record away; CR/LF in a url cannot truncate the header
+    framing; WARC-Date renders UTC under any session tz; and the job's
+    per-url max(warc_ts) reduction collapses recrawl captures to ONE
+    conversion record."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from clara_ocr_spark.sources.formats import (
+        _parse_warc_bytes,
+        read_pages_warc,
+        to_wet_records,
+    )
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("https://h/null-ts", None, "kept body"),
+            ("https://h/evil\r\n\r\nWARC/1.0", ts,
+             "body with WARC/1.0\r\n lookalike"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = tmp_path / "wet_hard"
+    to_wet_records(df).write.text(str(out))
+    import glob
+
+    data = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(f"{out}/part-*"))
+    )
+    recs = list(_parse_warc_bytes(data))
+    assert len(recs) == 2  # nothing silently dropped, nothing forged
+    by_url = {u: (t, b) for u, t, b, _ in recs}
+    assert by_url["https://h/null-ts"][0] == "1970-01-01T00:00:00Z"
+    assert by_url["https://h/null-ts"][1] == b"kept body"
+    evil = by_url["https://h/evilWARC/1.0"]  # CR/LF stripped from url
+    assert evil[1] == "body with WARC/1.0\r\n lookalike".encode()
+
+    # recrawl shape: two captures of one url reduce to one record
+    pages = spark.createDataFrame(
+        [("https://h/a", ts), ("https://h/a", ts.replace(hour=13))],
+        "url string, warc_ts timestamp",
+    )
+    extracted = spark.createDataFrame(
+        [("https://h/a", "body")], "url string, text string"
+    )
+    ts_by_url = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    rows = to_wet_records(extracted.join(ts_by_url, "url")).collect()
+    assert len(rows) == 1
+    assert "2024-05-01T13:00:00Z" in rows[0]["value"]  # latest wins
