@@ -331,3 +331,38 @@ def test_audio_fp64_fuzz_never_raises(ch, n, pcm):
     assert out is None or (
         isinstance(out, int) and -(2**63) <= out < 2**63
     )
+
+
+def test_media_fingerprints_matches_single_key_passes(spark):
+    """The combined one-scan pass must agree exactly with the two
+    single-key functions on a mixed media frame — the equivalence the
+    media_job rewrite relies on."""
+    from clara_ocr_spark.functions.phash import (
+        media_audio_fp,
+        media_fingerprints,
+    )
+    from clara_ocr_spark.sources.multimodal import encode_wav
+
+    rng = np.random.RandomState(2)
+    env = np.repeat(rng.randint(1, 100, 65), 70).astype(np.float64)
+    snd = (env * np.sin(np.arange(env.size))).astype(np.int16)
+    rows = [
+        (1, 0, bytearray(encode_png(_img(21), color_type=0))),
+        (2, 1, bytearray(encode_wav(snd))),
+        (3, 0, bytearray(b"corrupt")),
+        (4, 0, None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind int, payload binary"
+    )
+    combined = {
+        r["media_id"]: (r["image_dhash"], r["audio_fp"])
+        for r in media_fingerprints(media).collect()
+    }
+    img = {r["media_id"]: r["dhash"] for r in media_dhash(media).collect()}
+    aud = {r["media_id"]: r["dhash"]
+           for r in media_audio_fp(media).collect()}
+    assert set(combined) == {1, 2, 3, 4}
+    for mid in combined:
+        assert combined[mid] == (img[mid], aud[mid]), mid
+    assert combined[1][0] is not None and combined[2][1] is not None
