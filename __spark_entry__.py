@@ -14,7 +14,7 @@ samples the first 50 registrations), rotated per round so every
 signature stays at most one round old; the r4 window leads with every
 never-signed query and keeps one representative per SURVEY §2
 operator family driver-green (rotation plan documented above
-DRIVER_WINDOW in queries.py). EVERY catalog query (114 as of late
+DRIVER_WINDOW in queries.py). EVERY catalog query (116 as of late
 r4; driver-sampled or not) passes the identical local oracle check
 at sf0.001 AND sf0.01 in tests/test_queries_oracle.py, plus
 adversarial edge-corpus reruns.

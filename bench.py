@@ -117,6 +117,8 @@ HEADLINE = [
     "url_trap_audit",  # added r4: crawl-trap (param-variant) detection
     "robots_wildcards",  # added r4: RFC 9309 wildcard rule precedence
     "cdc_chunk_dedup",  # added r4: content-defined chunk overlap
+    "c4_gopher_rules",  # added r4: named C4+Gopher rule battery
+    "blocklist_term_filter",  # added r4: broadcast blocklist gate
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

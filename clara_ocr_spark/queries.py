@@ -6951,6 +6951,168 @@ def cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+#: Gopher's stop-word existence set (Rae+21 Table A1): a doc must
+#: contain at least 2 distinct members or it is likely non-prose.
+_GOPHER_STOPS = "('the','be','to','of','and','that','have','with')"
+
+
+@q(
+    "c4_gopher_rules",
+    f"""
+    with t as (select doc_id, source,
+                      {_TOK_DUCK.format(x='lower(text)')} as ws,
+                      lower(text) as lt
+               from documents),
+    m as (select doc_id, source, lt,
+                 len(ws) as n_tok,
+                 case when len(ws) = 0 then 0
+                      else (1000 * list_sum(list_transform(ws,
+                              w -> length(w)))) // len(ws) end as mwl_milli,
+                 len(list_filter(list_distinct(ws),
+                     w -> w in {_GOPHER_STOPS})) as n_stops
+          from t),
+    v as (select source,
+                 case
+                   when n_tok < 50 or n_tok > 100000
+                     then 'gopher_word_count'
+                   when mwl_milli < 3000 or mwl_milli > 10000
+                     then 'gopher_mean_word_len'
+                   when n_stops < 2 then 'gopher_no_stop_words'
+                   when contains(lt, 'lorem ipsum') then 'c4_lorem_ipsum'
+                   when contains(lt, '{{') then 'c4_curly_brace'
+                   else 'pass' end as verdict
+          from m)
+    select source, verdict, cast(count(*) as bigint) as n_docs
+    from v group by source, verdict
+    """,
+)
+def c4_gopher_rules(spark, sf_dir):
+    """The NAMED C4 (Raffel+20) + Gopher (Rae+21) rule battery as one
+    first-failing-rule classifier — the recognizable web-pipeline
+    gate the generic `lm_quality_scores`/`repetition_filter` signals
+    generalize: word-count bounds [50, 1e5], mean word length
+    [3, 10] (integer MILLI-chars — ``(1000·Σlen)//n`` — so the bound
+    check is exact integer arithmetic in both engines, the
+    `token_entropy` quantization discipline), the ≥2-distinct-stop-
+    words prose test, and C4's lorem-ipsum / curly-brace content
+    kills (trivially absent from this synthetic corpus but evaluated
+    — the rule chain, not the corpus, is the contract).  Per-source
+    verdict histogram.
+
+    Scale shape: every rule is a per-row higher-order array
+    expression (zero shuffle until the final counters); the verdict
+    chain is an ordered CASE exactly like `curate.quality_reason`, so
+    promoting a rule into the job gate is a one-line config move."""
+    stops = [s.strip("'") for s in _GOPHER_STOPS.strip("()").split(",")]
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.lower(F.col("text")).alias("lt"),
+        _tokens(F.lower(F.col("text"))).alias("ws"),
+    )
+    n_tok = F.size("ws")
+    mwl = F.when(n_tok == 0, F.lit(0)).otherwise(
+        F.expr(
+            "(1000 * aggregate(transform(ws, w -> length(w)), 0L,"
+            " (a, x) -> a + x)) div size(ws)"
+        )
+    )
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct("ws"),
+            F.array(*[F.lit(s) for s in stops]),
+        )
+    )
+    v = d.select(
+        "source",
+        F.when(
+            (n_tok < 50) | (n_tok > 100000), "gopher_word_count"
+        )
+        .when(
+            (mwl < 3000) | (mwl > 10000), "gopher_mean_word_len"
+        )
+        .when(n_stops < 2, "gopher_no_stop_words")
+        .when(F.col("lt").contains("lorem ipsum"), "c4_lorem_ipsum")
+        .when(F.col("lt").contains("{"), "c4_curly_brace")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+    return v.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@q(
+    "blocklist_term_filter",
+    f"""
+    with tok as (select doc_id, source,
+                        unnest({_TOK_DUCK.format(x='lower(text)')}) as w
+                 from documents where length(trim(text)) > 0),
+    bl as (select distinct w from tok
+           where ({H60_DUCK.format(x='w')}) % 97 = 13),
+    pd as (select tok.doc_id, tok.source,
+                  cast(count(*) as bigint) as n_tok,
+                  cast(sum(case when bl.w is not null then 1 else 0 end)
+                       as bigint) as n_hits
+           from tok left join bl on tok.w = bl.w
+           group by tok.doc_id, tok.source)
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_hits) as bigint) as total_hits,
+           cast(sum(case when (1000 * n_hits) // n_tok > 5
+                         then 1 else 0 end) as bigint) as n_flagged
+    from pd group by source
+    """,
+)
+def blocklist_term_filter(spark, sf_dir):
+    """Blocklist-term gate — the word-list toxicity/NSFW filter shape
+    every production pipeline carries (C4 used the public
+    'bad words' list; Dolma likewise): tokens probe a BROADCAST term
+    list, per-doc hit rate gates at > 5‰.  The list here is derived
+    (tokens whose shared 60-bit hash lands in a residue class) so the
+    repo embeds no offensive content while the PLAN is exactly the
+    production one — a real deployment swaps in its list parquet and
+    nothing else changes.
+
+    Scale shape: the term list is tiny → `F.broadcast` semi-probe
+    (left join carries only a presence bit), token stream never
+    shuffles with text, per-doc and per-source reductions partially
+    aggregate; the integer per-mille gate keeps the hash exact."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_tokens(F.lower(F.col("text")))).alias("w"),
+        )
+    )
+    bl = (
+        tok.select("w")
+        .filter(spark_hash60(F.col("w")) % 97 == 13)
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    pd_ = (
+        tok.join(F.broadcast(bl), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return pd_.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.sum(
+            F.when(F.expr("(1000 * n_hits) div n_tok") > 5, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -7008,8 +7170,8 @@ def cdc_chunk_dedup(spark, sf_dir):
 #
 # r5 rotation plan: lead with (a) the never-signed r4-late queries
 # (bpe_merge_candidates, sitemap_coverage, url_trap_audit,
-# robots_wildcards, cdc_chunk_dedup — never-signed outranks
-# everything), then (b) the
+# robots_wildcards, cdc_chunk_dedup, c4_gopher_rules,
+# blocklist_term_filter — never-signed outranks everything), then (b) the
 # twenty-three displaced r1/r2 queries (cosine_topk,
 # ngram_jaccard_pairs, bpe_token_stats, rollup_metrics,
 # funnel_conversion, rolling_value_range, doc_fingerprints,

@@ -66,7 +66,8 @@ def test_driver_window_invariants():
         "llm_classifier": {"nb_lang_classifier"},
         "llm_ann": {"ivf_topk", "ivf_recall", "ivf_topk_probe2"},
         "llm_quality": {"lm_quality_scores", "repetition_filter",
-                        "quality_scores", "token_entropy"},
+                        "quality_scores", "token_entropy",
+                        "c4_gopher_rules"},
         "llm_decontaminate": {"decontaminate"},
         "llm_pii": {"pii_redact"},
         "llm_sampling": {"stratified_sample"},
@@ -88,7 +89,8 @@ def test_driver_window_invariants():
         "llm_dsir": {"dsir_importance"},
         "web_mirror": {"host_mirror_jaccard"},
         # llm_bpe_train {bpe_merge_candidates}, web_sitemap
-        # {sitemap_coverage}, and web_trap {url_trap_audit} are
+        # {sitemap_coverage}, web_trap {url_trap_audit}, and
+        # llm_blocklist {blocklist_term_filter} are
         # r4-late additions
         # outside the (full) r4 window — every slot holds a never-
         # signed or sole-family-rep query; add them to this map when the
@@ -163,6 +165,8 @@ EDGE_QUERIES = [
     "sitemap_coverage",  # sparse doc_ids: both gap classes still nonzero
     "robots_wildcards",  # sparse ids: every verdict class still derives
     "cdc_chunk_dedup",  # empty/1-token docs; dup docs share ALL chunks
+    "c4_gopher_rules",  # empty docs: n_tok=0 hits word-count, mwl=0 guard
+    "blocklist_term_filter",  # empty docs filtered; list can be empty
 ]
 
 
