@@ -11,11 +11,13 @@ byte-identity suite and by ``bench.py``.
 
 Catalog order is the explicit ``queries.DRIVER_WINDOW`` (the driver
 samples the first 50 registrations), rotated per round so every
-signature stays at most one round old; the r4 window leads with every
-never-signed query and keeps one representative per SURVEY §2
-operator family driver-green (rotation plan documented above
-DRIVER_WINDOW in queries.py). EVERY catalog query (116 as of late
-r4; driver-sampled or not) passes the identical local oracle check
+signature stays at most one round old; the r5 window leads with the
+seven never-signed r4-late queries, rotates in all 23 r1/r2-stale
+entries, and backfills from the oldest (r3-signed) block so every
+SURVEY §2 operator family keeps a signature ≤ 1 round old (rotation
+plan + execution documented above DRIVER_WINDOW in queries.py).
+EVERY catalog query (driver-sampled or not) passes the identical
+local oracle check
 at sf0.001 AND sf0.01 in tests/test_queries_oracle.py, plus
 adversarial edge-corpus reruns.
 """

@@ -7183,68 +7183,108 @@ def blocklist_term_filter(spark, sf_dir):
 # after this note, then backfill with the oldest remaining
 # signatures (the r4-signed block rotates out; every §2 family must
 # keep an in-window rep per test_driver_window_invariants).
+#
+# r5 EXECUTION of that plan (this window): (a) the 7 never-signed
+# r4-late queries lead, (b) all 23 r1/r2-stale queries follow, and the
+# remaining 20 slots backfill from the r3-signed block (the oldest
+# remaining signatures), chosen one-per-family so every family whose
+# freshest rep would otherwise fall to r3 gets refreshed.  The 50
+# r4-signed queries rotate OUT — their signatures stay exactly one
+# round old, which is what the freshness invariant requires
+# (test_driver_window_invariants now asserts every family has a rep in
+# the union of THIS window and the pinned r4-green set, i.e. a
+# signature ≤ 1 round old, and that no catalog query is never-signed).
+# 16 of the 36 r3-signed queries could not fit (50-slot window, 30
+# mandatory rotations); each one's family keeps a fresher rep:
+# ivf_topk→ivf_recall, dup_clusters→near_dup_cosine,
+# ntile_quartiles/user_journey→sessionize,
+# layout_line_text→layout_columns, corr_value_hour→baseline_slope(r4),
+# repetition_filter/lm_quality_scores→quality_scores,
+# structural_acts/pattern_acts→latest_wins(r4),
+# tfidf_top_terms→inverted_index(r4),
+# stream_sessionize→stream_windowed_counts,
+# source_quality_report→topk_doubts, orders_monthly→events_hourly,
+# df_stopwords→vocab_coverage(r4),
+# url_canonical_groups→cdx_index(r4, SURT canonicalization).
 DRIVER_WINDOW = [
-    # -- last signed in r1/r2: rotate to the front for fresh signatures
-    "argmax_per_group",       # §2.5 per-group argmax
-    "asof_attach",            # §2.3 accent as-of attachment
-    "dedup_keep_first",       # §2.6 keep-first dedup
-    "grouping_sets_metrics",  # §2.4 grouping sets
-    "ivf_recall",             # LLM IVF recall vs brute force
-    "lsh_band_buckets",       # LLM MinHash band buckets
-    "pricing_summary",        # §2.4 per-page stats counters
-    "range_filter",           # §2.1/§2.2 list_cl range query
-    "simhash",                # LLM SimHash signatures
-    # -- second late-r4 amendment: never signed, sign now ------------
-    "ngram_lm_score",         # LLM trained bigram-LM gate (CCNet)
-    "dsir_importance",        # LLM DSIR hashed-ngram importance
-    "host_mirror_jaccard",    # web mirror-site detection
-    # -- added after the first r4 rotation: never signed, sign now ----
-    "domain_mix_weights",     # LLM domain mixture reweighting
-    "leakage_safe_split",     # LLM leakage-safe train/val split
-    "token_entropy",          # LLM unigram token entropy gate
-    "semdedup_cells",         # LLM SemDeDup within-cell dedup
-    "robots_filter",          # web robots-exclusion gate (RFC 9309)
-    "frontier_waves",         # web crawl-frontier politeness waves
-    "shingle_containment",    # LLM asymmetric shingle containment
-    "charset_sniff",          # web encoding-detection audit
-    "cdx_index",              # web-archive SURT capture index
-    "recrawl_delta",          # re-crawl change detection (lag digest)
-    "head_metadata",          # head-metadata coverage (stage twin)
-    "stream_recrawl_delta",   # streaming re-crawl change detection
-    "boiler_scope_audit",     # per-host vs global boilerplate scope
-    # -- red in r3 (canonicalizer contract), fixed this round ---------
-    "inverted_index",         # LLM inverted index (postings stringified)
-    # -- r3-signed representatives: keep every §2 family driver-green -
-    "latest_wins",            # §2.1 acts / §2.6 / §2.12 vote order
-    "broadcast_classify",     # §2.3 broadcast join / §2.8 classify
-    "spell_correct",          # §2.12 step_12 spelling
-    "range_join_bucketed",    # §2.3 bounded-range spatial join
-    "exists_semi_join",       # §2.3 dictionary probe (semi-join)
-    "baseline_slope",         # §2.4 bl_geo least-squares
-    "pivot_by_type",          # §2.4 acc_f pivot
-    "deskew_search",          # §2.9 pp_deskew / §2.4 sweep
-    "layout_lines",           # §2.10/2.11 PDF line build
-    "decontaminate",          # LLM eval-decontamination
-    # -- new in r4 (never signed; families they displace keep another
-    #    window rep: sessionize→argmax_per_group, dedup_exact→
-    #    dedup_keep_first, minhash_signatures→lsh_band_buckets,
-    #    near_dup_cosine→embedding_lsh_buckets) --------------------
-    "line_dedup_corpus",      # LLM corpus-level line dedup (CCNet)
-    "dup_span_detect",        # LLM exact dup-substring spans (Lee+22)
-    "pagerank_bipartite",     # LLM link-graph rank, integer PageRank
-    "nb_lang_classifier",     # LLM declarative NB train+infer
-    "pii_redact",             # LLM PII redaction
-    "stratified_sample",      # LLM stratified sampling
-    "stream_dedup_replay",    # streaming exactly-once replay dedup
-    # -- never driver-signed (added after the r4 rotation): sign now --
-    "pack_token_budget",      # LLM sequence packing to token budget
-    "hll_register_sketch",    # LLM mergeable HLL register sketch
-    "hll_estimate",           # LLM HLL estimate + rel-err audit
-    "bloom_decontaminate",    # LLM bloom-filter decontamination
-    "reservoir_per_group",    # LLM fixed-size per-stratum reservoir
-    "vocab_coverage",         # LLM vocabulary-coverage gate
-    "stream_hll_registers",   # streaming HLL register maintenance
+    # -- (a) never driver-signed in any round: sign first -------------
+    "bpe_merge_candidates",   # LLM BPE merge-pair counting
+    "sitemap_coverage",       # web sitemap vs crawl coverage audit
+    "url_trap_audit",         # web crawl-trap (infinite URL) audit
+    "robots_wildcards",       # web RFC 9309 wildcard rule matching
+    "cdc_chunk_dedup",        # LLM content-defined-chunking dedup
+    "c4_gopher_rules",        # LLM named C4+Gopher rule battery
+    "blocklist_term_filter",  # LLM blocklist-term gate
+    # -- (b) r1/r2-stale: every query whose last signature is two
+    #    rounds old rotates in for a fresh one ------------------------
+    "cosine_topk",            # LLM brute-force cosine top-k
+    "ngram_jaccard_pairs",    # LLM n-gram Jaccard near-dup
+    "bpe_token_stats",        # LLM BPE-ish token counting
+    "rollup_metrics",         # §2.4 rollup
+    "funnel_conversion",      # §2.5 funnel windows
+    "rolling_value_range",    # §2.5 rolling range
+    "doc_fingerprints",       # LLM rolling-hash fingerprints
+    "point_lookup",           # §2.2 symbol_at point lookup
+    "distinct_classes",       # §2.4 count_classes
+    "embedding_lsh_buckets",  # LLM hyperplane-LSH buckets
+    "top_sources_by_chars",   # §2.5 multi-key ordering
+    "ivf_topk_probe2",        # LLM IVF multi-probe ANN
+    "quality_scores",         # LLM heuristic quality gate
+    "value_histogram",        # §2.1/§2.4 loadpgm histogram
+    "token_stats",            # §2.4 per-page token counters
+    "json_props_stats",       # §2.7 JSON property extraction
+    "revenue_by_nation",      # §2.3/§2.4 broadcast dim join + agg
+    "events_hourly",          # §2.4 time-bucketed agg
+    "anti_join_discard",      # §2.2/§2.3 anti-join probe
+    "lang_id_confusion",      # LLM language-ID confusion matrix
+    "kmeans_refine",          # LLM Lloyd refinement step
+    "retention_cohorts",      # §2.5 cohort windows
+    "top_suppliers_per_nation",  # §2.5 pattern-list multi-key order
+    # -- (c) backfill: oldest remaining (r3-signed), one per family ---
+    "interval_overlap",       # §2.6 intersize/ldist interval algebra
+    "neighbor_gap",           # §2.3 rsymb/lsymb nearest neighbor
+    "sessionize",             # §2.5 word-building sessionization
+    "topk_doubts",            # §2.1/§2.5 doubt ranking top-k
+    "zone_assign",            # §2.2 zone membership
+    "dedup_exact",            # §2.6/LLM exact dedup
+    "minhash_signatures",     # LLM MinHash signatures
+    "simhash_near_dup",       # LLM SimHash near-dup pairs
+    "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
+    "near_dup_cosine",        # LLM embedding-cosine near-dup
+    "param_sweep",            # §2.4 skel_quality/tune_skel sweep
+    "set_ops_users",          # §2.6 union/intersect/except
+    "salted_user_stats",      # §2.4 skew-salted per-site stats
+    "cube_metrics",           # §2.4 cube
+    "regex_extract_props",    # §2.7 regex scalar family
+    "two_pass_match",         # §2.8 PNT1→PNT2 relaxation
+    "layout_columns",         # §2.10 blockfind columns
+    "value_percentiles",      # §2.9 pp_thresh calibration
+    "hqbin_residual",         # §2.9 hqbin second pass
+    "stream_windowed_counts", # streaming watermark windows
 ]
+
+# r4's 50 driver-green signatures (CORRECTNESS_r04.json, 50/50 green).
+# Pinned so test_driver_window_invariants can assert the freshness
+# invariant: every operator family must hold a signature ≤ 1 round
+# old, i.e. a rep in DRIVER_WINDOW ∪ R4_SIGNED.
+R4_SIGNED = frozenset({
+    "pricing_summary", "range_filter", "broadcast_classify",
+    "argmax_per_group", "latest_wins", "baseline_slope",
+    "dedup_keep_first", "lsh_band_buckets", "simhash", "ivf_recall",
+    "asof_attach", "grouping_sets_metrics", "pivot_by_type",
+    "range_join_bucketed", "exists_semi_join", "layout_lines",
+    "stratified_sample", "inverted_index", "decontaminate",
+    "pii_redact", "deskew_search", "spell_correct",
+    "stream_dedup_replay", "stream_recrawl_delta", "line_dedup_corpus",
+    "boiler_scope_audit", "dup_span_detect", "pagerank_bipartite",
+    "pack_token_budget", "nb_lang_classifier", "hll_register_sketch",
+    "hll_estimate", "bloom_decontaminate", "reservoir_per_group",
+    "vocab_coverage", "domain_mix_weights", "leakage_safe_split",
+    "token_entropy", "semdedup_cells", "robots_filter", "charset_sniff",
+    "cdx_index", "recrawl_delta", "head_metadata", "frontier_waves",
+    "shingle_containment", "stream_hll_registers", "ngram_lm_score",
+    "dsir_importance", "host_mirror_jaccard",
+})
 
 
 def _ordered() -> Dict[str, Entry]:
