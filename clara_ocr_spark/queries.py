@@ -4612,11 +4612,8 @@ def dup_span_detect(spark, sf_dir):
                   (15 * (1000000000000 // r2.n_nodes)) // 100
                     + (85 * coalesce(i3.inflow, 0)) // 100 as rank
            from r2 left join i3 using (node))
-    select node, cast(rank as bigint) as rank, rnk from
-      (select node, rank,
-              row_number() over (order by rank desc, node) as rnk
-       from r3)
-    where rnk <= 20
+    select node, cast(rank as bigint) as rank
+    from r3 order by rank desc, node limit 20
     """,
 )
 def pagerank_bipartite(spark, sf_dir):
@@ -4700,11 +4697,14 @@ def pagerank_bipartite(spark, sf_dir):
             # build re-executes iterations 1..i-1 from scratch.
             .localCheckpoint(eager=False)
         )
-    top = Window.orderBy(F.desc("rank"), F.asc("node"))
+    # Top-k tail: orderBy().limit() → TakeOrderedAndProject (partial
+    # per-partition top-k, no single-task global sort of the full
+    # |nodes| rank table); the (rank desc, node asc) total order makes
+    # the limit deterministic.  Same plan as doubts() (feedback.py).
     return (
         ranks.select("node", "rank")
-        .withColumn("rnk", F.row_number().over(top))
-        .filter(F.col("rnk") <= 20)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
     )
 
 

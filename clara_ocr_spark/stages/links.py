@@ -23,7 +23,7 @@ from typing import Iterator, List, Tuple
 from urllib.parse import urljoin, urlsplit
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BooleanType,
     StringType,
@@ -229,11 +229,16 @@ def integer_pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    top = Window.orderBy(F.desc("rank"), F.asc("node"))
+    # Final top-k: orderBy().limit() plans as TakeOrderedAndProject —
+    # per-partition partial top-k merged at the driver — instead of a
+    # row_number() window, which would force the ENTIRE rank table
+    # (|hosts| ~ 1e8 at 100 TB) through one task for a global sort.
+    # The (rank desc, node asc) total order keeps the limit
+    # deterministic.  Same discipline as doubts() (feedback.py).
     return (
         ranks.select("node", "rank")
-        .withColumn("rnk", F.row_number().over(top))
-        .filter(F.col("rnk") <= top_k)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(top_k)
     )
 
 

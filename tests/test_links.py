@@ -148,6 +148,28 @@ def test_rank_hosts_composition(spark):
     assert top[0]["node"] == "authority.x"
 
 
+def test_pagerank_topk_plan_not_global_window(spark, sf001):
+    """The rank-table top-k must compile to TakeOrderedAndProject
+    (per-partition partial top-k) — NOT a row_number() window over an
+    unpartitioned sort, which funnels the entire |hosts| rank table
+    (~1e8 rows at 100 TB) through one task (VERDICT r4 'what's
+    wrong').  Pinned for both sites: the stage and the catalog query."""
+    from clara_ocr_spark.queries import REGISTRY
+    from clara_ocr_spark.stages.links import integer_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub", 3), ("hub", "a", 1)], "src string, dst string, w bigint"
+    )
+    for df in (
+        integer_pagerank(edges),
+        REGISTRY["pagerank_bipartite"][0](spark, sf001),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+
 # ---------------------------------------------------------------- fuzz
 from hypothesis import given, settings
 from hypothesis import strategies as st
