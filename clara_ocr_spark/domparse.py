@@ -143,6 +143,13 @@ def decode_html(raw: bytes | None) -> str:
         return ""
     if raw[:3] == b"\xef\xbb\xbf":
         return raw[3:].decode("utf-8", errors="replace")
+    # UTF-32 BOMs first: FF FE 00 00 is a PREFIX-match for the
+    # UTF-16LE BOM, so an unguarded utf-16-le tier would decode a
+    # UTF-32LE document to NUL-interleaved text (ADVICE r4)
+    if raw[:4] == b"\xff\xfe\x00\x00":
+        return raw[4:].decode("utf-32-le", errors="replace")
+    if raw[:4] == b"\x00\x00\xfe\xff":
+        return raw[4:].decode("utf-32-be", errors="replace")
     if raw[:2] == b"\xff\xfe":
         return raw[2:].decode("utf-16-le", errors="replace")
     if raw[:2] == b"\xfe\xff":

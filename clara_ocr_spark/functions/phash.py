@@ -90,6 +90,27 @@ def _is_image_payload(raw: bytes) -> bool:
     )
 
 
+def _image_dhash(raw: bytes) -> Optional[int]:
+    """Decode an image payload and dHash its FIRST frame.  ``_decode_one``
+    concatenates all frames (a GIF animation returns frames*h rows of
+    bytes), so channels must be inferred as len/(w*h*frames) and the
+    hash taken over the first frame only — dividing by w*h alone reads
+    ch=3*frames and reshapes frame-major bytes as per-pixel channels, a
+    deterministic but perceptually meaningless hash that can never
+    match the same animation re-encoded at a different frame count
+    (ADVICE r4)."""
+    from ..sources.multimodal import _decode_one
+
+    try:
+        w, h, frames, body = _decode_one(raw)
+    except (ValueError, NotImplementedError):
+        return None
+    if w <= 0 or h <= 0 or frames <= 0:
+        return None
+    ch = len(body) // (w * h * frames)
+    return dhash64(w, h, ch, body[: w * h * ch])
+
+
 def media_dhash(media: DataFrame) -> DataFrame:
     """(media_id, kind, payload) → (media_id, dhash:bigint).
 
@@ -100,23 +121,12 @@ def media_dhash(media: DataFrame) -> DataFrame:
     downstream anti-join can separate 'unhashable' from 'unique'."""
     import pandas as pd
 
-    from ..sources.multimodal import _decode_one
-
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dh: Optional[int] = None
                 raw = bytes(payload) if payload is not None else b""
-                if _is_image_payload(raw):
-                    try:
-                        w, h, frames, body = _decode_one(raw)
-                        ch = (
-                            len(body) // (w * h) if w > 0 and h > 0 else 0
-                        )
-                        dh = dhash64(w, h, ch, body)
-                    except (ValueError, NotImplementedError):
-                        dh = None
+                dh = _image_dhash(raw) if _is_image_payload(raw) else None
                 out.append((int(mid), dh))
             yield pd.DataFrame(out, columns=["media_id", "dhash"])
 
@@ -199,7 +209,7 @@ def media_fingerprints(media: DataFrame) -> DataFrame:
     single-key functions."""
     import pandas as pd
 
-    from ..sources.multimodal import _decode_one, _decode_wav
+    from ..sources.multimodal import _decode_wav
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -209,14 +219,7 @@ def media_fingerprints(media: DataFrame) -> DataFrame:
                 fp: Optional[int] = None
                 raw = bytes(payload) if payload is not None else b""
                 if _is_image_payload(raw):
-                    try:
-                        w, h, frames, body = _decode_one(raw)
-                        ch = (
-                            len(body) // (w * h) if w > 0 and h > 0 else 0
-                        )
-                        dh = dhash64(w, h, ch, body)
-                    except (ValueError, NotImplementedError):
-                        dh = None
+                    dh = _image_dhash(raw)
                 elif raw[:4] == b"RIFF":
                     try:
                         _rate, ch, n, pcm = _decode_wav(raw)

@@ -118,26 +118,47 @@ def wat_sidecar(
     record is self-contained, so the job writes the wat column as raw
     text lines (true JSONL, one WAT record per line), never
     DataFrameWriter.json over the 3-col frame, which would
-    double-encode the record as an escaped string field."""
-    outlinks = links.groupBy("url").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("dst_url").alias("u"),
-                    F.col("anchor").alias("a"),
-                    F.col("nofollow").alias("nf"),
+    double-encode the record as an escaped string field.
+
+    Recrawl reduction (ADVICE r4): a recrawl input carries several
+    captures per url, and composing them unreduced emits duplicate WAT
+    records each with every capture's links stacked under one url.
+    One sidecar row per url (latest capture's ts — the --wet-out
+    ts_by_url pattern), and the outlink list is the DISTINCT union of
+    captures' links (without a capture key on the link rows the exact
+    latest-capture set is unrecoverable; exact within-page repeats of
+    one (dst, anchor, nf) triple collapse too, which is what the
+    graph consumers downstream want anyway)."""
+    outlinks = (
+        links.select("url", "dst_url", "anchor", "nofollow")
+        .distinct()
+        .groupBy("url")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dst_url").alias("u"),
+                        F.col("anchor").alias("a"),
+                        F.col("nofollow").alias("nf"),
+                    )
                 )
-            )
-        ).alias("outlinks")
+            ).alias("outlinks")
+        )
     )
-    meta = head_meta.select(
-        "url",
-        F.struct(
-            "title", "description", "canonical", "og_title", "n_meta", "n_og"
-        ).alias("head"),
+    # same recrawl reduction on the metadata leg — two captures of a
+    # url would fan the join back out; max(struct) picks one capture's
+    # head deterministically (no capture ts rides on the harvest rows)
+    meta = head_meta.groupBy("url").agg(
+        F.max(
+            F.struct(
+                "title", "description", "canonical", "og_title",
+                "n_meta", "n_og",
+            )
+        ).alias("head")
     )
     return (
-        pages.select("url", "warc_ts")
+        pages.groupBy("url")
+        .agg(F.max("warc_ts").alias("warc_ts"))
         .join(meta, "url", "left")
         .join(outlinks, "url", "left")
         .select(
@@ -146,8 +167,15 @@ def wat_sidecar(
             F.to_json(
                 F.struct(
                     "url",
+                    # UTC regardless of session timezone — same
+                    # hardening as to_wet_records' WARC-Date; a bare
+                    # date_format would mislabel session-local wall
+                    # time with a 'Z' suffix.
                     F.date_format(
-                        "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                        F.to_utc_timestamp(
+                            F.col("warc_ts"), F.current_timezone()
+                        ),
+                        "yyyy-MM-dd'T'HH:mm:ss'Z'",
                     ).alias("ts"),
                     F.col("head"),
                     F.coalesce(
@@ -199,9 +227,27 @@ def to_wet_records(extracted: DataFrame) -> DataFrame:
         ),
         F.lit("1970-01-01T00:00:00Z"),
     )
+    # WARC-Record-ID is MANDATORY for every record per WARC/1.0 §5.2;
+    # spec-strict consumers (warcio) reject records without it.  A
+    # urn:uuid derived from md5(url \n ts) keeps the plan pure column
+    # algebra AND makes re-exports reproducible (same page, same id) —
+    # the spec only requires global uniqueness, not RFC 4122 version
+    # semantics.
+    rid = F.md5(F.concat(url, F.lit("\n"), ts))
+    record_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(rid, 1, 8), F.lit("-"),
+        F.substring(rid, 9, 4), F.lit("-"),
+        F.substring(rid, 13, 4), F.lit("-"),
+        F.substring(rid, 17, 4), F.lit("-"),
+        F.substring(rid, 21, 12), F.lit(">"),
+    )
     return extracted.select(
         F.concat(
             F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"),
+            F.lit("WARC-Record-ID: "),
+            record_id,
+            F.lit("\r\nContent-Type: text/plain\r\n"),
             F.lit("WARC-Target-URI: "),
             url,
             F.lit("\r\nWARC-Date: "),

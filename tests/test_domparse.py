@@ -38,6 +38,18 @@ def test_decode_bom_wins_and_is_stripped():
     assert decode_html(b"\xfe\xff" + "café".encode("utf-16-be")) == "café"
 
 
+def test_decode_utf32_bom_not_mistaken_for_utf16le():
+    """UTF-32LE's BOM (FF FE 00 00) prefix-matches the UTF-16LE BOM;
+    an unguarded utf-16-le tier yields NUL-interleaved text (ADVICE
+    r4).  Both UTF-32 byte orders must decode cleanly."""
+    assert decode_html(b"\xff\xfe\x00\x00" + "café".encode("utf-32-le")) \
+        == "café"
+    assert decode_html(b"\x00\x00\xfe\xff" + "café".encode("utf-32-be")) \
+        == "café"
+    out = decode_html(b"\xff\xfe\x00\x00" + "abc".encode("utf-32-le"))
+    assert "\x00" not in out
+
+
 def test_decode_declared_meta_charset():
     # cp1251 Cyrillic is invalid UTF-8 → the declared tier decodes it
     doc = '<meta charset="windows-1251"><p>Привет</p>'.encode("cp1251")

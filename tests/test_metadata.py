@@ -110,6 +110,59 @@ def test_wat_sidecar_compose(spark):
     }
 
 
+def test_wat_sidecar_recrawl_reduces_to_one_record(spark):
+    """Two captures of one url must compose to ONE WAT record with the
+    latest capture's ts and UNDUPLICATED outlinks (ADVICE r4: the
+    unreduced compose emitted one record per capture, each carrying
+    both captures' links), and the ts must render UTC."""
+    import json
+
+    from clara_ocr_spark.sources.formats import wat_sidecar
+    from clara_ocr_spark.stages.links import extract_links
+
+    base = gen_page(3, seed=11)
+    first = dict(base)
+    second = dict(base)
+    second["warc_ts"] = base["warc_ts"].replace(hour=23)
+    pages = spark.createDataFrame(
+        pa.Table.from_pylist([first, second], schema=PAGES_SCHEMA)
+        .to_pandas()
+    )
+    wat = wat_sidecar(
+        pages, extract_links(pages), harvest_metadata(pages)
+    ).collect()
+    assert len(wat) == 1
+    rec = json.loads(wat[0]["wat"])
+    assert rec["ts"].startswith(str(base["warc_ts"].date())) and \
+        "T23:" in rec["ts"] and rec["ts"].endswith("Z")
+    links = [(o["u"], o["a"], o["nf"]) for o in rec["outlinks"]]
+    assert links == sorted(set(links))  # no capture doubling
+    # single-capture baseline has the identical link set
+    solo = json.loads(
+        wat_sidecar(
+            spark.createDataFrame(
+                pa.Table.from_pylist([first], schema=PAGES_SCHEMA)
+                .to_pandas()
+            ),
+            extract_links(
+                spark.createDataFrame(
+                    pa.Table.from_pylist([first], schema=PAGES_SCHEMA)
+                    .to_pandas()
+                )
+            ),
+            harvest_metadata(
+                spark.createDataFrame(
+                    pa.Table.from_pylist([first], schema=PAGES_SCHEMA)
+                    .to_pandas()
+                )
+            ),
+        ).collect()[0]["wat"]
+    )
+    assert [(o["u"], o["a"]) for o in solo["outlinks"]] == [
+        (o["u"], o["a"]) for o in rec["outlinks"]
+    ]
+
+
 def test_harvest_metadata_stage(spark):
     rows = [gen_page(i, seed=31) for i in range(80)]
     pages = spark.createDataFrame(
@@ -161,6 +214,29 @@ def test_wet_export_roundtrips_through_own_reader(spark, tmp_path):
     }
     assert back == {u: t for u, t, in
                     ((r[0], r[2]) for r in rows)}
+    # WARC/1.0 spec compliance (ADVICE r4): every record must carry a
+    # WARC-Record-ID (mandatory per §5.2) and Content-Type — spec-
+    # strict WET consumers (warcio) reject records without them.  The
+    # id is deterministic (same page → same id on re-export) and
+    # unique across pages.
+    import glob
+    import re as _re
+
+    data = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(f"{out}/part-*"))
+    )
+    ids = _re.findall(rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>", data)
+    assert len(ids) == len(rows) == len(set(ids))
+    assert data.count(b"Content-Type: text/plain") == len(rows)
+    # determinism: a second export emits the identical id set
+    out2 = tmp_path / "wet2"
+    to_wet_records(df).write.text(str(out2))
+    data2 = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(f"{out2}/part-*"))
+    )
+    assert sorted(_re.findall(
+        rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>", data2
+    )) == sorted(ids)
 
 
 def test_wet_export_hardening(spark, tmp_path):

@@ -201,6 +201,28 @@ def test_dhash_flat_and_tiny_images_are_unhashable():
         assert dhash64(5, 4, 1, bytes(20)) is None
 
 
+def test_multiframe_gif_hashes_first_frame(spark):
+    """A GIF animation must dHash its FIRST frame only: _decode_one
+    concatenates frames, so inferring channels as len/(w*h) reads
+    ch=3*frames and reshapes frame-major bytes as per-pixel channels —
+    the same animation re-encoded at a different frame count could
+    then never near-match (ADVICE r4). The hash of a 1-frame and a
+    3-frame encoding of the same first frame must be IDENTICAL."""
+    from clara_ocr_spark.sources.gif import encode_gif
+
+    f0, f1, f2 = _img(5), _img(6), _img(7)
+    rows = [
+        (1, "image", bytearray(encode_gif([f0]))),
+        (2, "image", bytearray(encode_gif([f0, f1, f2]))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary"
+    )
+    got = {r["media_id"]: r["dhash"] for r in media_dhash(df).collect()}
+    assert got[1] is not None
+    assert got[1] == got[2]
+
+
 def test_near_dup_hot_band_cap(spark):
     """A degenerate band value shared by > band_cap images is dropped
     before the self-join (quadratic-candidate guard); distinct pairs
