@@ -1,0 +1,176 @@
+"""VERDICT r4 item 6: the host-keyed r4 queries argue in their
+docstrings that the Zipf source skew needs no salt — prove it with an
+adversarial fixture instead of asserting it.  One source carries 50%
+of all documents (the bot-farm / megasite profile), every document
+shares a site-template boilerplate prefix (the degenerate hot join
+key), and a planted true mirror pair must still surface.  Each query
+is checked against the SAME DuckDB oracle the driver runs (full
+row-count + schema + value-hash parity on the skewed corpus), plus
+the query-specific blowup bound its skew guard exists to enforce —
+the test_events_stream hot-key discipline applied to the batch side.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clara_ocr_spark.oracle import TABLES, compare, duck_connect
+from clara_ocr_spark.queries import REGISTRY
+
+#: 5-token template every page of every source starts with — the
+#: fingerprint hot key host_mirror_jaccard's df-stoplist must kill
+#: (62 sources share it; unstopped, it alone would emit C(62,2) =
+#: 1891 candidate pairs), and a line boiler_scope_audit must class as
+#: global-frequent.
+_TEMPLATE = "cookie notice accept all terms"
+
+
+def _mk_docs():
+    rows = []
+    doc_id = 0
+
+    def add(source: str, body: str, template: bool = True):
+        nonlocal doc_id
+        text = f"{_TEMPLATE} {body}" if template else body
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "text": text,
+                "lang": "en" if doc_id % 3 else "de",
+                "source": source,
+                "n_chars": len(text),
+            }
+        )
+        doc_id += 1
+
+    # hot source: 200 docs = 50% of the corpus.  The varying token
+    # sits AFTER the first positional 8-token line, so the template
+    # line ("cookie ... body words alpha") is identical across all
+    # 200 docs (local df = 200 -> boiler) while the docs stay unique.
+    for i in range(200):
+        add("hot.example", f"body words alpha hot page {i} row{i} beta")
+    # 58 cold sources, 3 docs each; their first line embeds the source
+    # ordinal (token 8), so it is local-frequent (df = 3) per source.
+    # Sources 0-4 additionally share one doc whose SECOND line is the
+    # corpus-wide "shared widget footer text" (global df = 5, local
+    # df = 1): the spill class the per-host scope saves.
+    for s in range(58):
+        for i in range(3):
+            if s < 5 and i == 0:
+                add(f"cold{s}.example",
+                    f"cold site {s} shared widget footer text")
+            else:
+                add(f"cold{s}.example", f"cold site {s} gamma delta pg {i}")
+    # true mirror pair: two sources serving 10 identical pages whose
+    # first-5-token fingerprints are their OWN (no template — the
+    # template IS every other doc's fingerprint and must die in the
+    # stoplist, which would hide a template-prefixed mirror too: the
+    # documented fingerprint trade-off, digest-based fps don't have it)
+    for i in range(10):
+        body = f"mirrored article {i} epsilon zeta eta theta"
+        add("mirror-a.example", body, template=False)
+        add("mirror-b.example", body, template=False)
+    # a handful of empty/whitespace docs (filtered by the queries)
+    for s in ("hot.example", "cold0.example"):
+        rows.append(
+            {"doc_id": doc_id, "text": "   ", "lang": "en",
+             "source": s, "n_chars": 3}
+        )
+        doc_id += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    """An sf-shaped dir whose documents table is adversarially skewed;
+    the other nine tables symlink to sf0.001 so duck_connect's view
+    registration (and any cross-table query) still binds."""
+    d = tmp_path_factory.mktemp("skew_sf")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        (d / f"{t}.parquet").symlink_to(
+            f"/root/testdata/sf0.001/{t}.parquet"
+        )
+    pq.write_table(pa.Table.from_pylist(_mk_docs()), d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def skew_duck(skew_dir):
+    con = duck_connect(skew_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["host_mirror_jaccard", "boiler_scope_audit", "cdc_chunk_dedup"]
+)
+def test_oracle_parity_under_hot_source(spark, skew_dir, skew_duck, name):
+    """Full driver-grade parity (rows + schema + value hash) with one
+    source owning half the corpus and a universal template prefix."""
+    fn, sql = REGISTRY[name]
+    compare(spark, skew_dir, fn, sql, con=skew_duck)
+
+
+def test_mirror_pairs_bounded_by_stoplist(spark, skew_dir):
+    """The df <= 8 fingerprint stoplist is host_mirror_jaccard's skew
+    guard: 62 sources share the template prefix, so WITHOUT the
+    stoplist the prefix alone emits C(62,2) = 1891 pairs from one join
+    key (the single-task straggler at web scale).  With it, the only
+    surviving pair is the planted mirror."""
+    fn, _ = REGISTRY["host_mirror_jaccard"]
+    got = fn(spark, skew_dir).collect()
+    # hot/cold sources fingerprint ONLY as the df-62 template, which
+    # the stoplist kills -> the planted mirror is the sole pair;
+    # unstopped, the template key alone emits ~1.8k pairs
+    assert len(got) == 1
+    pairs = {(r["source_a"], r["source_b"]): r for r in got}
+    mirror = pairs[("mirror-a.example", "mirror-b.example")]
+    # 10 shared fingerprints out of 10 per side -> jaccard 1.0
+    assert mirror["n_shared"] == 10
+    assert mirror["jaccard"] == 1.0
+    # no pair owes its existence to the template key: every reported
+    # pair must share REAL content, not the df-62 prefix
+    assert all(r["n_shared"] <= 10 for r in got)
+
+
+def test_boiler_scope_classes_under_hot_source(spark, skew_dir):
+    """The hot source's 200 template occurrences must classify as
+    LOCAL boilerplate (df >= 3 within the source: both scopes delete),
+    while a cold 3-doc source's template occurrences are local too —
+    and the per-(source, line-hash) keying never concentrates the hot
+    source's lines on one reducer key (the lines differ, so the key
+    spreads; asserted by the exact per-source accounting agreeing with
+    the oracle plus local >= 200 for the hot source)."""
+    fn, _ = REGISTRY["boiler_scope_audit"]
+    rows = {r["source"]: r for r in fn(spark, skew_dir).collect()}
+    hot = rows["hot.example"]
+    # every hot doc starts with the template -> 200 local-boiler line
+    # occurrences at minimum, and local boiler never exceeds total
+    assert hot["n_boiler_local"] >= 200
+    assert hot["n_boiler_local"] + hot["n_saved_by_scope"] <= \
+        hot["n_line_occ"]
+    # a cold source with 3 identical template lines: local df == 3 ->
+    # classed local; its "shared widget footer text" second line is
+    # corpus-frequent (global df = 5) but local-rare (df = 1) -> the
+    # spill class, the occurrences the per-host scope SAVES
+    cold = rows["cold0.example"]
+    assert cold["n_boiler_local"] >= 3
+    assert cold["n_saved_by_scope"] >= 1
+
+
+def test_cdc_rollup_under_hot_source(spark, skew_dir):
+    """cdc_chunk_dedup's source rollup with 50% of docs on one source:
+    the per-doc chunk build partitions by doc_id (not source), so the
+    hot source cannot serialize it; the mirror docs (identical text)
+    must report every chunk shared."""
+    fn, _ = REGISTRY["cdc_chunk_dedup"]
+    rows = {r["source"]: r for r in fn(spark, skew_dir).collect()}
+    assert rows["hot.example"]["n_docs"] == 200
+    for s in ("mirror-a.example", "mirror-b.example"):
+        r = rows[s]
+        assert r["shared_chunks"] == r["total_chunks"]
+        assert r["shared_pm"] == 1000
