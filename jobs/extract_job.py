@@ -222,10 +222,28 @@ def main(argv: list[str] | None = None) -> None:
         help="destination for the parsed sitemap discovery table "
         "(sitemap_url, loc, lastmod, changefreq, priority, is_index)",
     )
+    ap.add_argument(
+        "--coverage",
+        default=None,
+        metavar="PATH",
+        help="with --sitemaps: also write the per-host sitemap-vs-"
+        "crawl coverage ledger (stages/crawl_audit."
+        "sitemap_coverage_urls) joining the input pages' urls "
+        "against the parsed sitemap locs",
+    )
+    ap.add_argument(
+        "--trap-audit",
+        default=None,
+        metavar="PATH",
+        help="also write the per-host crawl-trap audit (stages/"
+        "crawl_audit.url_trap_audit_urls) over the input pages' urls",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if bool(args.sitemaps) != bool(args.sitemap_out):
         ap.error("--sitemaps and --sitemap-out go together")
+    if args.coverage and not args.sitemaps:
+        ap.error("--coverage joins against --sitemaps; pass both")
     if args.skew_report and not args.mixed:
         ap.error("--skew-report reads the PDF leg's runs; requires --mixed")
     if args.spell and args.format == "markup":
@@ -451,9 +469,27 @@ def main(argv: list[str] | None = None) -> None:
         # function of the sitemaps input, and --incremental replays
         # (whose page extraction is a high-water-mark no-op) must not
         # stack duplicate copies of every row (review finding)
-        read_sitemaps(spark.read.parquet(args.sitemaps)).write.mode(
-            "overwrite"
-        ).parquet(args.sitemap_out)
+        discovered = read_sitemaps(spark.read.parquet(args.sitemaps))
+        if args.coverage:
+            # two sinks consume the parse: materialize it once
+            discovered = discovered.localCheckpoint(eager=False)
+        discovered.write.mode("overwrite").parquet(args.sitemap_out)
+        if args.coverage:
+            import pyspark.sql.functions as F
+
+            from clara_ocr_spark.stages.crawl_audit import (
+                sitemap_coverage_urls,
+            )
+
+            sitemap_coverage_urls(
+                pages, discovered.filter(~F.col("is_index"))
+            ).write.mode("overwrite").parquet(args.coverage)
+    if args.trap_audit:
+        from clara_ocr_spark.stages.crawl_audit import url_trap_audit_urls
+
+        url_trap_audit_urls(pages).write.mode("overwrite").parquet(
+            args.trap_audit
+        )
     if args.metrics or args.deskew or args.wet_out:
         extracted.unpersist()
     spark.stop()

@@ -1,0 +1,122 @@
+"""crawl_audit stages: the production twins of the catalog's
+sitemap_coverage / url_trap_audit queries, over REAL url tables
+(VERDICT r4 item 5) — correctness of the coverage/trap accounting AND
+the scan realism the synthesized catalog queries can't exercise: a
+filter on the url column must reach the parquet scan (PushedFilters)
+with the read schema pruned to the url column."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clara_ocr_spark.stages.crawl_audit import (
+    sitemap_coverage_urls,
+    url_trap_audit_urls,
+)
+
+
+def _crawled_rows():
+    # a.example: pages p0..p5 crawled; sitemap declares p3..p9
+    #   -> both 3..5 (3), crawl-only 0..2 (3), sitemap-only 6..9 (4)
+    # b.example: crawled p0..p1, nothing declared -> crawl-only 2
+    rows = [(f"https://a.example/p{i}",) for i in range(6)]
+    rows += [(f"https://b.example/p{i}",) for i in range(2)]
+    # recrawl duplicates must not double-count
+    rows += [("https://a.example/p0",)]
+    return rows
+
+
+def _declared_rows():
+    return [(f"https://a.example/p{i}",) for i in range(3, 10)]
+
+
+def test_sitemap_coverage_urls_accounting(spark):
+    crawled = spark.createDataFrame(_crawled_rows(), "url string")
+    declared = spark.createDataFrame(_declared_rows(), "loc string")
+    got = {r["host"]: r for r in
+           sitemap_coverage_urls(crawled, declared).collect()}
+    a = got["a.example"]
+    assert (a["n_declared"], a["n_crawled"], a["n_both"],
+            a["n_sitemap_only"], a["n_crawl_only"]) == (7, 6, 3, 4, 3)
+    b = got["b.example"]
+    assert (b["n_declared"], b["n_crawled"], b["n_both"],
+            b["n_sitemap_only"], b["n_crawl_only"]) == (0, 2, 0, 0, 2)
+
+
+def test_url_trap_audit_urls_accounting(spark):
+    # trap host: one clean path under 5 session ids; healthy host:
+    # 4 distinct clean paths, one with a single param variant
+    rows = [(f"https://trap.example/page?sid={i}",) for i in range(5)]
+    rows += [(f"https://ok.example/p{i}",) for i in range(4)]
+    rows += [("https://ok.example/p0?ref=x",)]
+    urls = spark.createDataFrame(rows, "url string")
+    got = {r["host"]: r for r in url_trap_audit_urls(urls).collect()}
+    t = got["trap.example"]
+    assert (t["n_urls"], t["n_clean"], t["n_param_variants"],
+            t["trap_pm"]) == (5, 1, 4, 800)
+    ok = got["ok.example"]
+    assert (ok["n_urls"], ok["n_clean"], ok["n_param_variants"],
+            ok["trap_pm"]) == (5, 4, 1, 200)
+
+
+def test_url_scan_pushes_filter_and_prunes_columns(spark, tmp_path):
+    """The whole point of the real-url twins: a host-prefix predicate
+    on a parquet url table must reach the scan as a pushed filter,
+    and the scan must read ONLY the url column even though the table
+    carries a fat payload column (the catalog queries, synthesizing
+    urls from ids, can never exercise this)."""
+    src = spark.createDataFrame(
+        [(f"https://h{i % 4}.example/p{i}?sid={i}", "x" * 64, i)
+         for i in range(64)],
+        "url string, payload string, fetch_ms bigint",
+    )
+    path = str(tmp_path / "urls.parquet")
+    src.write.parquet(path)
+    urls = spark.read.parquet(path).filter(
+        F.col("url").startswith("https://h1.example/")
+    )
+    for df in (
+        url_trap_audit_urls(urls),
+        sitemap_coverage_urls(
+            urls, spark.createDataFrame([], "loc string")
+        ),
+    ):
+        rows = df.collect()
+        assert {r["host"] for r in rows} == {"h1.example"}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(url), " \
+               "StringStartsWith(url,https://h1.example/)" in plan
+        # column pruning: the 64-byte payload never leaves the scan
+        scan = plan[plan.index("ReadSchema"):]
+        line = scan.splitlines()[0]
+        assert "url" in line and "payload" not in line
+    # and the trap accounting is right on the filtered slice:
+    # h1 pages p1,p5,...,p61 each unique-by-sid -> 16 urls, 16 clean
+    t = url_trap_audit_urls(urls).collect()[0]
+    assert (t["n_urls"], t["n_clean"], t["trap_pm"]) == (16, 16, 0)
+
+
+def test_coverage_composes_with_sitemap_source(spark):
+    """The real composition the --coverage job flag runs: declared
+    urls come from read_sitemaps output (loc column), crawled from a
+    pages-shaped frame.  (The spark-submit surface itself is covered
+    by test_job.py's single job run with --coverage/--trap-audit.)"""
+    from clara_ocr_spark.sources.sitemap import read_sitemaps
+
+    locs = [f"https://a.example/p{i}" for i in range(3, 10)]
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        + "</urlset>"
+    ).encode()
+    sm = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", bytearray(body))],
+        "url string, payload binary",
+    )
+    crawled = spark.createDataFrame(_crawled_rows(), "url string")
+    declared = read_sitemaps(sm).filter(~F.col("is_index"))
+    got = {r["host"]: r for r in
+           sitemap_coverage_urls(crawled, declared).collect()}
+    a = got["a.example"]
+    assert (a["n_declared"], a["n_crawled"], a["n_both"],
+            a["n_sitemap_only"], a["n_crawl_only"]) == (7, 6, 3, 4, 3)

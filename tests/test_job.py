@@ -54,6 +54,8 @@ def test_extract_job_mixed(tmp_path):
             "--wat", str(tmp_path / "wat"),
             "--sitemaps", str(sitemaps),
             "--sitemap-out", str(tmp_path / "sm_out"),
+            "--coverage", str(tmp_path / "coverage"),
+            "--trap-audit", str(tmp_path / "trap"),
             "--wet-out", str(tmp_path / "wet"),
         ],
         capture_output=True,
@@ -119,6 +121,22 @@ def test_extract_job_mixed(tmp_path):
         ("https://sm.example/sitemap.xml", "https://sm.example/a"),
         ("https://sm.example/sitemap.xml", "https://sm.example/b"),
     }
+
+    # --coverage rode the same run: the two declared-but-unfetched
+    # sitemap urls are the scheduling gap; every crawled page counts
+    cov = duckdb.sql(
+        f"select sum(n_crawled), sum(n_sitemap_only), sum(n_both) "
+        f"from '{tmp_path}/coverage/*.parquet'"
+    ).fetchone()
+    assert cov == (60, 2, 0)
+
+    # --trap-audit rode the same run: every input url is distinct and
+    # parameter-free in this corpus -> no variants anywhere
+    trap = duckdb.sql(
+        f"select sum(n_urls), sum(n_param_variants) "
+        f"from '{tmp_path}/trap/*.parquet'"
+    ).fetchone()
+    assert trap == (60, 0)
 
     # --wet-out rode the same run: one conversion record per input
     # url (both legs), framed well enough for the repo's own reader
