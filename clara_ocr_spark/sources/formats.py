@@ -105,11 +105,14 @@ def wat_sidecar(
     Inputs are the two map-only harvest stages
     (`stages/links.extract_links`, `stages/metadata.harvest_metadata`)
     plus the pages table for coverage (a page with no links and no
-    head still gets a sidecar row).  Plan shape: three url-keyed
-    Exchanges (the out-link collect_list plus one per join leg — each
-    carries only urls, anchors and short strings; payloads never
-    enter any of it).  At 100 TB, land the three harvests bucketed by
-    url (`plans/bucketing`) and the compose becomes zero-Exchange —
+    head still gets a sidecar row).  Plan shape: four keyed
+    Exchanges — three on url (the pages and head-metadata per-url
+    reductions plus the out-link collect_list) and the link-dedup
+    ``distinct`` on the (url, dst, anchor, nf) composite — each
+    carrying only urls, anchors and short strings; payloads never
+    enter any of it, and the joins reuse the aggregates' url
+    partitioning.  At 100 TB, land the three harvests bucketed by
+    url (`plans/bucketing`) and the compose keeps only the distinct —
     the same co-location contract as `classify_by_host`; url is
     ~unique, so no salt either way.  Output: (url, warc_ts,
     wat:string) where wat is deterministic JSON (struct field order is

@@ -27,10 +27,19 @@ from pyspark.sql import DataFrame
 def _host(col):
     """Host of a url — JVM-side ``parse_url`` (no Python, no UDF);
     scheme-less inputs ('h3/p7?sid=1', a CDX-style capture key) fall
-    back to the first path segment."""
+    back to the first path segment.  The fallback strips the query
+    and fragment BEFORE taking the first '/'-segment: a root-path
+    session-id trap ('h3?sid=1', 'h3?sid=2', … with no path slash)
+    must group under ONE host 'h3' — splitting the raw string would
+    mint a fresh "host" per parameter variant and report exactly the
+    trap hosts this audit exists to catch as perfectly healthy
+    (review finding r5)."""
+    stripped = F.split_part(
+        F.split_part(col, F.lit("?"), F.lit(1)), F.lit("#"), F.lit(1)
+    )
     return F.coalesce(
         F.parse_url(col, F.lit("HOST")),
-        F.split_part(col, F.lit("/"), F.lit(1)),
+        F.split_part(stripped, F.lit("/"), F.lit(1)),
     )
 
 

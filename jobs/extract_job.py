@@ -304,6 +304,13 @@ def main(argv: list[str] | None = None) -> None:
         pages = read_pages_warc(spark, args.input)
     else:
         pages = read_pages_any(spark, args.input, args.input_format)
+    # The crawl audits (--coverage / --trap-audit) describe the WHOLE
+    # crawl, so they must read the raw input pages: binding them to
+    # the incremental delta would, on a rerun, anti-join away every
+    # already-extracted url and overwrite the ledgers with near-empty
+    # ones — a scheduler consuming the coverage gap would re-enqueue
+    # the entire already-crawled site (review finding r5).
+    audit_pages = pages
     if args.incremental:
         pages = incremental_delta(pages, args.output)
 
@@ -481,13 +488,15 @@ def main(argv: list[str] | None = None) -> None:
                 sitemap_coverage_urls,
             )
 
+            # audit_pages, not pages: the ledger describes the whole
+            # crawl even when this run only extracts the delta
             sitemap_coverage_urls(
-                pages, discovered.filter(~F.col("is_index"))
+                audit_pages, discovered.filter(~F.col("is_index"))
             ).write.mode("overwrite").parquet(args.coverage)
     if args.trap_audit:
         from clara_ocr_spark.stages.crawl_audit import url_trap_audit_urls
 
-        url_trap_audit_urls(pages).write.mode("overwrite").parquet(
+        url_trap_audit_urls(audit_pages).write.mode("overwrite").parquet(
             args.trap_audit
         )
     if args.metrics or args.deskew or args.wet_out:

@@ -252,9 +252,12 @@ def main() -> None:
             pages, extract_links(pages), harvest_metadata(pages)
         ),
         "Two map-only Arrow harvests (html dies inside each parse)\n"
-        "then three url-keyed Exchanges carrying short strings only;\n"
-        "bucket all three harvests by url (plans/bucketing) and the\n"
-        "compose is zero-Exchange.",
+        "then four keyed Exchanges carrying short strings only —\n"
+        "three url-keyed reductions (pages, head, out-link\n"
+        "collect_list) plus the link-dedup distinct on the\n"
+        "(url,dst,anchor,nf) composite; the joins reuse the url\n"
+        "partitioning.  Bucket the harvests by url (plans/bucketing)\n"
+        "and only the distinct survives.",
     )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))

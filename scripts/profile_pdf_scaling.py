@@ -71,14 +71,30 @@ def child(cores: int, stage: str, docs: int, runs: int,
     )
     pages = spark.read.parquet(path)
     df = build(stage, pages)
+    sc = spark.sparkContext
+    sc.setJobGroup("pdfprof-timed", stage)
     times = []
     for i in range(1 + runs):  # 1 warmup
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         if i >= 1:
             times.append(time.time() - t0)
-    # partitions the final stage actually ran on (post-AQE)
-    nparts = df.rdd.getNumPartitions()
+    # Partitions the final stage actually ran on (post-AQE), read
+    # from the status tracker of the LAST TIMED write itself:
+    # ``df.rdd.getNumPartitions()`` would re-execute the whole
+    # adaptive plan as one extra untimed job per cell (doubling
+    # profiler wall-clock on the heavy prefixes) AND report a
+    # separate QueryExecution that AQE may coalesce differently
+    # from the runs that were timed (review finding r5).
+    nparts = -1
+    st = sc.statusTracker()
+    job_ids = st.getJobIdsForGroup("pdfprof-timed")
+    if job_ids:
+        info = st.getJobInfo(max(job_ids))
+        if info and info.stageIds:
+            si = st.getStageInfo(max(info.stageIds))
+            if si:
+                nparts = si.numTasks
     print(json.dumps({
         "cores": cores, "stage": stage, "docs": docs,
         "secs": round(min(times), 3), "final_partitions": nparts,

@@ -59,6 +59,23 @@ def test_url_trap_audit_urls_accounting(spark):
             ok["trap_pm"]) == (5, 4, 1, 200)
 
 
+def test_url_trap_audit_schemeless_root_path_trap(spark):
+    """CDX-style scheme-less captures with NO path slash ('h3?sid=1'):
+    the _host fallback must strip the query/fragment before taking the
+    first '/'-segment, else every parameter variant mints its own
+    "host" with n_urls=1 and the trap host scores a perfect
+    trap_pm=0 — the exact host the audit exists to catch (review
+    finding r5)."""
+    rows = [(f"h3?sid={i}",) for i in range(4)]
+    rows += [("h4/p1",), ("h4/p2",), ("h5#frag",), ("h5",)]
+    urls = spark.createDataFrame(rows, "url string")
+    got = {r["host"]: r for r in url_trap_audit_urls(urls).collect()}
+    t = got["h3"]
+    assert (t["n_urls"], t["n_clean"], t["trap_pm"]) == (4, 1, 750)
+    assert got["h4"]["n_urls"] == 2 and got["h4"]["trap_pm"] == 0
+    assert got["h5"]["n_urls"] == 2  # fragment variant groups with bare
+
+
 def test_url_scan_pushes_filter_and_prunes_columns(spark, tmp_path):
     """The whole point of the real-url twins: a host-prefix predicate
     on a parquet url table must reach the scan as a pushed filter,

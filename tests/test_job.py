@@ -381,6 +381,10 @@ def test_extract_job_mixed(tmp_path):
             "--output", str(out),
             "--mixed",
             "--incremental",
+            "--sitemaps", str(sitemaps),
+            "--sitemap-out", str(tmp_path / "sm_out2"),
+            "--coverage", str(tmp_path / "coverage2"),
+            "--trap-audit", str(tmp_path / "trap2"),
         ],
         capture_output=True,
         text=True,
@@ -390,6 +394,19 @@ def test_extract_job_mixed(tmp_path):
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     n = duckdb.sql(f"select count(*) from '{out}/*.parquet'").fetchone()[0]
     assert n == len(rows)
+    # the audits describe the WHOLE crawl even on an incremental
+    # replay whose extraction delta is empty: binding them to the
+    # delta would overwrite the ledgers with near-empty ones and a
+    # coverage consumer would re-enqueue the entire crawled site
+    # (review finding r5)
+    assert duckdb.sql(
+        f"select sum(n_crawled), sum(n_sitemap_only), sum(n_both) "
+        f"from '{tmp_path}/coverage2/*.parquet'"
+    ).fetchone() == (60, 2, 0)
+    assert duckdb.sql(
+        f"select sum(n_urls), sum(n_param_variants) "
+        f"from '{tmp_path}/trap2/*.parquet'"
+    ).fetchone() == (60, 0)
 
 
 def test_extract_job_deskew_and_spell(tmp_path):
