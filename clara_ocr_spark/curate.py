@@ -175,6 +175,86 @@ def text_features(extracted: DataFrame) -> DataFrame:
     )
 
 
+def repair_text_encoding(extracted: DataFrame) -> DataFrame:
+    """Repair UTF-8-as-cp1252 mojibake baked into the SOURCE documents
+    ("Ã©" for "é", "â€™" for "'", whole Cyrillic pages as "Ð¿..." —
+    damage the publisher's CMS stored, which extraction preserves by
+    design because the byte-identity contract decodes the original
+    bytes faithfully).  The standard CCNet-style curation fixer, run
+    before features so the gate and dedup see repaired text — two
+    mojibake copies of one page dedup against each other only after
+    both repair to the same string.
+
+    Plan shape: mapInPandas (Arrow-batched, the input_hint's
+    sanctioned Python shape), map-only, zero shuffle, schema =
+    input + encoding_repaired:boolean.  The repair
+    (functions/mojibake.fix_mojibake) is conservative: a round is
+    accepted only when the re-encode is bytewise cp1252-able, decodes
+    as STRICT UTF-8, and strictly reduces the marker count — clean
+    text ("São Paulo") is untouched; up to 3 rounds unwind
+    double-encoding."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from .functions.mojibake import fix_mojibake
+
+    schema = StructType(
+        extracted.schema.fields
+        + [StructField("encoding_repaired", BooleanType(), False)]
+    )
+
+    def batches(it):
+        for pdf in it:
+            fixed = pdf["text"].map(
+                lambda s: fix_mojibake(s) if isinstance(s, str) else None
+            )
+            # NULL-safe change mask: pandas elementwise ``!=`` reads
+            # None != None as True, so compare pairwise instead
+            changed = [
+                f is not None and f != t
+                for f, t in zip(fixed, pdf["text"])
+            ]
+            pdf = pdf.assign(encoding_repaired=changed, text=fixed)
+            yield pdf
+
+    return extracted.mapInPandas(batches, schema=schema)
+
+
+def encoding_damage_audit(extracted: DataFrame) -> DataFrame:
+    """Per-host encoding-damage ledger over extracted text: how many
+    docs carry mojibake markers and how dense the damage is — the
+    corpus-health dual of the extraction-side `charset_sniff` audit
+    (that one reads the DECODE tier used on the original bytes; this
+    one reads damage the source itself shipped).  Pure JVM column
+    algebra (regexp_count, no Python), one map-side-partial groupBy;
+    marker regex is the single source of truth shared with the Python
+    fixer (functions/mojibake.MOJIBAKE_JAVA_RX)."""
+    from .functions.mojibake import MOJIBAKE_JAVA_RX
+    from .stages.segment import with_host
+
+    n_marks = F.regexp_count(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(MOJIBAKE_JAVA_RX)
+    )
+    per = with_host(extracted).select(
+        "host", n_marks.cast("bigint").alias("n_marks")
+    )
+    n = F.count(F.lit(1))
+    return (
+        per.groupBy("host")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_marks") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_damaged"),
+            F.sum("n_marks").cast("bigint").alias("n_marks"),
+        )
+        .withColumn(
+            "damaged_pm",
+            F.expr("(1000 * n_damaged) div n_docs").cast("bigint"),
+        )
+    )
+
+
 def quality_reason(cfg: CurateConfig) -> F.Column:
     """First failing rule wins (ordered F.when chain — the classify
     rule-chain discipline); NULL = passes the gate.  The LM rule is

@@ -1,0 +1,138 @@
+"""Encoding-damage (mojibake) detection and repair, from scratch.
+
+Web corpora carry a steady rate of UTF-8 text that was mis-decoded as
+windows-1252/latin-1 somewhere upstream and re-encoded — "é" stored
+as "Ã©", "'" as "â€™", whole Cyrillic pages as "Ð¿Ñ€Ð¸Ð²ÐµÑ‚".
+The curation side repairs what the extraction side cannot: extraction
+decodes the ORIGINAL bytes (domparse.decode_html) and stays
+byte-identical to the reference, but damage baked into the source
+document (the publisher's CMS already stored mojibake) survives
+extraction by design and is a curation concern, exactly where
+CCNet-style pipelines run their fixers.
+
+Reference analogue: the repair is the text-side dual of the
+reference's adaptive re-binarization (hqbin second pass — re-read the
+symbols you distrust with a better transform, pbm2cl.c spyhole
+neighborhood); the marker audit is its doubt accounting (step_14).
+
+From public knowledge only: the windows-1252 byte↔char table is the
+published WHATWG/Unicode mapping; the repair loop is the standard
+"re-encode sloppy-cp1252, re-decode UTF-8 strict, accept iff damage
+strictly decreases" construction described in the ftfy paper/docs —
+implemented here from scratch against Python's stdlib codecs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+#: byte → char for "sloppy windows-1252": the 251 real cp1252
+#: positions plus the 5 undefined holes (0x81 8D 8F 90 9D) mapped to
+#: their C1 controls, which is what lenient web decoders emit and so
+#: what damaged text actually contains.
+_SLOPPY_CP1252 = {
+    b: (
+        bytes([b]).decode("cp1252")
+        if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+        else chr(b)
+    )
+    for b in range(256)
+}
+#: char → byte, the encode direction of the same table.
+_SLOPPY_ENCODE = {c: b for b, c in _SLOPPY_CP1252.items()}
+
+#: chars a UTF-8 *continuation* byte (0x80-0xBF) renders as under
+#: sloppy cp1252 — the second char of every mojibake pair.
+_CONT_CHARS = "".join(sorted(_SLOPPY_CP1252[b] for b in range(0x80, 0xC0)))
+
+#: high-signal mojibake markers: a 2-byte-sequence lead (Â..Ã, i.e.
+#: UTF-8 lead bytes C2/C3 for Latin-1-range chars), a 3-byte lead
+#: (à..ï covers E0-EF: "â€™", "ï»¿", Devanagari "à¤..."), or a
+#: Cyrillic/Greek 2-byte lead (Ð/Ñ/Î/Ï = D0/D1/CE/CF) — each followed
+#: by a continuation-class char.  Python regex form.
+MOJIBAKE_RE = re.compile(
+    "[ÂÃÐÑÎÏà-ï]"
+    f"[{re.escape(_CONT_CHARS)}]"
+)
+
+#: the same marker as a Java-regex string for JVM-side audits
+#: (F.regexp_count).  Character-class metachars are escaped; the
+#: class content is identical to MOJIBAKE_RE's.
+MOJIBAKE_JAVA_RX = (
+    "[ÂÃÐÑÎÏà-ï]"
+    "[" + _CONT_CHARS.replace("\\", "\\\\").replace("[", "\\[")
+    .replace("]", "\\]").replace("^", "\\^").replace("&", "\\&")
+    + "]"
+)
+
+
+def mojibake_score(s: str) -> int:
+    """Number of mojibake marker bigrams in ``s`` (0 = looks clean)."""
+    return len(MOJIBAKE_RE.findall(s))
+
+
+def _reencode(s: str) -> Optional[bytes]:
+    """``s`` back to the bytes a sloppy-cp1252 decode would have read,
+    or None if any char has no cp1252 byte (then ``s`` cannot be a
+    cp1252 mis-decode and must not be 'repaired')."""
+    enc = _SLOPPY_ENCODE
+    try:
+        return bytes(enc[c] for c in s)
+    except KeyError:
+        return None
+
+
+def _fix_segment(seg: str, max_rounds: int) -> str:
+    cur = seg
+    score = mojibake_score(cur)
+    for _ in range(max_rounds):
+        if score == 0:
+            break
+        raw = _reencode(cur)
+        if raw is None:
+            break
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        new_score = mojibake_score(fixed)
+        if new_score >= score:
+            break
+        cur, score = fixed, new_score
+    return cur
+
+
+#: ASCII whitespace only — \s would also split on NBSP/ideographic
+#: space, and a mojibake continuation char is often exactly NBSP
+#: (0xA0): splitting on it would cut the damaged sequence in half and
+#: make it unrepairable.
+_ASCII_WS = re.compile(r"([ \t\r\n\f\v]+)")
+
+
+def fix_mojibake(s: Optional[str], max_rounds: int = 3) -> Optional[str]:
+    """Repair UTF-8-as-cp1252 damage; returns ``s`` unchanged when no
+    confident repair exists.  Conservative by construction: a repair
+    is accepted only when (a) every char maps back to a cp1252 byte,
+    (b) those bytes decode as STRICT UTF-8, and (c) the marker count
+    strictly decreases — so clean French/Portuguese text with a
+    legitimate standalone "Ã" is untouched (no continuation-class
+    follower), and anything ambiguous stays as-is.  ``max_rounds`` > 1
+    unwinds double/triple-encoded text ("Ã¢â‚¬â„¢" → "â€™" → "'").
+
+    Repair is per ASCII-whitespace-delimited segment, not whole-
+    string: real corpus damage is often lossy in spots (upstream
+    whitespace normalization that replaced an NBSP continuation byte
+    with a plain space destroys that one sequence irrecoverably), and
+    an all-or-nothing whole-string gate would let a single lossy spot
+    veto every repairable word around it.  NULL-safe, deterministic,
+    idempotent; never raises."""
+    if s is None:
+        return None
+    if mojibake_score(s) == 0:
+        return s
+    parts = _ASCII_WS.split(s)
+    return "".join(
+        _fix_segment(p, max_rounds) if i % 2 == 0 and p else p
+        for i, p in enumerate(parts)
+    )

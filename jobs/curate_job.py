@@ -88,6 +88,22 @@ def main(argv: list[str] | None = None) -> None:
         help="parquet of target-domain texts (column `text`) the "
         "DSIR importance weights are estimated against",
     )
+    ap.add_argument(
+        "--fix-encoding",
+        action="store_true",
+        help="repair UTF-8-as-cp1252 mojibake baked into the source "
+        "documents before the quality gate (conservative ftfy-style "
+        "fixer, curate.repair_text_encoding) — two damaged copies of "
+        "one page dedup only after both repair identically",
+    )
+    ap.add_argument(
+        "--encoding-audit",
+        default=None,
+        metavar="PATH",
+        help="also write the per-host encoding-damage ledger "
+        "(curate.encoding_damage_audit) over the PRE-repair text — "
+        "the corpus-health view of what --fix-encoding would touch",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.input_format == "wet" and args.mixed:
@@ -119,6 +135,23 @@ def main(argv: list[str] | None = None) -> None:
         )
     else:
         extracted = (extract_mixed if args.mixed else extract)(pages)
+    if args.encoding_audit:
+        from clara_ocr_spark.curate import encoding_damage_audit
+
+        # over the PRE-repair text by construction (the ledger reads
+        # the damage the crawl shipped); extraction is re-executed by
+        # this extra action only when the main path below isn't
+        # checkpointed yet — at ledger scale that one extra pass is
+        # the honest cost of a whole-corpus audit sidecar
+        encoding_damage_audit(extracted).write.mode("overwrite").parquet(
+            args.encoding_audit
+        )
+    if args.fix_encoding:
+        from clara_ocr_spark.curate import repair_text_encoding
+
+        extracted = repair_text_encoding(extracted).drop(
+            "encoding_repaired"
+        )
     eval_texts = (
         spark.read.parquet(args.decontaminate)
         if args.decontaminate

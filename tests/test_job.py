@@ -616,3 +616,84 @@ def test_curate_job_lm_gate_and_dsir(tmp_path):
         f"select url, logw from '{out_w}/*.parquet'").fetchall()}
     assert set(w) == set(cur)  # one sidecar row per curated url
     assert w["https://ref.example/fox"] is not None
+
+
+def test_curate_job_fix_encoding(tmp_path):
+    """--fix-encoding repairs source-baked mojibake before the gate
+    (the curated text carries the repaired form) and --encoding-audit
+    writes the per-host pre-repair damage ledger — all through the
+    spark-submit-shaped entry in a fresh interpreter."""
+    from clara_ocr_spark.functions.mojibake import fix_mojibake
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+    rows = [gen_page(i, seed=91) for i in range(22)]
+    clean = "étude naïve résumé séance idée bonne journée"
+
+    def misdecode(s: str) -> str:
+        return "".join(
+            bytes([b]).decode("cp1252")
+            if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else chr(b)
+            for b in s.encode("utf-8")
+        )
+
+    # one single-encoded and one DOUBLE-encoded copy of the same page:
+    # distinct byte-wise, so they can only dedup after both repair to
+    # the same clean string — the property --fix-encoding exists for
+    variants = [misdecode(clean), misdecode(misdecode(clean))]
+    assert len({clean, *variants}) == 3  # fixture sanity: all distinct
+    for k, damaged in enumerate(variants):
+        assert fix_mojibake(damaged) == clean  # fixture sanity
+        doc = dict(rows[0])
+        doc["url"] = f"https://broken.example/p{k}"
+        # the publisher's CMS already stored mojibake: the page FILE
+        # is clean UTF-8, the text inside it is damaged
+        doc["html"] = (
+            b"<html><body><main><p>"
+            + damaged.encode("utf-8")
+            + b"</p></main></body></html>"
+        )
+        rows.append(doc)
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(pages))
+    out_c, out_r = tmp_path / "curated", tmp_path / "rejects"
+    out_a = tmp_path / "enc_audit"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "curate_job.py"),
+            "--input", str(pages),
+            "--curated", str(out_c),
+            "--rejects", str(out_r),
+            "--fix-encoding",
+            "--encoding-audit", str(out_a),
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    # ledger reads the PRE-repair damage: the broken host is fully
+    # damaged, every other host clean
+    audit = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"select host, n_damaged, damaged_pm from '{out_a}/*.parquet'"
+        ).fetchall()
+    }
+    assert audit["broken.example"] == (2, 1000)
+    assert all(v == (0, 0) for h, v in audit.items() if h != "broken.example")
+    # curated text carries the REPAIRED form (both copies repair to the
+    # same string, so exactly one survives dedup)
+    broken = duckdb.sql(
+        f"select url, text from '{out_c}/*.parquet' "
+        "where url like 'https://broken.example/%'"
+    ).fetchall()
+    assert len(broken) == 1
+    assert clean in broken[0][1]
+    assert "Ã©" not in broken[0][1]
+    n_c = duckdb.sql(f"select count(*) from '{out_c}/*.parquet'").fetchone()[0]
+    n_r = duckdb.sql(f"select count(*) from '{out_r}/*.parquet'").fetchone()[0]
+    assert n_c + n_r == len(rows)  # count gate still partitions exactly
