@@ -501,26 +501,52 @@ def assign_split(curated: DataFrame) -> DataFrame:
     )
 
 
-def domain_mixture(curated: DataFrame) -> DataFrame:
+def domain_mixture(
+    curated: DataFrame, reg_rules: DataFrame | None = None
+) -> DataFrame:
     """Per-host sampling weights over the CURATED table (the
     `domain_mix_weights` catalog rule applied at the job boundary):
     host parsed from the url, weight = floor(sqrt(docs)) — the
     alpha = 1/2 temperature reweighting — with exact per-mille share
-    and upsample boost via integer division.  One map-side-partial
+    and upsample boost via integer division.
+
+    With ``reg_rules`` (stages/domains.rules_df output), the mixture
+    is keyed by REGISTERED DOMAIN (PSL eTLD+1) instead of raw host —
+    the production-correct site key: every `*.blogspot.com` subdomain
+    is a distinct publisher while `www.example.com` and `example.com`
+    are one, and a raw-host mixture would respectively merge and split
+    them.  The PSL attach runs on the per-host ROLLUP (|hosts| rows,
+    the scale-right point per stages/domains), never on the corpus
+    rows; hosts that resolve to NULL (the host IS a public suffix)
+    keep the raw host as their key.  One map-side-partial
     groupBy to the host relation (materialized once); the totals are
     a 1-row broadcast cross join, never a window over an
     unpartitioned million-host frame."""
     from .stages.segment import with_host
 
-    per = (
-        with_host(curated).groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("w"),
-        )
-        .localCheckpoint(eager=False)
+    per = with_host(curated).groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+    if reg_rules is not None:
+        from .stages.domains import with_registered_domain
+
+        per = (
+            with_registered_domain(per, reg_rules)
+            .select(
+                F.coalesce("reg_domain", "host").alias("host"),
+                "n_docs",
+                "n_tokens",
+            )
+            .groupBy("host")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+    per = per.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    ).localCheckpoint(eager=False)
     tot = per.agg(F.sum("w").alias("tw"), F.sum("n_docs").alias("td"))
     return per.crossJoin(F.broadcast(tot)).select(
         "host",

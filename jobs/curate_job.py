@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> None:
         "DSIR importance weights are estimated against",
     )
     ap.add_argument(
+        "--psl-rules",
+        default=None,
+        metavar="PATH",
+        help="public-suffix rule list (publicsuffix.org format, one "
+        "rule per line); with --mix-weights, keys the mixture table "
+        "by REGISTERED DOMAIN (eTLD+1) instead of raw host",
+    )
+    ap.add_argument(
         "--fix-encoding",
         action="store_true",
         help="repair UTF-8-as-cp1252 mojibake baked into the source "
@@ -110,6 +118,8 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--mixed extracts from raw payloads; WET is pre-extracted")
     if bool(args.dsir_weights) != bool(args.dsir_target):
         ap.error("--dsir-weights and --dsir-target go together")
+    if args.psl_rules and not args.mix_weights:
+        ap.error("--psl-rules keys the --mix-weights table; pass both")
 
     from jobs.extract_job import build_session
 
@@ -182,12 +192,20 @@ def main(argv: list[str] | None = None) -> None:
     if args.mix_weights:
         from clara_ocr_spark.curate import domain_mixture
 
+        reg_rules = None
+        if args.psl_rules:
+            from clara_ocr_spark.stages.domains import rules_df
+
+            # the PSL is a ~15k-line text artifact: read it driver-
+            # side into the broadcastable rule relation
+            with open(args.psl_rules, encoding="utf-8") as fh:
+                reg_rules = rules_df(spark, fh.read().splitlines())
         # read the just-written table back: the mixture needs only
         # (url, n_tokens) — a pruned columnar scan of the output, not
         # a re-run of the extract/dedup lineage
-        domain_mixture(spark.read.parquet(args.curated)).write.mode(
-            "overwrite"
-        ).parquet(args.mix_weights)
+        domain_mixture(
+            spark.read.parquet(args.curated), reg_rules=reg_rules
+        ).write.mode("overwrite").parquet(args.mix_weights)
     if args.dsir_weights:
         from clara_ocr_spark.curate import dsir_weights
 

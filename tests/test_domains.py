@@ -1,0 +1,136 @@
+"""Registered-domain (public-suffix) resolution — PSL semantics.
+
+Expectations follow the published publicsuffix.org algorithm and its
+test vectors (checkPublicSuffix cases), restricted to the rule kinds
+in the built-in list: literal, wildcard (*.ck), exception (!www.ck),
+private-registry entries, implicit-* fallback, and the
+host-IS-a-suffix NULL case.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clara_ocr_spark.stages.domains import (
+    DEFAULT_RULES,
+    registered_domain_map,
+    rules_df,
+    with_registered_domain,
+)
+
+# (host, expected registered domain or None) — the PSL's own test
+# vector shapes for these rule kinds
+CASES = [
+    ("example.com", "example.com"),
+    ("www.example.com", "example.com"),
+    ("a.b.example.co.uk", "example.co.uk"),
+    ("example.co.uk", "example.co.uk"),
+    ("co.uk", None),                      # host IS a public suffix
+    ("uk", None),
+    ("com", None),
+    ("github.io", None),                  # private-registry suffix
+    ("user.github.io", "user.github.io"),
+    ("pages.user.github.io", "user.github.io"),
+    ("someblog.blogspot.com", "someblog.blogspot.com"),
+    ("www.someblog.blogspot.com", "someblog.blogspot.com"),
+    # wildcard *.ck: foo.ck is a suffix, bar.foo.ck registers
+    ("foo.ck", None),
+    ("bar.foo.ck", "bar.foo.ck"),
+    ("baz.bar.foo.ck", "bar.foo.ck"),
+    # exception !www.ck beats the wildcard
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    # implicit-* fallback for unlisted TLDs
+    ("example.unlisted", "example.unlisted"),
+    ("a.example.unlisted", "example.unlisted"),
+    ("unlisted", None),
+    # case-insensitive
+    ("WWW.Example.COM", "example.com"),
+    ("", None),
+]
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    hosts = spark.createDataFrame(
+        [(h,) for h, _ in CASES], "host string"
+    )
+    rules = rules_df(spark)
+    rows = registered_domain_map(hosts, rules).collect()
+    return {r["host"]: r["reg_domain"] for r in rows}
+
+
+def test_psl_vectors(resolved):
+    for host, want in CASES:
+        key = host.lower()
+        assert resolved[key] == want, (host, resolved[key], want)
+
+
+def test_map_is_one_row_per_host(resolved):
+    assert len(resolved) == len({h.lower() for h, _ in CASES})
+
+
+def test_rules_parse_kinds(spark):
+    rows = {r["key"]: (r["eff_labels"], r["exc"])
+            for r in rules_df(spark).collect()}
+    assert rows["com"] == (1, False)
+    assert rows["co.uk"] == (2, False)
+    assert rows["ck"] == (2, False)        # *.ck: one extra label
+    assert rows["www.ck"] == (1, True)     # !www.ck: one fewer
+    assert len(rows) == len(DEFAULT_RULES)
+
+
+def test_comments_and_blanks_ignored(spark):
+    rules = rules_df(spark, ["// comment", "", "com", "  co.uk  "])
+    assert rules.count() == 2
+
+
+def test_with_registered_domain_preserves_rows(spark):
+    hosts = spark.createDataFrame(
+        [("www.example.com", 1), ("www.Example.com", 2), ("co.uk", 3)],
+        "host string, payload int",
+    )
+    out = with_registered_domain(hosts, rules_df(spark)).collect()
+    assert len(out) == 3  # one output row per input row, not per host
+    got = {(r["payload"], r["reg_domain"]) for r in out}
+    assert got == {(1, "example.com"), (2, "example.com"), (3, None)}
+
+
+def test_map_plan_shape(spark):
+    """The rule lookup is a broadcast join and the election reuses the
+    distinct's host partitioning: exactly ONE Exchange in the whole
+    map plan, and it is keyed on host."""
+    hosts = spark.createDataFrame([("www.example.com",)], "host string")
+    plan = registered_domain_map(hosts, rules_df(spark))._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_domain_mixture_psl_keying(spark):
+    """With reg_rules, the mixture merges host aliases of one
+    registered domain (www.example.com + example.com) and keeps
+    private-registry subdomains apart (each *.blogspot.com blog is its
+    own publisher)."""
+    from clara_ocr_spark.curate import domain_mixture
+
+    rows = []
+    for i, host in enumerate(
+        ["www.example.com", "example.com",
+         "alice.blogspot.com", "bob.blogspot.com"]
+    ):
+        for k in range(i + 1):
+            rows.append((f"https://{host}/p{k}", "text", 10))
+    df = spark.createDataFrame(
+        rows, "url string, text string, n_tokens int"
+    )
+    raw = {r["host"]: r["n_docs"]
+           for r in domain_mixture(df).collect()}
+    assert raw == {"www.example.com": 1, "example.com": 2,
+                   "alice.blogspot.com": 3, "bob.blogspot.com": 4}
+    psl = {r["host"]: r["n_docs"]
+           for r in domain_mixture(df, reg_rules=rules_df(spark)).collect()}
+    assert psl == {"example.com": 3,
+                   "alice.blogspot.com": 3, "bob.blogspot.com": 4}

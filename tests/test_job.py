@@ -654,10 +654,22 @@ def test_curate_job_fix_encoding(tmp_path):
             + b"</p></main></body></html>"
         )
         rows.append(doc)
+    # a www-alias of the broken host with UNIQUE clean content: the
+    # PSL-keyed mixture must merge it with broken.example while the
+    # raw-host view keeps them apart
+    www = dict(rows[0])
+    www["url"] = "https://www.broken.example/p9"
+    www["html"] = (
+        b"<html><body><main><p>une page propre distincte sans faute "
+        b"du tout ici</p></main></body></html>"
+    )
+    rows.append(www)
     pages = tmp_path / "pages.parquet"
     pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(pages))
+    psl = tmp_path / "psl.dat"
+    psl.write_text("// test rules\nexample\ncom\n")
     out_c, out_r = tmp_path / "curated", tmp_path / "rejects"
-    out_a = tmp_path / "enc_audit"
+    out_a, out_w = tmp_path / "enc_audit", tmp_path / "mix"
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     proc = subprocess.run(
         [
@@ -668,6 +680,8 @@ def test_curate_job_fix_encoding(tmp_path):
             "--rejects", str(out_r),
             "--fix-encoding",
             "--encoding-audit", str(out_a),
+            "--mix-weights", str(out_w),
+            "--psl-rules", str(psl),
         ],
         capture_output=True, text=True, env=env, timeout=300,
     )
@@ -697,3 +711,14 @@ def test_curate_job_fix_encoding(tmp_path):
     n_c = duckdb.sql(f"select count(*) from '{out_c}/*.parquet'").fetchone()[0]
     n_r = duckdb.sql(f"select count(*) from '{out_r}/*.parquet'").fetchone()[0]
     assert n_c + n_r == len(rows)  # count gate still partitions exactly
+    # PSL-keyed mixture: the www alias folded into its registered
+    # domain (one broken.example row counting both curated pages; no
+    # www.broken.example row anywhere)
+    mix = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select host, n_docs from '{out_w}/*.parquet'"
+        ).fetchall()
+    }
+    assert "www.broken.example" not in mix
+    assert mix["broken.example"] == 2  # deduped pair -> 1, plus www's 1
