@@ -80,6 +80,84 @@ def sitemap_coverage_urls(
     )
 
 
+#: high-precision soft-404 content markers (case-insensitive Java
+#: regex).  Deliberately phrase-level: bare "404" / "not found" would
+#: flag legitimate prose (press articles ABOUT missing pages), and a
+#: soft-404 audit that misfires poisons recrawl scheduling.  The
+#: multilingual set covers the corpus's page languages plus the
+#: biggest web languages' stock error phrases.
+SOFT404_MARKERS = (
+    "(?i)(page not found|error 404|404 not found|file not found|"
+    "page does not exist|page you requested (was|could) not|"
+    "no longer available|p[áa]gina n[ãa]o encontrada|"
+    "page introuvable|seite nicht gefunden|"
+    "страница не найдена|页面不存在|ページが見つかりません)"
+)
+
+
+def soft404_audit(
+    extracted: DataFrame,
+    head_meta: DataFrame | None = None,
+    short_len: int = 2000,
+) -> DataFrame:
+    """Per-host soft-404 ledger: pages whose CONTENT says "not found"
+    even though the crawl stored them as successes (the server answered
+    200).  The content-heuristic tier of the classic soft-404 problem
+    (Bar-Yossef et al., "Sic transit gloria telae", WWW'04 — their
+    probe tier fetches a deliberately-nonexistent sibling url, which an
+    offline audit cannot): a page is flagged when its extracted text
+    hits a stock error phrase AND is short (real articles that merely
+    QUOTE an error phrase are long), or — with the head-metadata
+    harvest joined in — when its ``<title>`` hits one (titles are
+    phrase-only, no length gate needed).
+
+    Scale shape: the text tier is map-only JVM regexp; the optional
+    title tier is one url-keyed equi-join of two per-url relations;
+    the rollup is a map-side-partial groupBy on host.  Feeds the
+    recrawl scheduler the hosts whose "successes" are hollow —
+    alongside ``url_trap_audit_urls`` this is the second
+    crawl-hygiene ledger."""
+    from .segment import with_host
+
+    hit_text = F.col("text").rlike(SOFT404_MARKERS) & (
+        F.length("text") < short_len
+    )
+    base = extracted.select(
+        "url", F.coalesce(hit_text, F.lit(False)).alias("soft")
+    )
+    if head_meta is not None:
+        titles = head_meta.groupBy("url").agg(
+            F.max("title").alias("title")
+        )
+        base = (
+            base.join(titles, "url", "left")
+            .select(
+                "url",
+                (
+                    F.col("soft")
+                    | F.coalesce(
+                        F.col("title").rlike(SOFT404_MARKERS),
+                        F.lit(False),
+                    )
+                ).alias("soft"),
+            )
+        )
+    n = F.count(F.lit(1))
+    return (
+        with_host(base).groupBy("host")
+        .agg(
+            n.cast("bigint").alias("n_pages"),
+            F.sum(F.col("soft").cast("bigint"))
+            .cast("bigint")
+            .alias("n_soft404"),
+        )
+        .withColumn(
+            "soft404_pm",
+            F.expr("(1000 * n_soft404) div n_pages").cast("bigint"),
+        )
+    )
+
+
 def url_trap_audit_urls(urls: DataFrame) -> DataFrame:
     """Per-host crawl-trap audit over a real url table: how many
     distinct urls collapse onto one query-stripped path.  ``trap_pm``

@@ -238,12 +238,25 @@ def main(argv: list[str] | None = None) -> None:
         help="also write the per-host crawl-trap audit (stages/"
         "crawl_audit.url_trap_audit_urls) over the input pages' urls",
     )
+    ap.add_argument(
+        "--soft404-audit",
+        default=None,
+        metavar="PATH",
+        help="also write the per-host soft-404 ledger (stages/"
+        "crawl_audit.soft404_audit) over the WHOLE extracted output "
+        "(read back from --output, so --incremental reruns audit the "
+        "full crawl); the title tier joins the cumulative --head-meta "
+        "table when that sink is also configured",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if bool(args.sitemaps) != bool(args.sitemap_out):
         ap.error("--sitemaps and --sitemap-out go together")
     if args.coverage and not args.sitemaps:
         ap.error("--coverage joins against --sitemaps; pass both")
+    if args.soft404_audit and args.output_format != "parquet":
+        ap.error("--soft404-audit reads the output back; needs "
+                 "--output-format parquet")
     if args.skew_report and not args.mixed:
         ap.error("--skew-report reads the PDF leg's runs; requires --mixed")
     if args.spell and args.format == "markup":
@@ -499,6 +512,20 @@ def main(argv: list[str] | None = None) -> None:
         url_trap_audit_urls(audit_pages).write.mode("overwrite").parquet(
             args.trap_audit
         )
+    if args.soft404_audit:
+        from clara_ocr_spark.stages.crawl_audit import soft404_audit
+
+        # whole-crawl discipline (same as --coverage/--trap-audit):
+        # read the CUMULATIVE extracted output back — a pruned
+        # (url, text) columnar scan — and, when the head harvest sink
+        # exists, its cumulative table for the title tier; never the
+        # in-memory delta frames
+        soft404_audit(
+            spark.read.parquet(args.output),
+            spark.read.parquet(args.head_meta)
+            if args.head_meta
+            else None,
+        ).write.mode("overwrite").parquet(args.soft404_audit)
     if args.metrics or args.deskew or args.wet_out:
         extracted.unpersist()
     spark.stop()

@@ -137,3 +137,50 @@ def test_coverage_composes_with_sitemap_source(spark):
     a = got["a.example"]
     assert (a["n_declared"], a["n_crawled"], a["n_both"],
             a["n_sitemap_only"], a["n_crawl_only"]) == (7, 6, 3, 4, 3)
+
+
+def test_soft404_text_tier(spark):
+    from clara_ocr_spark.stages.crawl_audit import soft404_audit
+
+    long_quote = (
+        "an article about web archaeology " * 80
+        + "which quotes the phrase page not found in passing"
+    )
+    docs = spark.createDataFrame(
+        [
+            # short stock error page -> flagged
+            ("https://dead.example/a", "Error 404 — page not found."),
+            ("https://dead.example/b", "Página não encontrada."),
+            # healthy page
+            ("https://dead.example/c", "real content with many words"),
+            # LONG page merely quoting the phrase -> NOT flagged
+            ("https://press.example/a", long_quote),
+            ("https://press.example/b", "normal article text"),
+            # NULL text is not a soft-404
+            ("https://press.example/c", None),
+        ],
+        "url string, text string",
+    )
+    led = {r["host"]: r for r in soft404_audit(docs).collect()}
+    assert (led["dead.example"]["n_soft404"],
+            led["dead.example"]["soft404_pm"]) == (2, 666)
+    assert led["press.example"]["n_soft404"] == 0
+    assert led["press.example"]["n_pages"] == 3
+
+
+def test_soft404_title_tier(spark):
+    from clara_ocr_spark.stages.crawl_audit import soft404_audit
+
+    docs = spark.createDataFrame(
+        [("https://sly.example/a", "x " * 1500),  # long body, no marker
+         ("https://sly.example/b", "fine content")],
+        "url string, text string",
+    )
+    meta = spark.createDataFrame(
+        [("https://sly.example/a", "404 Not Found")],
+        "url string, title string",
+    )
+    # text tier alone sees nothing; the title betrays the error page
+    assert soft404_audit(docs).collect()[0]["n_soft404"] == 0
+    led = soft404_audit(docs, meta).collect()[0]
+    assert (led["n_soft404"], led["soft404_pm"]) == (1, 500)

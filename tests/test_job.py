@@ -56,6 +56,7 @@ def test_extract_job_mixed(tmp_path):
             "--sitemap-out", str(tmp_path / "sm_out"),
             "--coverage", str(tmp_path / "coverage"),
             "--trap-audit", str(tmp_path / "trap"),
+            "--soft404-audit", str(tmp_path / "soft404"),
             "--wet-out", str(tmp_path / "wet"),
         ],
         capture_output=True,
@@ -137,6 +138,15 @@ def test_extract_job_mixed(tmp_path):
         f"from '{tmp_path}/trap/*.parquet'"
     ).fetchone()
     assert trap == (60, 0)
+
+    # --soft404-audit rode the same run over the whole output read
+    # back (title tier joined from the --head-meta table): a healthy
+    # synthetic corpus reads zero everywhere, but every page counts
+    soft = duckdb.sql(
+        f"select sum(n_pages), sum(n_soft404) "
+        f"from '{tmp_path}/soft404/*.parquet'"
+    ).fetchone()
+    assert soft == (60, 0)
 
     # --wet-out rode the same run: one conversion record per input
     # url (both legs), framed well enough for the repo's own reader
