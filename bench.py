@@ -364,6 +364,37 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # round-5 curation/audit stages, timed over the same 100k-doc
+    # corpus text (map-only passes plus one host rollup each): the
+    # mojibake fixer, its JVM audit twin, the soft-404 ledger, and
+    # the PSL registered-domain map over the corpus's hosts
+    from clara_ocr_spark.curate import (
+        encoding_damage_audit,
+        repair_text_encoding,
+    )
+    from clara_ocr_spark.stages.crawl_audit import soft404_audit
+    from clara_ocr_spark.stages.domains import (
+        registered_domain_map,
+        rules_df,
+    )
+    from clara_ocr_spark.stages.segment import with_host
+
+    docs = pages.select("url", "text")
+    rules = rules_df(spark)
+    for name, df in (
+        ("curate_fix_encoding", repair_text_encoding(docs)),
+        ("curate_encoding_audit", encoding_damage_audit(docs)),
+        ("crawl_soft404_audit", soft404_audit(docs)),
+        ("psl_domain_map", registered_domain_map(with_host(docs), rules)),
+    ):
+        _force(df)  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
     timings["pdf_extraction"] = round(pdf_secs, 3)
     pdf_docs_per_sec = round(PDF_BENCH_DOCS / pdf_secs, 1)
 

@@ -80,6 +80,51 @@ def sitemap_coverage_urls(
     )
 
 
+def sitemap_staleness_urls(
+    crawled: DataFrame, declared: DataFrame
+) -> DataFrame:
+    """Per-host re-crawl staleness ledger: urls whose publisher-
+    declared sitemap ``lastmod`` is NEWER than the crawl's last fetch
+    — the lastmod-driven half of re-crawl scheduling (the content-
+    digest half is ``recrawl_delta``; this one needs no second fetch
+    at all, the publisher volunteers the signal).
+
+    ``crawled``: any frame with (url, warc_ts); ``declared``:
+    ``read_sitemaps``/``sitemap_walk`` output (loc, lastmod — a W3C
+    datetime STRING per the sitemaps.org protocol: date-only or full
+    ISO 8601; unparseable/absent lastmod is counted but never stale,
+    the conservative read).  Both sides reduce to one row per url
+    BEFORE the equi-join (recrawls carry several captures; a url may
+    be declared by several sitemaps — newest declaration wins), so
+    the join is ~unique-keyed, never host-keyed: same scale shape as
+    ``sitemap_coverage_urls``."""
+    c = crawled.groupBy(F.col("url").cast("string").alias("u")).agg(
+        F.max("warc_ts").alias("fetched_ts")
+    )
+    d = declared.groupBy(F.col("loc").cast("string").alias("u")).agg(
+        F.max(F.try_to_timestamp(F.col("lastmod"))).alias("lastmod_ts")
+    )
+    j = c.join(d, "u")
+    n = F.count(F.lit(1))
+    stale = F.col("lastmod_ts") > F.col("fetched_ts")
+    return (
+        j.groupBy(_host(F.col("u")).alias("host"))
+        .agg(
+            n.cast("bigint").alias("n_matched"),
+            F.sum(F.col("lastmod_ts").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_dated"),
+            F.sum(F.coalesce(stale, F.lit(False)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_stale"),
+        )
+        .withColumn(
+            "stale_pm",
+            F.expr("(1000 * n_stale) div n_matched").cast("bigint"),
+        )
+    )
+
+
 #: high-precision soft-404 content markers (case-insensitive Java
 #: regex).  Deliberately phrase-level: bare "404" / "not found" would
 #: flag legitimate prose (press articles ABOUT missing pages), and a

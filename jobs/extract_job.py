@@ -239,6 +239,15 @@ def main(argv: list[str] | None = None) -> None:
         "crawl_audit.url_trap_audit_urls) over the input pages' urls",
     )
     ap.add_argument(
+        "--staleness",
+        default=None,
+        metavar="PATH",
+        help="with --sitemaps: also write the per-host lastmod-driven "
+        "re-crawl staleness ledger (stages/crawl_audit."
+        "sitemap_staleness_urls) — urls whose declared lastmod is "
+        "newer than the crawl's last fetch",
+    )
+    ap.add_argument(
         "--soft404-audit",
         default=None,
         metavar="PATH",
@@ -254,6 +263,8 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--sitemaps and --sitemap-out go together")
     if args.coverage and not args.sitemaps:
         ap.error("--coverage joins against --sitemaps; pass both")
+    if args.staleness and not args.sitemaps:
+        ap.error("--staleness joins against --sitemaps; pass both")
     if args.soft404_audit and args.output_format != "parquet":
         ap.error("--soft404-audit reads the output back; needs "
                  "--output-format parquet")
@@ -490,8 +501,8 @@ def main(argv: list[str] | None = None) -> None:
         # (whose page extraction is a high-water-mark no-op) must not
         # stack duplicate copies of every row (review finding)
         discovered = read_sitemaps(spark.read.parquet(args.sitemaps))
-        if args.coverage:
-            # two sinks consume the parse: materialize it once
+        if args.coverage or args.staleness:
+            # several sinks consume the parse: materialize it once
             discovered = discovered.localCheckpoint(eager=False)
         discovered.write.mode("overwrite").parquet(args.sitemap_out)
         if args.coverage:
@@ -506,6 +517,16 @@ def main(argv: list[str] | None = None) -> None:
             sitemap_coverage_urls(
                 audit_pages, discovered.filter(~F.col("is_index"))
             ).write.mode("overwrite").parquet(args.coverage)
+        if args.staleness:
+            import pyspark.sql.functions as F
+
+            from clara_ocr_spark.stages.crawl_audit import (
+                sitemap_staleness_urls,
+            )
+
+            sitemap_staleness_urls(
+                audit_pages, discovered.filter(~F.col("is_index"))
+            ).write.mode("overwrite").parquet(args.staleness)
     if args.trap_audit:
         from clara_ocr_spark.stages.crawl_audit import url_trap_audit_urls
 

@@ -184,3 +184,50 @@ def test_soft404_title_tier(spark):
     assert soft404_audit(docs).collect()[0]["n_soft404"] == 0
     led = soft404_audit(docs, meta).collect()[0]
     assert (led["n_soft404"], led["soft404_pm"]) == (1, 500)
+
+
+def test_sitemap_staleness(spark):
+    """lastmod-driven recrawl: newest declaration vs latest capture,
+    date-only and full-ISO lastmod forms, unparseable lastmod counted
+    but never stale, undeclared/unfetched urls excluded."""
+    import datetime as dt
+
+    from clara_ocr_spark.stages.crawl_audit import sitemap_staleness_urls
+
+    t = dt.datetime(2024, 6, 1, 12, 0, 0)
+    crawled = spark.createDataFrame(
+        [
+            ("https://s.example/fresh", t),
+            ("https://s.example/fresh", t - dt.timedelta(days=9)),  # recrawl
+            ("https://s.example/stale", t),
+            ("https://s.example/dateonly", t),
+            ("https://s.example/undated", t),
+            ("https://s.example/badmod", t),
+            ("https://s.example/notdeclared", t),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    declared = spark.createDataFrame(
+        [
+            # two declarations; the NEWER one wins but is still older
+            # than the fetch -> fresh
+            ("https://s.example/fresh", "2024-05-30T00:00:00Z"),
+            ("https://s.example/fresh", "2024-04-01"),
+            # publisher updated after our fetch -> stale
+            ("https://s.example/stale", "2024-06-02T08:30:00+00:00"),
+            # date-only form, after the fetch date -> stale
+            ("https://s.example/dateonly", "2024-06-03"),
+            ("https://s.example/undated", None),
+            ("https://s.example/badmod", "not-a-date"),
+            ("https://s.example/neverfetched", "2024-06-05"),
+        ],
+        "loc string, lastmod string",
+    )
+    led = sitemap_staleness_urls(crawled, declared).collect()
+    assert len(led) == 1
+    r = led[0]
+    assert r["host"] == "s.example"
+    assert r["n_matched"] == 5  # notdeclared/neverfetched excluded
+    assert r["n_dated"] == 3  # fresh, stale, dateonly
+    assert r["n_stale"] == 2  # stale + dateonly
+    assert r["stale_pm"] == 400

@@ -55,6 +55,7 @@ def test_extract_job_mixed(tmp_path):
             "--sitemaps", str(sitemaps),
             "--sitemap-out", str(tmp_path / "sm_out"),
             "--coverage", str(tmp_path / "coverage"),
+            "--staleness", str(tmp_path / "staleness"),
             "--trap-audit", str(tmp_path / "trap"),
             "--soft404-audit", str(tmp_path / "soft404"),
             "--wet-out", str(tmp_path / "wet"),
@@ -130,6 +131,19 @@ def test_extract_job_mixed(tmp_path):
         f"from '{tmp_path}/coverage/*.parquet'"
     ).fetchone()
     assert cov == (60, 2, 0)
+
+    # --staleness rode the same run: no declared url was crawled, so
+    # the lastmod ledger is empty (written, not crashed; AQE may
+    # coalesce the empty write to zero part files)
+    import glob as _glob2
+
+    assert os.path.exists(f"{tmp_path}/staleness/_SUCCESS")
+    stale_parts = _glob2.glob(f"{tmp_path}/staleness/*.parquet")
+    if stale_parts:
+        n_stale = duckdb.sql(
+            f"select count(*) from '{tmp_path}/staleness/*.parquet'"
+        ).fetchone()
+        assert n_stale == (0,)
 
     # --trap-audit rode the same run: every input url is distinct and
     # parameter-free in this corpus -> no variants anywhere

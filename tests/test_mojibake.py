@@ -21,7 +21,7 @@ from clara_ocr_spark.functions.mojibake import (
 
 # (damaged, repaired) — each damaged form is the real cp1252
 # mis-decode of the repaired form's UTF-8 bytes (checked in
-# test_cases_are_真_misdecodes below, so the table can't drift).
+# test_cases_are_real_misdecodes below, so the table can't drift).
 REPAIRS = [
     ("Ã©", "é"),
     ("naÃ¯ve rÃ©sumÃ©", "naïve résumé"),
@@ -169,3 +169,36 @@ def test_python_and_java_rx_agree(spark, damaged_docs):
     )
     for r in scored.collect():
         assert r["n"] == mojibake_score(r["text"]), r["text"]
+
+
+def test_rollups_exact_under_hot_host(spark):
+    """Hot-host discipline for the two new host rollups: one host owns
+    50% of the corpus; the audits' counters must stay exact (the
+    groupBys are map-side partial, so the hot key ships one partial
+    row per partition, never its row set)."""
+    from clara_ocr_spark.curate import encoding_damage_audit
+    from clara_ocr_spark.stages.crawl_audit import soft404_audit
+
+    rows = []
+    for i in range(1000):
+        # every 4th hot page is damaged; every 10th is a soft-404
+        t = ("rÃ©sumÃ© cassÃ©" if i % 4 == 0
+             else "Error 404 - page not found" if i % 10 == 5
+             else "healthy page content")
+        rows.append((f"https://hot.example/p{i}", t))
+    for s in range(100):
+        for i in range(10):
+            rows.append((f"https://cold{s}.example/p{i}", "fine text"))
+    docs = spark.createDataFrame(rows, "url string, text string")
+
+    enc = {r["host"]: r for r in encoding_damage_audit(docs).collect()}
+    assert enc["hot.example"]["n_docs"] == 1000
+    assert enc["hot.example"]["n_damaged"] == 250
+    assert enc["hot.example"]["damaged_pm"] == 250
+    assert all(v["n_damaged"] == 0 for h, v in enc.items()
+               if h != "hot.example")
+
+    soft = {r["host"]: r for r in soft404_audit(docs).collect()}
+    assert soft["hot.example"]["n_pages"] == 1000
+    assert soft["hot.example"]["n_soft404"] == 100
+    assert len(soft) == 101
