@@ -223,6 +223,22 @@ def main(argv: list[str] | None = None) -> None:
         "(sitemap_url, loc, lastmod, changefreq, priority, is_index)",
     )
     ap.add_argument(
+        "--robots",
+        default=None,
+        metavar="PATH",
+        help="parquet of fetched robots.txt files (url, payload "
+        "binary); parsed by stages/robots.parse_robots (RFC 9309 "
+        "groups + Crawl-delay + Sitemap records) into the rules "
+        "ledger written at --robots-out",
+    )
+    ap.add_argument(
+        "--robots-out",
+        default=None,
+        metavar="PATH",
+        help="destination for the parsed robots rules ledger "
+        "(robots_url, agent, kind, value, ord)",
+    )
+    ap.add_argument(
         "--coverage",
         default=None,
         metavar="PATH",
@@ -261,6 +277,8 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
     if bool(args.sitemaps) != bool(args.sitemap_out):
         ap.error("--sitemaps and --sitemap-out go together")
+    if bool(args.robots) != bool(args.robots_out):
+        ap.error("--robots and --robots-out go together")
     if args.coverage and not args.sitemaps:
         ap.error("--coverage joins against --sitemaps; pass both")
     if args.staleness and not args.sitemaps:
@@ -527,6 +545,14 @@ def main(argv: list[str] | None = None) -> None:
             sitemap_staleness_urls(
                 audit_pages, discovered.filter(~F.col("is_index"))
             ).write.mode("overwrite").parquet(args.staleness)
+    if args.robots:
+        from clara_ocr_spark.stages.robots import parse_robots
+
+        # overwrite like --sitemap-out: the ledger is a pure function
+        # of the robots input; incremental replays must not stack rows
+        parse_robots(spark.read.parquet(args.robots)).write.mode(
+            "overwrite"
+        ).parquet(args.robots_out)
     if args.trap_audit:
         from clara_ocr_spark.stages.crawl_audit import url_trap_audit_urls
 

@@ -38,6 +38,19 @@ def test_extract_job_mixed(tmp_path):
         }),
         str(sitemaps),
     )
+    robots_txt = (
+        b"User-agent: *\nDisallow: /private/\nCrawl-delay: 4\n"
+        b"Sitemap: https://rb.example/sitemap.xml\n"
+    )
+    robots = tmp_path / "robots.parquet"
+    pq.write_table(
+        pa.table({
+            "url": ["https://rb.example/robots.txt",
+                    "https://rb2.example/robots.txt"],
+            "payload": pa.array([robots_txt, b""], pa.binary()),
+        }),
+        str(robots),
+    )
     out = tmp_path / "out"
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     proc = subprocess.run(
@@ -54,6 +67,8 @@ def test_extract_job_mixed(tmp_path):
             "--wat", str(tmp_path / "wat"),
             "--sitemaps", str(sitemaps),
             "--sitemap-out", str(tmp_path / "sm_out"),
+            "--robots", str(robots),
+            "--robots-out", str(tmp_path / "robots_out"),
             "--coverage", str(tmp_path / "coverage"),
             "--staleness", str(tmp_path / "staleness"),
             "--trap-audit", str(tmp_path / "trap"),
@@ -123,6 +138,17 @@ def test_extract_job_mixed(tmp_path):
         ("https://sm.example/sitemap.xml", "https://sm.example/a"),
         ("https://sm.example/sitemap.xml", "https://sm.example/b"),
     }
+
+    # --robots rode the same run: the RFC 9309 rules ledger with the
+    # group rules, the crawl-delay, and the non-group sitemap record;
+    # the empty payload parses to zero rows, not a crash
+    rob = duckdb.sql(
+        f"select agent, kind, value from '{tmp_path}/robots_out/*.parquet'"
+    ).fetchall()
+    assert ("*", "disallow", "/private/") in rob
+    assert ("*", "crawl_delay", "4") in rob
+    assert ("", "sitemap", "https://rb.example/sitemap.xml") in rob
+    assert len(rob) == 3
 
     # --coverage rode the same run: the two declared-but-unfetched
     # sitemap urls are the scheduling gap; every crawled page counts

@@ -1,0 +1,128 @@
+"""robots.txt production stage: RFC 9309 group parsing, crawl-delay
+election, paced frontier schedule."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clara_ocr_spark.stages.robots import (
+    crawl_delays,
+    paced_schedule,
+    parse_robots,
+    parse_robots_bytes,
+)
+
+FIXTURE = b"""\
+\xef\xbb\xbf# global sitemap, outside any group
+Sitemap: https://s.example/sitemap.xml
+
+User-agent: clarabot
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 10
+
+User-agent: *
+Disallow: /tmp/
+Crawl-delay: 2.5
+Crawl-delay: not-a-number
+Unknown-directive: ignored
+
+Disallow: /orphan-after-blank-is-still-star-group
+"""
+
+
+def test_parse_groups_and_kinds():
+    rows = parse_robots_bytes(FIXTURE)
+    # sitemap is a non-group record with agent ''
+    assert ("", "sitemap", "https://s.example/sitemap.xml", 0) in rows
+    # shared group: both UA tokens carry the same rules
+    for a in ("clarabot", "otherbot"):
+        assert (a, "disallow", "/private/", 1) in rows
+        assert (a, "allow", "/private/ok", 2) in rows
+        assert (a, "crawl_delay", "10", 3) in rows
+    # the * group; the blank line does NOT end it (RFC: a group ends
+    # at the next User-agent line), so the trailing rule is still its
+    star = [(k, v) for a, k, v, _ in rows if a == "*"]
+    assert ("disallow", "/tmp/") in star
+    assert ("crawl_delay", "2.5") in star
+    assert ("crawl_delay", "not-a-number") in star
+    assert ("disallow", "/orphan-after-blank-is-still-star-group") in star
+    # unknown directives dropped
+    assert not [r for r in rows if r[1] == "unknown_directive"]
+
+
+def test_parse_edge_cases():
+    assert parse_robots_bytes(None) == []
+    assert parse_robots_bytes(b"") == []
+    # rules before any User-agent line belong to no group -> dropped
+    assert parse_robots_bytes(b"Disallow: /x\n") == []
+    # UA line after rules starts a NEW group
+    rows = parse_robots_bytes(
+        b"User-agent: a\nDisallow: /1\nUser-agent: b\nDisallow: /2\n"
+    )
+    assert ("a", "disallow", "/1", 0) in rows
+    assert ("b", "disallow", "/2", 1) in rows
+    assert ("b", "disallow", "/1", 0) not in rows
+    assert ("a", "disallow", "/2", 1) not in rows
+    # case-insensitive keys and agent tokens
+    rows = parse_robots_bytes(b"USER-AGENT: ClaraBot\nDISALLOW: /X\n")
+    assert rows == [("clarabot", "disallow", "/X", 0)]
+
+
+def test_crawl_delay_election(spark):
+    payloads = [
+        ("https://a.example/robots.txt", FIXTURE),  # exact group: 10
+        # only a * delay
+        ("https://b.example/robots.txt",
+         b"User-agent: *\nCrawl-delay: 3\n"),
+        # no delay at all
+        ("https://c.example/robots.txt",
+         b"User-agent: *\nDisallow: /x\n"),
+        # exact group without delay, * with one: * wins by coalesce
+        ("https://d.example/robots.txt",
+         b"User-agent: clarabot\nDisallow: /y\n"
+         b"User-agent: *\nCrawl-delay: 7\n"),
+    ]
+    rules = parse_robots(
+        spark.createDataFrame(payloads, "url string, payload binary")
+    )
+    got = {r["host"]: r["delay_s"]
+           for r in crawl_delays(rules, "ClaraBot").collect()}
+    assert got == {"a.example": 10.0, "b.example": 3.0, "d.example": 7.0}
+
+
+def test_paced_schedule(spark):
+    frontier = spark.createDataFrame(
+        [(f"https://slow.example/p{i}", "slow.example", 100 - i)
+         for i in range(3)]
+        + [(f"https://fast.example/p{i}", "fast.example", 100 - i)
+           for i in range(3)],
+        "url string, host string, priority int",
+    )
+    delays = spark.createDataFrame(
+        [("slow.example", 10.0)], "host string, delay_s double"
+    )
+    rows = paced_schedule(frontier, delays, default_delay_s=1.0).collect()
+    sched = {r["url"]: (r["wave"], r["offset_s"]) for r in rows}
+    # priority order: p0 (highest) first; slow host trickles at 10 s
+    assert sched["https://slow.example/p0"] == (1, 0.0)
+    assert sched["https://slow.example/p2"] == (3, 20.0)
+    # undeclared host runs at the crawler default
+    assert sched["https://fast.example/p2"] == (3, 2.0)
+
+
+def test_paced_schedule_bounded_plan(spark):
+    """max_waves plans a WindowGroupLimit below the exchange — each
+    map task ships at most max_waves rows per host (the frontier_waves
+    catalog pin applied to the production twin)."""
+    frontier = spark.createDataFrame(
+        [("https://h.example/p", "h.example", 1)],
+        "url string, host string, priority int",
+    )
+    delays = frontier.select(
+        "host", F.lit(1.0).alias("delay_s")
+    ).limit(0)
+    plan = paced_schedule(frontier, delays, max_waves=8)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
