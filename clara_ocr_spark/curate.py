@@ -531,6 +531,13 @@ def domain_mixture(
     if reg_rules is not None:
         from .stages.domains import with_registered_domain
 
+        # checkpoint the rollup BEFORE the PSL attach: the reg-domain
+        # map's lineage re-derives distinct hosts from its input, so
+        # an uncheckpointed rollup would scan + host-aggregate the
+        # corpus twice inside one write action (review finding r5) —
+        # materialized, both the mixture regroup and the map read the
+        # |hosts|-sized rollup
+        per = per.localCheckpoint(eager=False)
         per = (
             with_registered_domain(per, reg_rules)
             .select(

@@ -47,12 +47,13 @@ _SLOPPY_ENCODE = {c: b for b, c in _SLOPPY_CP1252.items()}
 _CONT_CHARS = "".join(sorted(_SLOPPY_CP1252[b] for b in range(0x80, 0xC0)))
 
 #: high-signal mojibake markers: a 2-byte-sequence lead (Â..Ã, i.e.
-#: UTF-8 lead bytes C2/C3 for Latin-1-range chars), a 3-byte lead
-#: (à..ï covers E0-EF: "â€™", "ï»¿", Devanagari "à¤..."), or a
-#: Cyrillic/Greek 2-byte lead (Ð/Ñ/Î/Ï = D0/D1/CE/CF) — each followed
-#: by a continuation-class char.  Python regex form.
+#: UTF-8 lead bytes C2/C3 for Latin-1-range chars), a 3- or 4-byte
+#: lead (à..ô covers E0-EF and F0-F4: "â€™", "ï»¿", Devanagari
+#: "à¤...", emoji "ðŸ..."), or a Cyrillic/Greek 2-byte lead
+#: (Ð/Ñ/Î/Ï = D0/D1/CE/CF) — each followed by a continuation-class
+#: char.  Python regex form.
 MOJIBAKE_RE = re.compile(
-    "[ÂÃÐÑÎÏà-ï]"
+    "[ÂÃÐÑÎÏà-ô]"
     f"[{re.escape(_CONT_CHARS)}]"
 )
 
@@ -60,7 +61,7 @@ MOJIBAKE_RE = re.compile(
 #: (F.regexp_count).  Character-class metachars are escaped; the
 #: class content is identical to MOJIBAKE_RE's.
 MOJIBAKE_JAVA_RX = (
-    "[ÂÃÐÑÎÏà-ï]"
+    "[ÂÃÐÑÎÏà-ô]"
     "[" + _CONT_CHARS.replace("\\", "\\\\").replace("[", "\\[")
     .replace("]", "\\]").replace("^", "\\^").replace("&", "\\&")
     + "]"
@@ -83,6 +84,38 @@ def _reencode(s: str) -> Optional[bytes]:
         return None
 
 
+#: Unicode ranges a REPAIRED segment may land in — the major scripts
+#: and symbol blocks real web text uses.  A "repair" whose output
+#: falls outside (Samaritan, Ogham, unassigned planes …) is far more
+#: likely a false positive than a real fix: e.g. the French segment
+#: "là\xa0»" (NBSP before a guillemet, mandatory French typography)
+#: re-encodes to E0 A0 BB — a VALID UTF-8 sequence for U+083B
+#: (Samaritan) — and would otherwise pass every other gate (review
+#: finding r5).  This is the lightweight form of ftfy's published
+#: "badness" idea: judge the repair by where its output lands.
+_PLAUSIBLE_RANGES = (
+    (0x0009, 0x000D), (0x0020, 0x007E),          # ASCII + ws controls
+    (0x00A0, 0x024F),                            # Latin-1 supp + ext A/B
+    (0x0250, 0x036F),                            # IPA, modifiers, combining
+    (0x0370, 0x03E1), (0x03F0, 0x052F),          # Greek (minus Coptic), Cyrillic
+    (0x0590, 0x06FF),                            # Hebrew, Arabic
+    (0x0900, 0x0DFF), (0x0E00, 0x0E7F),          # Indic blocks, Thai
+    (0x1E00, 0x1FFF),                            # Latin ext add., Greek ext
+    (0x2000, 0x23FF),                            # punct, currency, symbols
+    (0x3000, 0x30FF), (0x3400, 0x9FFF),          # CJK punct/kana, ideographs
+    (0xAC00, 0xD7AF), (0xF900, 0xFAFF),          # Hangul, compat ideographs
+    (0xFEFF, 0xFEFF), (0xFF00, 0xFFEF),          # BOM, full/half-width
+    (0x1F000, 0x1FAFF),                          # emoji (4-byte repairs)
+)
+
+
+def _plausible(s: str) -> bool:
+    return all(
+        any(lo <= o <= hi for lo, hi in _PLAUSIBLE_RANGES)
+        for o in map(ord, s)
+    )
+
+
 def _fix_segment(seg: str, max_rounds: int) -> str:
     cur = seg
     score = mojibake_score(cur)
@@ -97,7 +130,7 @@ def _fix_segment(seg: str, max_rounds: int) -> str:
         except UnicodeDecodeError:
             break
         new_score = mojibake_score(fixed)
-        if new_score >= score:
+        if new_score >= score or not _plausible(fixed):
             break
         cur, score = fixed, new_score
     return cur

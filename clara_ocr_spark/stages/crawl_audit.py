@@ -162,8 +162,6 @@ def soft404_audit(
     recrawl scheduler the hosts whose "successes" are hollow —
     alongside ``url_trap_audit_urls`` this is the second
     crawl-hygiene ledger."""
-    from .segment import with_host
-
     hit_text = F.col("text").rlike(SOFT404_MARKERS) & (
         F.length("text") < short_len
     )
@@ -188,8 +186,11 @@ def soft404_audit(
             )
         )
     n = F.count(F.lit(1))
+    # _host, not segment.with_host: this module's ledgers must group
+    # scheme-less CDX-style urls under their real host, not '' — the
+    # same hardening the trap audit carries (review finding r5)
     return (
-        with_host(base).groupBy("host")
+        base.groupBy(_host(F.col("url")).alias("host"))
         .agg(
             n.cast("bigint").alias("n_pages"),
             F.sum(F.col("soft").cast("bigint"))

@@ -63,19 +63,37 @@ def rules_df(
     effective suffix is one label longer; an exception ``!x`` matches
     ``x`` with an effective suffix one label shorter (so ``x`` itself
     becomes the registered domain)."""
+    def ace(rule: str) -> str:
+        # the published PSL stores IDN suffixes as Unicode while crawl
+        # hosts arrive ACE-encoded ("xn--…"), so every label is
+        # punycode-normalized at parse time or multi-label IDN
+        # suffixes would silently never match (review finding r5);
+        # '*' labels and already-ASCII labels pass through
+        out = []
+        for lab in rule.split("."):
+            if lab == "*" or lab.isascii():
+                out.append(lab)
+            else:
+                try:
+                    out.append(lab.encode("idna").decode("ascii"))
+                except UnicodeError:
+                    out.append(lab)
+        return ".".join(out)
+
     parsed = []
     for r in rules if rules is not None else DEFAULT_RULES:
         r = r.strip().lower()
         if not r or r.startswith("//"):
             continue
         if r.startswith("!"):
-            base = r[1:]
+            base = ace(r[1:])
             parsed.append((base, len(base.split(".")) - 1, True))
         elif r.startswith("*."):
-            base = r[2:]
+            base = ace(r[2:])
             parsed.append((base, len(base.split(".")) + 1, False))
         else:
-            parsed.append((r, len(r.split(".")), False))
+            base = ace(r)
+            parsed.append((base, len(base.split(".")), False))
     return spark.createDataFrame(
         parsed, "key string, eff_labels int, exc boolean"
     )
@@ -102,7 +120,15 @@ def registered_domain_map(
     AFTER host-level rollups, where the relation is already
     host-sized, not across the raw corpus)."""
     h = hosts.select(F.lower(F.col(host_col)).alias("host")).distinct()
-    labels = F.split(F.col("host"), r"\.")
+    # authority cleanup (review finding r5): drop userinfo and :port
+    # so 'a.blogspot.com:8080' keys as a.blogspot.com instead of
+    # minting a bogus 'blogspot.com:8080' eTLD+1 that merges distinct
+    # publishers; IP literals get NULL below (PSL defines no
+    # registered domain for them)
+    clean = F.substring_index(
+        F.substring_index(F.col("host"), "@", -1), ":", 1
+    )
+    labels = F.split(clean, r"\.")
     n = F.size(labels)
     # all label-suffixes of the host: join(labels[i:]) for i in 0..n-1
     cands = F.transform(
@@ -125,16 +151,25 @@ def registered_domain_map(
         eff0.alias("_eff"),
         F.coalesce(F.col("exc"), F.lit(False)).alias("_exc"),
     ).filter(F.col("_eff").isNotNull())
-    # election: exception beats all, then most effective labels
+    # election: exception beats all, then most effective labels.
+    # Group on host ALONE so the agg reuses the distinct's
+    # partitioning (one Exchange total — the plan pin); the cleaned
+    # form is a pure function of host, recomputed in the projection
     best = scored.groupBy("host").agg(
         F.max_by(
             "_eff", F.struct(F.col("_exc").cast("int"), F.col("_eff"))
         ).alias("_eff")
     )
-    labels2 = F.split(F.col("host"), r"\.")
+    clean2 = F.substring_index(
+        F.substring_index(F.col("host"), "@", -1), ":", 1
+    )
+    is_ip2 = F.col("host").startswith("[") | clean2.rlike(
+        r"^\d{1,3}(\.\d{1,3}){3}$"
+    )
+    labels2 = F.split(clean2, r"\.")
     n2 = F.size(labels2)
     reg = F.when(
-        (n2 > F.col("_eff")) & (F.length("host") > 0),
+        (n2 > F.col("_eff")) & (F.length(clean2) > 0) & ~is_ip2,
         F.array_join(
             F.slice(labels2, n2 - F.col("_eff"), F.col("_eff") + 1), "."
         ),

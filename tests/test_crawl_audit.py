@@ -231,3 +231,19 @@ def test_sitemap_staleness(spark):
     assert r["n_dated"] == 3  # fresh, stale, dateonly
     assert r["n_stale"] == 2  # stale + dateonly
     assert r["stale_pm"] == 400
+
+
+def test_soft404_schemeless_hosts(spark):
+    """CDX-style scheme-less urls group under their real host, not ''
+    (review finding r5 — the _host fallback the other ledgers use)."""
+    from clara_ocr_spark.stages.crawl_audit import soft404_audit
+
+    docs = spark.createDataFrame(
+        [("h3/p1", "Error 404 - page not found"),
+         ("h3/p2", "fine content here"),
+         ("HTTPS://up.example/p", "also fine")],
+        "url string, text string",
+    )
+    led = {r["host"]: r for r in soft404_audit(docs).collect()}
+    assert led["h3"]["n_pages"] == 2 and led["h3"]["n_soft404"] == 1
+    assert "" not in led

@@ -134,3 +134,43 @@ def test_domain_mixture_psl_keying(spark):
            for r in domain_mixture(df, reg_rules=rules_df(spark)).collect()}
     assert psl == {"example.com": 3,
                    "alice.blogspot.com": 3, "bob.blogspot.com": 4}
+
+
+def test_authority_cleanup_and_ips(spark):
+    """Ports and userinfo are stripped before resolution (a port-
+    bearing host must key as its real site, not a bogus 'tld:port'
+    eTLD+1 merging distinct publishers); IP literals have no
+    registered domain under PSL semantics (review findings r5)."""
+    hosts = spark.createDataFrame(
+        [("a.blogspot.com:8080",), ("b.blogspot.com:8080",),
+         ("user@www.example.com",), ("192.168.0.1",),
+         ("10.0.0.1:8443",), ("[2001:db8::1]",)],
+        "host string",
+    )
+    got = {r["host"]: r["reg_domain"]
+           for r in registered_domain_map(hosts, rules_df(spark)).collect()}
+    assert got["a.blogspot.com:8080"] == "a.blogspot.com"
+    assert got["b.blogspot.com:8080"] == "b.blogspot.com"
+    assert got["user@www.example.com"] == "example.com"
+    assert got["192.168.0.1"] is None
+    assert got["10.0.0.1:8443"] is None
+    assert got["[2001:db8::1]"] is None
+
+
+def test_idn_rules_punycode_normalized(spark):
+    """The published PSL stores IDN suffixes as Unicode; crawl hosts
+    arrive ACE-encoded — rules must be punycode-normalized at parse
+    time or multi-label IDN suffixes never match (review finding
+    r5).  公司.cn encodes to xn--55qx5d.cn."""
+    rules = rules_df(spark, ["cn", "公司.cn"])
+    hosts = spark.createDataFrame(
+        [("foo.xn--55qx5d.cn",), ("bar.foo.xn--55qx5d.cn",)],
+        "host string",
+    )
+    got = {r["host"]: r["reg_domain"]
+           for r in registered_domain_map(hosts, rules).collect()}
+    # the 2-label IDN suffix matches, so foo registers under it —
+    # without ACE normalization only 'cn' would match and every
+    # registrant under the IDN registry would merge into one key
+    assert got["foo.xn--55qx5d.cn"] == "foo.xn--55qx5d.cn"
+    assert got["bar.foo.xn--55qx5d.cn"] == "foo.xn--55qx5d.cn"

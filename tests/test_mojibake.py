@@ -202,3 +202,19 @@ def test_rollups_exact_under_hot_host(spark):
     assert soft["hot.example"]["n_pages"] == 1000
     assert soft["hot.example"]["n_soft404"] == 100
     assert len(soft) == 101
+
+
+def test_implausible_repairs_rejected():
+    """A 'repair' whose output lands outside the major scripts is a
+    false positive, not a fix: French NBSP-before-guillemet typography
+    ('là\\xa0»' = bytes E0 A0 BB = valid UTF-8 for U+083B Samaritan)
+    must survive untouched (review finding r5)."""
+    assert fix_mojibake("il est là\xa0»") == "il est là\xa0»"
+    assert fix_mojibake("Ï« test") == "Ï« test"
+
+
+def test_four_byte_lead_repairs():
+    """cp1252 mojibake of 4-byte UTF-8 (emoji) repairs too: the lead
+    class covers F0-F4 (ð-ô)."""
+    assert fix_mojibake("ðŸ˜€ ok") == "😀 ok"
+    assert mojibake_score("ðŸ˜€") > 0
