@@ -152,6 +152,37 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(_batches, schema=LINKS_SCHEMA)
 
 
+def frontier_candidates(
+    links: DataFrame, crawled: DataFrame
+) -> DataFrame:
+    """links + crawled pages → (url, host, priority): the next-wave
+    fetch candidates — harvested destinations the crawl does NOT yet
+    hold, prioritized by distinct in-linking pages (the classic
+    indegree frontier policy; nofollow edges don't vote, matching
+    `host_graph`).  Compose with ``stages/robots.paced_schedule`` for
+    the politeness-paced fetch plan — together with extract ->
+    extract_links this closes the crawl loop: fetch -> extract ->
+    harvest -> schedule the next fetch.
+
+    Scale shape: one url-keyed partial-agg groupBy (indegree), one
+    ~unique-url anti-join against the crawled set; host strings ride
+    along for the downstream politeness window — the only host-keyed
+    shuffle stays in paced_schedule where politeness REQUIRES it."""
+    cand = (
+        links.filter(~F.col("nofollow"))
+        .groupBy("dst_url", "dst_host")
+        .agg(F.countDistinct("url").cast("bigint").alias("priority"))
+        .select(
+            F.col("dst_url").alias("url"),
+            F.col("dst_host").alias("host"),
+            "priority",
+        )
+    )
+    return cand.join(
+        crawled.select("url").distinct(), "url", "left_anti"
+    )
+
+
 def host_graph(links: DataFrame) -> DataFrame:
     """Host-level link graph: (src_host, dst_host) → edge weight.
 

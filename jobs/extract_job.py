@@ -264,6 +264,23 @@ def main(argv: list[str] | None = None) -> None:
         "newer than the crawl's last fetch",
     )
     ap.add_argument(
+        "--frontier-out",
+        default=None,
+        metavar="PATH",
+        help="with --links: also write the politeness-paced next-wave "
+        "fetch schedule (url, host, wave, offset_s) — harvested "
+        "destinations not yet crawled, prioritized by distinct "
+        "in-linking pages (stages/links.frontier_candidates) and "
+        "paced by Crawl-delay when --robots is also given "
+        "(stages/robots.crawl_delays + paced_schedule)",
+    )
+    ap.add_argument(
+        "--frontier-agent",
+        default="clarabot",
+        help="crawler product token the Crawl-delay election honors "
+        "(RFC 9309 group matching; default clarabot)",
+    )
+    ap.add_argument(
         "--soft404-audit",
         default=None,
         metavar="PATH",
@@ -286,6 +303,9 @@ def main(argv: list[str] | None = None) -> None:
     if args.soft404_audit and args.output_format != "parquet":
         ap.error("--soft404-audit reads the output back; needs "
                  "--output-format parquet")
+    if args.frontier_out and not args.links:
+        ap.error("--frontier-out schedules the --links harvest; "
+                 "pass both")
     if args.skew_report and not args.mixed:
         ap.error("--skew-report reads the PDF leg's runs; requires --mixed")
     if args.spell and args.format == "markup":
@@ -553,6 +573,33 @@ def main(argv: list[str] | None = None) -> None:
         parse_robots(spark.read.parquet(args.robots)).write.mode(
             "overwrite"
         ).parquet(args.robots_out)
+    if args.frontier_out:
+        import pyspark.sql.functions as F
+
+        from clara_ocr_spark.stages.links import frontier_candidates
+        from clara_ocr_spark.stages.robots import (
+            crawl_delays,
+            paced_schedule,
+        )
+
+        # whole-crawl discipline: the schedule reads the CUMULATIVE
+        # link harvest back (the --links sink appends across
+        # incremental runs) and anti-joins the full input pages, so a
+        # delta rerun still schedules against everything known
+        cand = frontier_candidates(
+            spark.read.parquet(args.links), audit_pages
+        )
+        if args.robots:
+            delays = crawl_delays(
+                spark.read.parquet(args.robots_out), args.frontier_agent
+            )
+        else:
+            delays = cand.select(
+                "host", F.lit(None).cast("double").alias("delay_s")
+            ).limit(0)
+        paced_schedule(cand, delays).write.mode("overwrite").parquet(
+            args.frontier_out
+        )
     if args.trap_audit:
         from clara_ocr_spark.stages.crawl_audit import url_trap_audit_urls
 

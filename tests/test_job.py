@@ -69,6 +69,7 @@ def test_extract_job_mixed(tmp_path):
             "--sitemap-out", str(tmp_path / "sm_out"),
             "--robots", str(robots),
             "--robots-out", str(tmp_path / "robots_out"),
+            "--frontier-out", str(tmp_path / "frontier"),
             "--coverage", str(tmp_path / "coverage"),
             "--staleness", str(tmp_path / "staleness"),
             "--trap-audit", str(tmp_path / "trap"),
@@ -149,6 +150,18 @@ def test_extract_job_mixed(tmp_path):
     assert ("*", "crawl_delay", "4") in rob
     assert ("", "sitemap", "https://rb.example/sitemap.xml") in rob
     assert len(rob) == 3
+
+    # --frontier-out rode the same run: a paced next-wave schedule of
+    # harvested-but-uncrawled urls (the corpus's nav/topic links);
+    # no robots delay applies to these hosts, so offsets run at the
+    # crawler default quantum (wave-1 seconds)
+    fr = duckdb.sql(
+        f"select url, wave, offset_s from '{tmp_path}/frontier/*.parquet'"
+    ).fetchall()
+    assert fr  # the corpus links to /nav and /t/ paths never crawled
+    crawled_urls = {r["url"] for r in rows}
+    assert not ({u for u, _w, _o in fr} & crawled_urls)
+    assert all(o == (w - 1) * 1.0 for _u, w, o in fr)
 
     # --coverage rode the same run: the two declared-but-unfetched
     # sitemap urls are the scheduling gap; every crawled page counts

@@ -207,3 +207,42 @@ def test_parse_links_never_crashes(raw):
     assert isinstance(out, list)
     for dst, host, _, _ in out:
         assert host and "://" in dst
+
+
+def test_frontier_candidates(spark):
+    """Next-wave candidates: harvested dsts minus crawled, indegree
+    priority from DISTINCT in-linking pages, nofollow edges don't
+    vote."""
+    from clara_ocr_spark.stages.links import frontier_candidates
+
+    links = spark.createDataFrame(
+        [
+            # 2 distinct pages point at /new1 (one twice: counts once)
+            ("https://a.example/p1", "https://x.example/new1",
+             "x.example", "t", False),
+            ("https://a.example/p1", "https://x.example/new1",
+             "x.example", "t2", False),
+            ("https://a.example/p2", "https://x.example/new1",
+             "x.example", "t", False),
+            # 1 page points at /new2; a nofollow edge doesn't vote
+            ("https://a.example/p2", "https://x.example/new2",
+             "x.example", "t", False),
+            ("https://a.example/p1", "https://x.example/new2",
+             "x.example", "t", True),
+            # already crawled -> excluded
+            ("https://a.example/p1", "https://a.example/p2",
+             "a.example", "t", False),
+        ],
+        "url string, dst_url string, dst_host string, anchor string, "
+        "nofollow boolean",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.example/p1",), ("https://a.example/p2",)],
+        "url string",
+    )
+    got = {r["url"]: r for r in
+           frontier_candidates(links, crawled).collect()}
+    assert set(got) == {"https://x.example/new1", "https://x.example/new2"}
+    assert got["https://x.example/new1"]["priority"] == 2
+    assert got["https://x.example/new2"]["priority"] == 1
+    assert got["https://x.example/new1"]["host"] == "x.example"
