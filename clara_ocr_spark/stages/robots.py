@@ -163,6 +163,88 @@ def crawl_delays(
     )
 
 
+def _pattern_rx(pattern):
+    """RFC 9309 rule pattern → anchored Java regex, as COLUMN algebra
+    (the catalog's ``_robots_rx`` compiles per rule at broadcast-build
+    time, which assumes the rule set fits the driver; a web-scale
+    rules ledger is |hosts|·O(10) rows, so the compile must ship with
+    the rows).  Same grammar: escape regex metachars, ``*`` → ``.*``,
+    trailing ``$`` stays an anchor, anchor the head."""
+    esc = F.regexp_replace(
+        pattern, r"([\\^$.|?*+()\[\]{}])", r"\\$1"
+    )
+    star = F.regexp_replace(esc, r"\\\*", ".*")
+    # the replacement-side '$' must itself be escaped: Java treats a
+    # bare '$' in the replacement as a group reference
+    dollar = F.regexp_replace(star, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), dollar)
+
+
+def robots_gate(
+    urls: DataFrame, rules: DataFrame, agent: str = "clarabot"
+) -> DataFrame:
+    """urls(url, host, …) × parsed rules ledger → + ``verdict`` ∈
+    {allowed, blocked, default_allow}: the RFC 9309 gate over REAL
+    parsed rules — the production twin of the oracle-verified
+    `robots_filter`/`robots_wildcards` queries, same one-integer
+    election (score = 2·len(pattern) + allow; max elects: longest
+    pattern is most specific, tie goes to allow; no match = default
+    allow).
+
+    Group election per RFC: a host with any exact-agent rule rows uses
+    THAT group; otherwise the ``*`` group.  The match runs against
+    path?query (what the RFC matches), rules meet only their host's
+    urls (host-keyed equi-join with the regex predicate inside the
+    join), and empty-pattern rules (``Disallow:`` = allow everything)
+    are dropped as the RFC prescribes."""
+    a = agent.lower()
+    from .crawl_audit import _host
+
+    r = rules.filter(
+        F.col("kind").isin("allow", "disallow")
+        & F.col("agent").isin(a, "*")
+        & (F.length("value") > 0)
+    ).select(
+        _host(F.col("robots_url")).alias("rhost"),
+        (F.col("agent") == a).alias("exact"),
+        F.col("value").alias("pattern"),
+        (F.col("kind") == "allow").cast("int").alias("allow"),
+    )
+    # RFC group election: exact-token group if the host has one
+    has_exact = r.groupBy("rhost").agg(
+        F.max(F.col("exact").cast("int")).alias("has_exact")
+    )
+    elected = r.join(has_exact, "rhost").filter(
+        F.col("exact") == (F.col("has_exact") == 1)
+    )
+    elected = elected.select(
+        "rhost",
+        _pattern_rx(F.col("pattern")).alias("rx"),
+        (2 * F.length("pattern") + F.col("allow")).alias("score"),
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    qs = F.parse_url(F.col("url"), F.lit("QUERY"))
+    target = F.when(
+        qs.isNotNull(), F.concat(path, F.lit("?"), qs)
+    ).otherwise(path)
+    u = urls.withColumn("_path", target)
+    hit = u.join(
+        elected,
+        (u["host"] == elected["rhost"])
+        & F.expr("_path rlike rx"),
+        "left",
+    )
+    best = hit.groupBy(*[u[c] for c in urls.columns]).agg(
+        F.max("score").alias("_score")
+    )
+    verdict = (
+        F.when(F.col("_score").isNull(), F.lit("default_allow"))
+        .when(F.col("_score") % 2 == 1, F.lit("allowed"))
+        .otherwise(F.lit("blocked"))
+    )
+    return best.select(*urls.columns, verdict.alias("verdict"))
+
+
 def paced_schedule(
     frontier: DataFrame,
     delays: DataFrame,

@@ -590,9 +590,15 @@ def main(argv: list[str] | None = None) -> None:
             spark.read.parquet(args.links), audit_pages
         )
         if args.robots:
-            delays = crawl_delays(
-                spark.read.parquet(args.robots_out), args.frontier_agent
-            )
+            from clara_ocr_spark.stages.robots import robots_gate
+
+            parsed = spark.read.parquet(args.robots_out)
+            # compliance before politeness: candidates the elected
+            # RFC 9309 group blocks never enter the schedule
+            cand = robots_gate(
+                cand, parsed, args.frontier_agent
+            ).filter(F.col("verdict") != "blocked").drop("verdict")
+            delays = crawl_delays(parsed, args.frontier_agent)
         else:
             delays = cand.select(
                 "host", F.lit(None).cast("double").alias("delay_s")

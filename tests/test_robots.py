@@ -126,3 +126,66 @@ def test_paced_schedule_bounded_plan(spark):
     plan = paced_schedule(frontier, delays, max_waves=8)._jdf\
         .queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_robots_gate(spark):
+    """Production RFC gate over parsed rules: wildcard + $ grammar,
+    most-specific wins with allow tie-break, exact-agent group
+    preempts *, rule-less hosts default-allow, empty patterns
+    dropped."""
+    from clara_ocr_spark.stages.robots import parse_robots, robots_gate
+
+    payloads = [
+        ("https://w.example/robots.txt",
+         b"User-agent: *\n"
+         b"Disallow: /private/*\n"
+         b"Allow: /private/*.html$\n"
+         b"Allow: /\n"),
+        # exact group for clarabot: blocks /x/; the * group would
+        # allow everything -- exact must preempt
+        ("https://e.example/robots.txt",
+         b"User-agent: clarabot\nDisallow: /x/\n"
+         b"User-agent: *\nDisallow:\n"),
+    ]
+    rules = parse_robots(
+        spark.createDataFrame(payloads, "url string, payload binary")
+    )
+    urls = spark.createDataFrame(
+        [("https://w.example/p/1", "w.example"),
+         ("https://w.example/private/a", "w.example"),
+         ("https://w.example/private/a.html", "w.example"),
+         ("https://e.example/x/1", "e.example"),
+         ("https://e.example/ok", "e.example"),
+         ("https://norules.example/p", "norules.example")],
+        "url string, host string",
+    )
+    got = {r["url"]: r["verdict"]
+           for r in robots_gate(urls, rules, "ClaraBot").collect()}
+    assert got == {
+        "https://w.example/p/1": "allowed",            # Allow: /
+        "https://w.example/private/a": "blocked",      # /private/*
+        # the LONGER allow /private/*.html$ beats the block
+        "https://w.example/private/a.html": "allowed",
+        "https://e.example/x/1": "blocked",            # exact group
+        "https://e.example/ok": "default_allow",       # no match in it
+        "https://norules.example/p": "default_allow",
+    }
+
+
+def test_robots_gate_matches_query_string(spark):
+    from clara_ocr_spark.stages.robots import parse_robots, robots_gate
+
+    rules = parse_robots(spark.createDataFrame(
+        [("https://q.example/robots.txt",
+          b"User-agent: *\nDisallow: /*?sid=\n")],
+        "url string, payload binary",
+    ))
+    urls = spark.createDataFrame(
+        [("https://q.example/a?sid=9", "q.example"),
+         ("https://q.example/a", "q.example")],
+        "url string, host string",
+    )
+    got = {r["url"]: r["verdict"]
+           for r in robots_gate(urls, rules).collect()}
+    assert got["https://q.example/a?sid=9"] == "blocked"
+    assert got["https://q.example/a"] == "default_allow"
