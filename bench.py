@@ -379,6 +379,11 @@ def main() -> None:
     )
     from clara_ocr_spark.stages.segment import with_host
 
+    from clara_ocr_spark.stages.links import (
+        extract_links,
+        frontier_candidates,
+    )
+
     docs = pages.select("url", "text")
     rules = rules_df(spark)
     for name, df in (
@@ -386,6 +391,10 @@ def main() -> None:
         ("curate_encoding_audit", encoding_damage_audit(docs)),
         ("crawl_soft404_audit", soft404_audit(docs)),
         ("psl_domain_map", registered_domain_map(with_host(docs), rules)),
+        # the crawl-loop surface: harvest every out-link and build the
+        # next-wave candidate set against the same corpus
+        ("links_frontier", frontier_candidates(extract_links(pages),
+                                               pages)),
     ):
         _force(df)  # warm-up
         best = float("inf")

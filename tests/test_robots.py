@@ -189,3 +189,21 @@ def test_robots_gate_matches_query_string(spark):
            for r in robots_gate(urls, rules).collect()}
     assert got["https://q.example/a?sid=9"] == "blocked"
     assert got["https://q.example/a"] == "default_allow"
+
+
+def test_parse_never_crashes_fuzz():
+    """Adversarial payload fuzz: the parser is total — any byte soup
+    yields a (possibly empty) rule list with the contract shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def prop(payload):
+        rows = parse_robots_bytes(payload)
+        for agent, kind, value, o in rows:
+            assert kind in {"allow", "disallow", "crawl_delay", "sitemap"}
+            assert (agent == "") == (kind == "sitemap")
+            assert isinstance(value, str) and isinstance(o, int)
+
+    prop()
