@@ -105,15 +105,15 @@ def wat_sidecar(
     Inputs are the two map-only harvest stages
     (`stages/links.extract_links`, `stages/metadata.harvest_metadata`)
     plus the pages table for coverage (a page with no links and no
-    head still gets a sidecar row).  Plan shape: four keyed
-    Exchanges — three on url (the pages and head-metadata per-url
-    reductions plus the out-link collect_list) and the link-dedup
-    ``distinct`` on the (url, dst, anchor, nf) composite — each
-    carrying only urls, anchors and short strings; payloads never
-    enter any of it, and the joins reuse the aggregates' url
-    partitioning.  At 100 TB, land the three harvests bucketed by
-    url (`plans/bucketing`) and the compose keeps only the distinct —
-    the same co-location contract as `classify_by_host`; url is
+    head still gets a sidecar row).  Plan shape: three url-keyed
+    Exchanges (the pages and head-metadata per-url reductions plus
+    the out-link collect_set — set dedup runs INSIDE that aggregate,
+    map-side partial) — each carrying only urls, anchors and short
+    strings; payloads never enter any of it, and the joins reuse the
+    aggregates' url partitioning.  At 100 TB, land the three harvests
+    bucketed by url (`plans/bucketing`) and the compose becomes
+    zero-Exchange — the same co-location contract as
+    `classify_by_host`; url is
     ~unique, so no salt either way.  Output: (url, warc_ts,
     wat:string) where wat is deterministic JSON (struct field order is
     fixed by construction; collect_list order is pinned by
@@ -132,21 +132,21 @@ def wat_sidecar(
     latest-capture set is unrecoverable; exact within-page repeats of
     one (dst, anchor, nf) triple collapse too, which is what the
     graph consumers downstream want anyway)."""
-    outlinks = (
-        links.select("url", "dst_url", "anchor", "nofollow")
-        .distinct()
-        .groupBy("url")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("dst_url").alias("u"),
-                        F.col("anchor").alias("a"),
-                        F.col("nofollow").alias("nf"),
-                    )
+    # collect_set, not distinct + collect_list: the set dedup happens
+    # INSIDE the url-keyed aggregation (partial map-side), so the link
+    # leg pays one Exchange, not a second full-table shuffle on the
+    # (url, dst, anchor, nf) composite just to dedup first (review
+    # finding r5); array_sort over the set pins deterministic order
+    outlinks = links.groupBy("url").agg(
+        F.array_sort(
+            F.collect_set(
+                F.struct(
+                    F.col("dst_url").alias("u"),
+                    F.col("anchor").alias("a"),
+                    F.col("nofollow").alias("nf"),
                 )
-            ).alias("outlinks")
-        )
+            )
+        ).alias("outlinks")
     )
     # same recrawl reduction on the metadata leg — two captures of a
     # url would fan the join back out; max(struct) picks one capture's
@@ -232,11 +232,23 @@ def to_wet_records(extracted: DataFrame) -> DataFrame:
     )
     # WARC-Record-ID is MANDATORY for every record per WARC/1.0 §5.2;
     # spec-strict consumers (warcio) reject records without it.  A
-    # urn:uuid derived from md5(url \n ts) keeps the plan pure column
-    # algebra AND makes re-exports reproducible (same page, same id) —
-    # the spec only requires global uniqueness, not RFC 4122 version
-    # semantics.
-    rid = F.md5(F.concat(url, F.lit("\n"), ts))
+    # urn:uuid derived from md5(raw url \n ts \n md5(body)) keeps the
+    # plan pure column algebra AND makes re-exports reproducible (same
+    # page content, same id) — the spec only requires global
+    # uniqueness, not RFC 4122 version semantics.  The BODY digest is
+    # load-bearing: a recrawl export can emit several records for one
+    # url under one stamped ts (review finding r5), and the RAW url
+    # (pre [\r\n] strip) keeps urls differing only in stripped chars
+    # from colliding.
+    rid = F.md5(
+        F.concat(
+            F.coalesce(F.col("url"), F.lit("")),
+            F.lit("\n"),
+            ts,
+            F.lit("\n"),
+            F.md5(body),
+        )
+    )
     record_id = F.concat(
         F.lit("<urn:uuid:"),
         F.substring(rid, 1, 8), F.lit("-"),

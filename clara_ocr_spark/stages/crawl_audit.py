@@ -37,9 +37,14 @@ def _host(col):
     stripped = F.split_part(
         F.split_part(col, F.lit("?"), F.lit(1)), F.lit("#"), F.lit(1)
     )
+    # protocol-relative '//host/...' carries a real host the bare
+    # split would read as '' (merging unrelated sites into one ''
+    # ledger row — review finding r5); path-only '/p1' keeps '' (it
+    # genuinely has no host)
+    rel = F.regexp_replace(stripped, r"^//", "")
     return F.coalesce(
         F.parse_url(col, F.lit("HOST")),
-        F.split_part(stripped, F.lit("/"), F.lit(1)),
+        F.split_part(rel, F.lit("/"), F.lit(1)),
     )
 
 
@@ -219,7 +224,12 @@ def url_trap_audit_urls(urls: DataFrame) -> DataFrame:
         .distinct()
         .select(
             "url",
-            F.regexp_replace("url", r"\?.*$", "").alias("clean"),
+            # strip query AND fragment — the same delimiters _host
+            # strips: a host minting fragment variants ('h5#s1',
+            # 'h5#s2') is the same trap as query variants, and
+            # stripping only '?' would report it perfectly healthy
+            # (review finding r5)
+            F.regexp_replace("url", r"[?#].*$", "").alias("clean"),
         )
     )
     n = F.count(F.lit(1))

@@ -373,6 +373,20 @@ def main(argv: list[str] | None = None) -> None:
     # ones — a scheduler consuming the coverage gap would re-enqueue
     # the entire already-crawled site (review finding r5).
     audit_pages = pages
+    n_audits = sum(
+        map(bool, (args.coverage, args.staleness, args.trap_audit,
+                   args.frontier_out))
+    )
+    if n_audits and (n_audits > 1 or args.input_format != "parquet"):
+        # the audits only read (url, warc_ts); project and lazily
+        # materialize ONCE when several audit sinks consume the input
+        # or when the input is a WARC (each extra pass would re-run
+        # the full binaryFile + record-parse just to group url
+        # strings — review finding r5).  Single-audit parquet runs
+        # keep the direct pruned columnar scan instead.
+        audit_pages = audit_pages.select("url", "warc_ts").localCheckpoint(
+            eager=False
+        )
     if args.incremental:
         pages = incremental_delta(pages, args.output)
 

@@ -53,6 +53,11 @@ def build(stage: str, pages):
     df = join_words(df)
     if stage == "words":
         return df
+    if stage != "full":
+        # fail fast: a typoed stage name must not silently time the
+        # full pipeline under a wrong label and skew the marginal
+        # attribution table (review finding r5)
+        raise ValueError(f"unknown stage: {stage!r}")
     return assemble_layout(df)
 
 

@@ -247,3 +247,25 @@ def test_soft404_schemeless_hosts(spark):
     led = {r["host"]: r for r in soft404_audit(docs).collect()}
     assert led["h3"]["n_pages"] == 2 and led["h3"]["n_soft404"] == 1
     assert "" not in led
+
+
+def test_host_protocol_relative_and_fragment_traps(spark):
+    """Review findings r5: protocol-relative urls keep their real host
+    (not ''), path-only urls keep '' (they truly have none), and a
+    fragment-variant trap scores like a query-variant trap."""
+    from clara_ocr_spark.stages.crawl_audit import url_trap_audit_urls
+
+    urls = spark.createDataFrame(
+        [("//evil.example/p1",), ("//evil.example/p2",),
+         ("/just-a-path",),
+         ("h5#s1",), ("h5#s2",), ("h5#s3",)],
+        "url string",
+    )
+    led = {r["host"]: r for r in url_trap_audit_urls(urls).collect()}
+    assert led["evil.example"]["n_urls"] == 2
+    assert led["evil.example"]["n_param_variants"] == 0
+    # the fragment trap: 3 urls, ONE clean form -> 2 variants, 666 pm
+    assert led["h5"]["n_urls"] == 3
+    assert led["h5"]["n_param_variants"] == 2
+    assert led["h5"]["trap_pm"] == 666
+    assert led[""]["n_urls"] == 1  # the path-only row

@@ -291,3 +291,33 @@ def test_wet_export_hardening(spark, tmp_path):
     rows = to_wet_records(extracted.join(ts_by_url, "url")).collect()
     assert len(rows) == 1
     assert "2024-05-01T13:00:00Z" in rows[0]["value"]  # latest wins
+
+
+def test_wet_record_ids_unique_per_content(spark):
+    """A recrawl export can legitimately emit several records for ONE
+    url under one stamped ts (run without the job's per-url
+    reduction); their ids must still differ — the id hashes the body
+    digest, not just (url, ts) (review finding r5).  Urls differing
+    only in stripped CR/LF chars get distinct ids too (the RAW url is
+    hashed)."""
+    import datetime
+    import re as _re
+
+    from clara_ocr_spark.sources.formats import to_wet_records
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("https://h/a", ts, "capture one"),
+            ("https://h/a", ts, "capture two"),
+            ("https://h/x\ry", ts, "same body"),
+            ("https://h/x\ny", ts, "same body"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    vals = [r["value"] for r in to_wet_records(df).collect()]
+    ids = [
+        _re.search(r"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>", v).group(1)
+        for v in vals
+    ]
+    assert len(set(ids)) == 4
