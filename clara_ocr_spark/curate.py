@@ -220,6 +220,35 @@ def repair_text_encoding(extracted: DataFrame) -> DataFrame:
     return extracted.mapInPandas(batches, schema=schema)
 
 
+def normalize_text(extracted: DataFrame, form: str = "NFKC") -> DataFrame:
+    """Unicode-normalize the text column (C4-style NFKC by default:
+    fullwidth forms fold to ASCII, compatibility ligatures expand,
+    combining sequences compose) — the canonicalization big pipelines
+    run before tokenization, and the reason NFC-vs-NFD variants of
+    one page dedup as one document.  Opt-in at curation (extraction
+    stays byte-identical to the reference by contract).
+
+    Map-only Arrow-batched pass, schema-preserving, NULL-safe;
+    ``form`` ∈ {NFC, NFD, NFKC, NFKD} per unicodedata.normalize."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def batches(it):
+        for pdf in it:
+            pdf = pdf.assign(
+                text=pdf["text"].map(
+                    lambda s: unicodedata.normalize(form, s)
+                    if isinstance(s, str)
+                    else None
+                )
+            )
+            yield pdf
+
+    return extracted.mapInPandas(batches, schema=extracted.schema)
+
+
 def encoding_damage_audit(extracted: DataFrame) -> DataFrame:
     """Per-host encoding-damage ledger over extracted text: how many
     docs carry mojibake markers and how dense the damage is — the

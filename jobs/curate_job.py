@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None) -> None:
         "(curate.encoding_damage_audit) over the PRE-repair text — "
         "the corpus-health view of what --fix-encoding would touch",
     )
+    ap.add_argument(
+        "--normalize",
+        default=None,
+        choices=["NFC", "NFD", "NFKC", "NFKD"],
+        help="Unicode-normalize text before the gate (C4-style NFKC "
+        "folds fullwidth forms and ligatures; NFC/NFD variants of "
+        "one page dedup as one document) — runs after --fix-encoding",
+    )
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args(argv)
     if args.input_format == "wet" and args.mixed:
@@ -162,6 +170,10 @@ def main(argv: list[str] | None = None) -> None:
         extracted = repair_text_encoding(extracted).drop(
             "encoding_repaired"
         )
+    if args.normalize:
+        from clara_ocr_spark.curate import normalize_text
+
+        extracted = normalize_text(extracted, args.normalize)
     eval_texts = (
         spark.read.parquet(args.decontaminate)
         if args.decontaminate

@@ -742,6 +742,7 @@ def test_curate_job_fix_encoding(tmp_path):
             "--curated", str(out_c),
             "--rejects", str(out_r),
             "--fix-encoding",
+            "--normalize", "NFKC",
             "--encoding-audit", str(out_a),
             "--mix-weights", str(out_w),
             "--psl-rules", str(psl),

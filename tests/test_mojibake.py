@@ -218,3 +218,30 @@ def test_four_byte_lead_repairs():
     class covers F0-F4 (ð-ô)."""
     assert fix_mojibake("ðŸ˜€ ok") == "😀 ok"
     assert mojibake_score("ðŸ˜€") > 0
+
+
+def test_normalize_text_stage(spark):
+    """Unicode normalization: NFKC folds fullwidth/ligature forms, and
+    NFC-vs-NFD variants of one page become byte-identical (the dedup
+    prerequisite); NULL survives; bad form fails fast."""
+    import unicodedata
+
+    from clara_ocr_spark.curate import normalize_text
+
+    nfc = unicodedata.normalize("NFC", "résumé déjà")
+    nfd = unicodedata.normalize("NFD", "résumé déjà")
+    assert nfc != nfd  # fixture sanity
+    docs = spark.createDataFrame(
+        [("u1", "Ｈｅｌｌｏ ﬁne ２０２４"),
+         ("u2", nfc), ("u3", nfd), ("u4", None)],
+        "url string, text string",
+    )
+    out = {r["url"]: r["text"]
+           for r in normalize_text(docs, "NFKC").collect()}
+    assert out["u1"] == "Hello fine 2024"
+    assert out["u2"] == out["u3"] == nfc
+    assert out["u4"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_text(docs, "nfkc-ish")
