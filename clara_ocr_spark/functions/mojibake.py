@@ -99,13 +99,22 @@ _PLAUSIBLE_RANGES = (
     (0x0250, 0x036F),                            # IPA, modifiers, combining
     (0x0370, 0x03E1), (0x03F0, 0x052F),          # Greek (minus Coptic), Cyrillic
     (0x0590, 0x06FF),                            # Hebrew, Arabic
-    (0x0900, 0x0DFF), (0x0E00, 0x0E7F),          # Indic blocks, Thai
+    # 0x0700-0x08FF deliberately EXCLUDED: Samaritan/Mandaic/… is
+    # exactly where the "à + NBSP + x" false-positive class lands
+    (0x0900, 0x0DFF),                            # Indic blocks
+    # Thai through Khmer: Lao, Tibetan, Myanmar, Georgian, Jamo,
+    # Ethiopic, Cherokee, UCAS, Khmer — real web scripts whose
+    # mojibake must stay repairable (review finding r5)
+    (0x0E00, 0x17FF),
     (0x1E00, 0x1FFF),                            # Latin ext add., Greek ext
-    (0x2000, 0x23FF),                            # punct, currency, symbols
-    (0x3000, 0x30FF), (0x3400, 0x9FFF),          # CJK punct/kana, ideographs
+    (0x2000, 0x27BF),                            # punct, currency, arrows,
+                                                 # box drawing, geometric,
+                                                 # misc symbols, dingbats
+    (0x2E80, 0x9FFF),                            # CJK radicals … ideographs
     (0xAC00, 0xD7AF), (0xF900, 0xFAFF),          # Hangul, compat ideographs
     (0xFEFF, 0xFEFF), (0xFF00, 0xFFEF),          # BOM, full/half-width
     (0x1F000, 0x1FAFF),                          # emoji (4-byte repairs)
+    (0x20000, 0x2FA1F),                          # CJK ext B+ planes
 )
 
 

@@ -168,10 +168,19 @@ def frontier_candidates(
     ~unique-url anti-join against the crawled set; host strings ride
     along for the downstream politeness window — the only host-keyed
     shuffle stays in paced_schedule where politeness REQUIRES it."""
+    # fragments stripped BEFORE the candidate key: href="#install"
+    # variants of one page are one fetch target, and an unstripped
+    # fragment would sneak an already-crawled page past the anti-join
+    # once per anchor (review finding r5) — the exact variant-minting
+    # trap url_trap_audit_urls exists to catch
+    dst = F.regexp_replace("dst_url", r"#.*$", "")
     cand = (
         links.filter(~F.col("nofollow"))
+        .select(
+            dst.alias("dst_url"), "dst_host", F.col("url").alias("src")
+        )
         .groupBy("dst_url", "dst_host")
-        .agg(F.countDistinct("url").cast("bigint").alias("priority"))
+        .agg(F.countDistinct("src").cast("bigint").alias("priority"))
         .select(
             F.col("dst_url").alias("url"),
             F.col("dst_host").alias("host"),

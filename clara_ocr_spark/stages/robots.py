@@ -137,7 +137,9 @@ def crawl_delays(
             & F.col("agent").isin(a, "*")
         )
         .select(
-            _host(F.col("robots_url")).alias("host"),
+            # lowercase: the frontier side normalizes its host the
+            # same way, so the pacing join cannot silently miss
+            F.lower(_host(F.col("robots_url"))).alias("host"),
             (F.col("agent") == a).cast("int").alias("exact"),
             # try_cast: a malformed Crawl-delay value must be ignored,
             # not crash the ledger under ANSI mode
@@ -191,46 +193,67 @@ def robots_gate(
     pattern is most specific, tie goes to allow; no match = default
     allow).
 
-    Group election per RFC: a host with any exact-agent rule rows uses
-    THAT group; otherwise the ``*`` group.  The match runs against
-    path?query (what the RFC matches), rules meet only their host's
-    urls (host-keyed equi-join with the regex predicate inside the
-    join), and empty-pattern rules (``Disallow:`` = allow everything)
-    are dropped as the RFC prescribes."""
+    Group election per RFC: a host with any exact-agent GROUP uses
+    that group — elected over ALL the group's rows (including
+    empty-pattern and Crawl-delay lines), so 'User-agent: clarabot /
+    Disallow:' (the standard exempt-one-bot pattern) correctly elects
+    the empty exact group and allows everything, instead of falling
+    through to a blocking ``*`` group (review finding r5).  Only
+    AFTER election are non-matching kinds and empty patterns dropped.
+    The match runs against path?query (what the RFC matches; an empty
+    path reads as '/', per the RFC — review finding r5), and rules
+    meet only their host's urls (host-keyed equi-join with the regex
+    predicate inside the join).  Hosts are normalized on BOTH sides
+    (lowercase, userinfo/port stripped) so a ':8443' candidate still
+    meets its host's rules (review finding r5)."""
     a = agent.lower()
     from .crawl_audit import _host
 
-    r = rules.filter(
-        F.col("kind").isin("allow", "disallow")
+    norm_rhost = F.lower(_host(F.col("robots_url")))
+    g = rules.filter(
+        F.col("kind").isin("allow", "disallow", "crawl_delay")
         & F.col("agent").isin(a, "*")
-        & (F.length("value") > 0)
     ).select(
-        _host(F.col("robots_url")).alias("rhost"),
+        norm_rhost.alias("rhost"),
         (F.col("agent") == a).alias("exact"),
+        "kind",
         F.col("value").alias("pattern"),
         (F.col("kind") == "allow").cast("int").alias("allow"),
     )
-    # RFC group election: exact-token group if the host has one
-    has_exact = r.groupBy("rhost").agg(
+    # RFC group election over the FULL group contents
+    has_exact = g.groupBy("rhost").agg(
         F.max(F.col("exact").cast("int")).alias("has_exact")
     )
-    elected = r.join(has_exact, "rhost").filter(
-        F.col("exact") == (F.col("has_exact") == 1)
+    elected = (
+        g.join(has_exact, "rhost")
+        .filter(F.col("exact") == (F.col("has_exact") == 1))
+        .filter(
+            F.col("kind").isin("allow", "disallow")
+            & (F.length("pattern") > 0)
+        )
     )
     elected = elected.select(
         "rhost",
         _pattern_rx(F.col("pattern")).alias("rx"),
         (2 * F.length("pattern") + F.col("allow")).alias("score"),
     )
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    raw_path = F.parse_url(F.col("url"), F.lit("PATH"))
+    path = F.when(
+        F.coalesce(F.length(raw_path), F.lit(0)) == 0, F.lit("/")
+    ).otherwise(raw_path)
     qs = F.parse_url(F.col("url"), F.lit("QUERY"))
     target = F.when(
         qs.isNotNull(), F.concat(path, F.lit("?"), qs)
     ).otherwise(path)
-    u = urls.withColumn("_path", target)
+    cand_host = F.lower(
+        F.substring_index(
+            F.substring_index(F.col("host"), "@", -1), ":", 1
+        )
+    )
+    u = urls.withColumn("_path", target).withColumn("_nhost", cand_host)
     hit = u.join(
         elected,
-        (u["host"] == elected["rhost"])
+        (u["_nhost"] == elected["rhost"])
         & F.expr("_path rlike rx"),
         "left",
     )
@@ -271,7 +294,19 @@ def paced_schedule(
     )
     if max_waves:
         ranked = ranked.filter(F.col("wave") <= max_waves)
-    return ranked.join(delays, "host", "left").select(
+    # join on the NORMALIZED host (lowercase, userinfo/port stripped):
+    # the delays ledger keys by the robots url's bare host, and a
+    # ':8443' frontier candidate must still meet its host's delay
+    nhost = F.lower(
+        F.substring_index(
+            F.substring_index(F.col("host"), "@", -1), ":", 1
+        )
+    )
+    ranked = ranked.withColumn("_nhost", nhost)
+    d = delays.withColumnRenamed("host", "_dhost")
+    return ranked.join(
+        d, ranked["_nhost"] == d["_dhost"], "left"
+    ).select(
         "url",
         "host",
         "wave",

@@ -179,6 +179,13 @@ def main(argv: list[str] | None = None) -> None:
         if args.decontaminate
         else None
     )
+    if eval_texts is not None and args.normalize:
+        # the contamination probe is EXACT shingle-hash equality: the
+        # eval side must be normalized with the same form as the
+        # corpus, or a normalized corpus copy of a benchmark doc no
+        # longer hashes equal and silently leaks through (review
+        # finding r5)
+        eval_texts = normalize_text(eval_texts, args.normalize)
     # Consistency gate with ZERO extra passes (VERDICT r3 item 6):
     # the three counts ride the two write actions as CollectMetrics
     # observations instead of three post-hoc rescans.  The input count

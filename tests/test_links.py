@@ -246,3 +246,29 @@ def test_frontier_candidates(spark):
     assert got["https://x.example/new1"]["priority"] == 2
     assert got["https://x.example/new2"]["priority"] == 1
     assert got["https://x.example/new1"]["host"] == "x.example"
+
+
+def test_frontier_strips_fragments(spark):
+    """Review finding r5: fragment variants of one target are ONE
+    candidate, and a fragment variant of an already-crawled page
+    cannot re-enter the schedule."""
+    from clara_ocr_spark.stages.links import frontier_candidates
+
+    links = spark.createDataFrame(
+        [("https://a.example/p1", "https://h/guide.html#install",
+          "h", "t", False),
+         ("https://a.example/p2", "https://h/guide.html#usage",
+          "h", "t", False),
+         ("https://a.example/p1", "https://h/new#frag", "h", "t", False),
+         ("https://a.example/p2", "https://h/new", "h", "t", False)],
+        "url string, dst_url string, dst_host string, anchor string, "
+        "nofollow boolean",
+    )
+    crawled = spark.createDataFrame(
+        [("https://h/guide.html",)], "url string"
+    )
+    got = {r["url"]: r["priority"]
+           for r in frontier_candidates(links, crawled).collect()}
+    # guide.html (already crawled) excluded despite fragment variants;
+    # the two 'new' forms collapse to one candidate with indegree 2
+    assert got == {"https://h/new": 2}

@@ -245,3 +245,22 @@ def test_normalize_text_stage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         normalize_text(docs, "nfkc-ish")
+
+
+def test_world_scripts_and_symbols_repair():
+    """Review finding r5: Georgian/Lao/Myanmar and common symbols
+    (bullet, box drawing) are real web text whose mojibake must
+    repair — the plausibility gate may not refuse them."""
+    def misdecode(s):
+        return "".join(
+            bytes([b]).decode("cp1252")
+            if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else chr(b)
+            for b in s.encode("utf-8")
+        )
+
+    for s in ("ქართული", "ລາວ", "မြန်မာ", "● bullet", "│ box │",
+              "ខ្មែរ", "አማርኛ"):
+        assert fix_mojibake(misdecode(s)) == s, s
+    # the false-positive class stays rejected
+    assert fix_mojibake("il est là\xa0»") == "il est là\xa0»"

@@ -207,3 +207,75 @@ def test_parse_never_crashes_fuzz():
             assert isinstance(value, str) and isinstance(o, int)
 
     prop()
+
+
+def test_robots_gate_empty_path_and_exempt_group(spark):
+    """Review findings r5: a bare-domain url matches as path '/', and
+    an exact-agent group consisting only of 'Disallow:' (the standard
+    exempt-one-bot pattern) is still ELECTED — allowing everything —
+    instead of falling through to a blocking * group."""
+    from clara_ocr_spark.stages.robots import parse_robots, robots_gate
+
+    rules = parse_robots(spark.createDataFrame(
+        [
+            ("https://root.example/robots.txt",
+             b"User-agent: *\nDisallow: /\n"),
+            ("https://exempt.example/robots.txt",
+             b"User-agent: clarabot\nDisallow:\n\n"
+             b"User-agent: *\nDisallow: /\n"),
+            # exact group holding ONLY a crawl-delay still elects
+            ("https://delayonly.example/robots.txt",
+             b"User-agent: clarabot\nCrawl-delay: 5\n\n"
+             b"User-agent: *\nDisallow: /\n"),
+        ],
+        "url string, payload binary",
+    ))
+    urls = spark.createDataFrame(
+        [("https://root.example", "root.example"),
+         ("https://root.example?q=1", "root.example"),
+         ("https://exempt.example/anything", "exempt.example"),
+         ("https://delayonly.example/p", "delayonly.example")],
+        "url string, host string",
+    )
+    got = {r["url"]: r["verdict"]
+           for r in robots_gate(urls, rules, "clarabot").collect()}
+    # empty path reads as '/': both bare-domain forms are blocked
+    assert got["https://root.example"] == "blocked"
+    assert got["https://root.example?q=1"] == "blocked"
+    # the exempt exact group wins and has no match rules -> default
+    assert got["https://exempt.example/anything"] == "default_allow"
+    assert got["https://delayonly.example/p"] == "default_allow"
+
+
+def test_robots_gate_and_pacing_host_normalization(spark):
+    """Review finding r5: a ':port' (or mixed-case) frontier host must
+    still meet its host's rules and crawl-delay."""
+    from clara_ocr_spark.stages.robots import (
+        crawl_delays,
+        paced_schedule,
+        parse_robots,
+        robots_gate,
+    )
+
+    rules = parse_robots(spark.createDataFrame(
+        [("https://H.example/robots.txt",
+          b"User-agent: *\nDisallow: /private/\nCrawl-delay: 10\n")],
+        "url string, payload binary",
+    ))
+    urls = spark.createDataFrame(
+        [("https://h.example:8443/private/x", "h.example:8443"),
+         ("https://H.example/ok", "H.example")],
+        "url string, host string",
+    )
+    got = {r["url"]: r["verdict"]
+           for r in robots_gate(urls, rules).collect()}
+    assert got["https://h.example:8443/private/x"] == "blocked"
+    assert got["https://H.example/ok"] == "default_allow"
+    frontier = spark.createDataFrame(
+        [("https://h.example:8443/a", "h.example:8443", 2),
+         ("https://h.example:8443/b", "h.example:8443", 1)],
+        "url string, host string, priority int",
+    )
+    sched = {r["url"]: r["offset_s"] for r in paced_schedule(
+        frontier, crawl_delays(rules)).collect()}
+    assert sched["https://h.example:8443/b"] == 10.0  # delay applied
