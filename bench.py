@@ -108,6 +108,12 @@ HEADLINE = [
     "recrawl_delta",  # added r4: re-crawl change detection
     "head_metadata",  # added r4: head-metadata coverage report
     "stream_recrawl_delta",  # added r4: streaming re-crawl change detection
+    "soft404_ledger",  # added r5: content-tier soft-404 ledger
+    "registered_domain",  # added r5: PSL eTLD+1 resolution
+    "mojibake_audit",  # added r5: encoding-damage ledger
+    "recrawl_staleness",  # added r5: lastmod staleness ledger
+    "paced_frontier",  # added r5: crawl-delay paced schedule
+    "nfc_normalize_audit",  # added r5: NFC normalization audit
     "boiler_scope_audit",  # added r4: per-host vs global boilerplate scope
     "ngram_lm_score",  # added r4: trained bigram-LM quality gate (CCNet)
     "dsir_importance",  # added r4: DSIR hashed-ngram importance weights

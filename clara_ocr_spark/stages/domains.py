@@ -53,16 +53,20 @@ DEFAULT_RULES = [
 ]
 
 
-def rules_df(
-    spark: SparkSession, rules: Optional[Iterable[str]] = None
-) -> DataFrame:
+def parse_rules(
+    rules: Optional[Iterable[str]] = None,
+) -> list:
     """Parse PSL-format rules into the joinable shape:
     (key = the literal labels to equi-match, eff_labels = how many
     labels the EFFECTIVE public suffix has, exc = exception flag).
     A wildcard ``*.b`` matches candidates equal to ``b`` but its
     effective suffix is one label longer; an exception ``!x`` matches
     ``x`` with an effective suffix one label shorter (so ``x`` itself
-    becomes the registered domain)."""
+    becomes the registered domain).
+
+    Pure function so the catalog's ``registered_domain`` DuckDB
+    oracle and the Spark broadcast table share ONE parse — the same
+    single-source discipline as the robots ``_robots_rx`` VALUES."""
     def ace(rule: str) -> str:
         # the published PSL stores IDN suffixes as Unicode while crawl
         # hosts arrive ACE-encoded ("xn--…"), so every label is
@@ -94,8 +98,15 @@ def rules_df(
         else:
             base = ace(r)
             parsed.append((base, len(base.split(".")), False))
+    return parsed
+
+
+def rules_df(
+    spark: SparkSession, rules: Optional[Iterable[str]] = None
+) -> DataFrame:
+    """``parse_rules`` output as the broadcastable Spark rule table."""
     return spark.createDataFrame(
-        parsed, "key string, eff_labels int, exc boolean"
+        parse_rules(rules), "key string, eff_labels int, exc boolean"
     )
 
 

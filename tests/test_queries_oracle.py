@@ -142,6 +142,14 @@ def test_driver_window_invariants():
         "llm_tfidf": {"tfidf_top_terms", "inverted_index"},
         "streaming": {"stream_windowed_counts", "stream_sessionize",
                       "stream_dedup_replay"},
+        # r5 stage surfaces (each leads the r5 window, never-signed
+        # until CORRECTNESS_r05)
+        "web_soft404": {"soft404_ledger"},
+        "web_psl": {"registered_domain"},
+        "llm_mojibake": {"mojibake_audit"},
+        "web_staleness": {"recrawl_staleness", "recrawl_delta"},
+        "web_pacing": {"paced_frontier", "frontier_waves"},
+        "llm_normalize": {"nfc_normalize_audit"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -209,6 +217,11 @@ EDGE_QUERIES = [
     "cdc_chunk_dedup",  # empty/1-token docs; dup docs share ALL chunks
     "c4_gopher_rules",  # empty docs: n_tok=0 hits word-count, mwl=0 guard
     "blocklist_term_filter",  # empty docs filtered; list can be empty
+    # r5 stage-surface queries that read documents.text: empty docs,
+    # unicode (accented chars near the mojibake lead class must NOT
+    # false-positive), and whitespace-only docs all flow through the
+    # regexp/normalize paths
+    "soft404_ledger", "mojibake_audit", "nfc_normalize_audit",
 ]
 
 
