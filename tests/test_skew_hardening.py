@@ -106,7 +106,16 @@ def skew_duck(skew_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["host_mirror_jaccard", "boiler_scope_audit", "cdc_chunk_dedup"]
+    "name",
+    [
+        "host_mirror_jaccard", "boiler_scope_audit", "cdc_chunk_dedup",
+        # r5 stage-surface queries: the three text-readers flow the
+        # skewed corpus through the regexp/normalize paths; the other
+        # three synthesize from doc_id but must stay parity-exact on
+        # the adversarial id space too
+        "soft404_ledger", "mojibake_audit", "nfc_normalize_audit",
+        "registered_domain", "recrawl_staleness", "paced_frontier",
+    ],
 )
 def test_oracle_parity_under_hot_source(spark, skew_dir, skew_duck, name):
     """Full driver-grade parity (rows + schema + value hash) with one
@@ -174,3 +183,101 @@ def test_cdc_rollup_under_hot_source(spark, skew_dir):
         r = rows[s]
         assert r["shared_chunks"] == r["total_chunks"]
         assert r["shared_pm"] == 1000
+
+
+# ---------------------------------------------------------------------
+# r5 host-keyed ledgers (soft-404, mojibake, staleness): the docstring
+# claim is "partial aggregation makes host skew harmless — no salt".
+# Prove it at the STAGE level with one host owning the majority of the
+# corpus: exact per-host accounting, plus a plan pin that the rollup
+# partially aggregates BELOW its exchange (the property that bounds
+# the hot reducer to merging pre-aggregated counters, not raw rows).
+# ---------------------------------------------------------------------
+
+
+def _assert_partial_agg_below_exchange(df):
+    """The groupBy must plan partial (map-side) aggregation: a
+    HashAggregate with partial_* functions strictly below the
+    Exchange, so a hot host arrives at its reducer as one counter per
+    map task instead of one row per document."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("partial_count")
+    if partial == -1:
+        partial = plan.find("partial_sum")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert partial != -1, plan[:2000]
+    assert exchange != -1, plan[:2000]
+    # executedPlan prints top-down: the exchange appears ABOVE (before)
+    # the partial aggregate feeding it
+    assert exchange < partial, plan[:2000]
+
+
+def test_soft404_ledger_under_hot_host(spark):
+    from clara_ocr_spark.stages.crawl_audit import soft404_audit
+
+    rows = [("hot/p%d" % i,
+             "page not found" if i % 2 == 0 else "fine article %d" % i)
+            for i in range(400)]
+    rows += [("cold%d/p" % h, "all good %d" % h) for h in range(40)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = soft404_audit(pages)
+    _assert_partial_agg_below_exchange(out)
+    got = {r["host"]: r for r in out.collect()}
+    assert got["hot"]["n_pages"] == 400
+    assert got["hot"]["n_soft404"] == 200
+    assert got["hot"]["soft404_pm"] == 500
+    assert all(got["cold%d" % h]["n_soft404"] == 0 for h in range(40))
+
+
+def test_mojibake_audit_under_hot_host(spark):
+    from clara_ocr_spark.curate import encoding_damage_audit
+
+    rows = [("http://hot/p%d" % i,
+             "bad Ã© Ã¨ text" if i % 4 == 0 else "clean text %d" % i)
+            for i in range(400)]
+    rows += [("http://cold%d/p" % h, "clean %d" % h) for h in range(40)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = encoding_damage_audit(pages)
+    _assert_partial_agg_below_exchange(out)
+    got = {r["host"]: r for r in out.collect()}
+    assert got["hot"]["n_docs"] == 400
+    assert got["hot"]["n_damaged"] == 100
+    assert got["hot"]["n_marks"] == 200  # two markers per damaged doc
+    assert got["hot"]["damaged_pm"] == 250
+
+
+def test_staleness_ledger_under_hot_host(spark):
+    """The url-dedup join must key by URL, never by host: with one
+    host owning all urls, an (incorrect) host-keyed join would put the
+    whole corpus on one task.  Pin that every Exchange in the plan
+    below the host rollup partitions on the url key `u`."""
+    import pyspark.sql.functions as F
+
+    from clara_ocr_spark.stages.crawl_audit import sitemap_staleness_urls
+
+    crawled = spark.createDataFrame(
+        [("hot/p%d" % (i % 200),) for i in range(400)], "url string"
+    ).withColumn(
+        "warc_ts",
+        F.lit("2024-01-10 00:00:00").cast("timestamp"),
+    )
+    declared = spark.createDataFrame(
+        [("hot/p%d" % i, "2024-02-01" if i % 2 == 0 else "2023-12-01")
+         for i in range(200)],
+        "loc string, lastmod string",
+    )
+    out = sitemap_staleness_urls(crawled, declared)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both sides reduce to ONE row per url with a map-side partial max
+    # BEFORE the equi-join (the exchange key prints as the inlined
+    # _groupingexpression of the url, never a host expression), so the
+    # hot host reaches the join as |its urls| rows, pre-combined per
+    # map task — two partial_max aggregates, one per side
+    assert plan.count("partial_max") >= 2, plan[:2000]
+    _assert_partial_agg_below_exchange(out)
+    got = {r["host"]: r for r in out.collect()}
+    hot = got["hot"]
+    assert hot["n_matched"] == 200
+    assert hot["n_dated"] == 200
+    assert hot["n_stale"] == 100
+    assert hot["stale_pm"] == 500
