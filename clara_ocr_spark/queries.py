@@ -7145,7 +7145,7 @@ _HOST_DUCK = "split_part(split_part(split_part({u}, '?', 1), '#', 1), '/', 1)"
                            else text end as text
                from documents),
     f as (select url,
-                 coalesce(regexp_matches(text, '{_S404_RX}')
+                 coalesce(regexp_matches(lower(text), '{_S404_RX}')
                           and length(text) < 2000, false) as soft
           from p)
     select {_HOST_DUCK.format(u='url')} as host,
@@ -7215,13 +7215,13 @@ _PSL_VALUES = ", ".join(
     f"""
     with h as (select distinct
                  case cast(doc_id % 8 as int)
-                   when 0 then 'a' || cast(doc_id % 4 as varchar)
+                   when 0 then 'a' || cast((doc_id // 8) % 4 as varchar)
                                || '.example.co.uk'
-                   when 1 then 'b' || cast(doc_id % 4 as varchar)
+                   when 1 then 'b' || cast((doc_id // 8) % 4 as varchar)
                                || '.blogspot.com'
-                   when 2 then 'site' || cast(doc_id % 4 as varchar)
+                   when 2 then 'site' || cast((doc_id // 8) % 4 as varchar)
                                || '.ck'
-                   when 3 then 'www.site' || cast(doc_id % 4 as varchar)
+                   when 3 then 'www.site' || cast((doc_id // 8) % 4 as varchar)
                                || '.ck'
                    when 4 then 'www.ck'
                    when 5 then 'co.uk'
@@ -7280,7 +7280,11 @@ def registered_domain(spark, sf_dir):
     from .stages.domains import registered_domain_map, rules_df
 
     d = _t(spark, sf_dir, "documents")
-    m4 = (F.col("doc_id") % 4).cast("string")
+    # (doc_id div 8) % 4, NOT doc_id % 4: within each doc_id % 8 host
+    # class the latter is constant, so every rule kind would see
+    # exactly one host (review finding r5) — div 8 gives each class
+    # four distinct hosts and the election a real multi-host fan-out
+    m4 = (F.floor(F.col("doc_id") / 8) % 4).cast("string")
     host = (
         F.when(
             F.col("doc_id") % 8 == 0,
@@ -7375,7 +7379,7 @@ def mojibake_audit(spark, sf_dir):
 
 @q(
     "recrawl_staleness",
-    """
+    f"""
     with c as (select 'h' || cast((doc_id % 250) % 7 as varchar)
                       || '/p' || cast(doc_id % 250 as varchar) as u,
                       timestamp '2024-01-01 00:00:00'
@@ -7394,8 +7398,7 @@ def mojibake_audit(spark, sf_dir):
     de as (select u, max(try_cast(lastmod as timestamp)) as lastmod_ts
            from s group by u),
     j as (select cr.u, fetched_ts, lastmod_ts from cr join de using (u))
-    select split_part(split_part(split_part(u, '?', 1), '#', 1),
-                      '/', 1)                              as host,
+    select {_HOST_DUCK.format(u='u')}                      as host,
            cast(count(*) as bigint)                        as n_matched,
            cast(sum((lastmod_ts is not null)::int)
                 as bigint)                                 as n_dated,

@@ -130,14 +130,24 @@ def sitemap_staleness_urls(
     )
 
 
-#: high-precision soft-404 content markers (case-insensitive Java
-#: regex).  Deliberately phrase-level: bare "404" / "not found" would
-#: flag legitimate prose (press articles ABOUT missing pages), and a
-#: soft-404 audit that misfires poisons recrawl scheduling.  The
-#: multilingual set covers the corpus's page languages plus the
-#: biggest web languages' stock error phrases.
+#: high-precision soft-404 content markers.  Deliberately
+#: phrase-level: bare "404" / "not found" would flag legitimate prose
+#: (press articles ABOUT missing pages), and a soft-404 audit that
+#: misfires poisons recrawl scheduling.  The multilingual set covers
+#: the corpus's page languages plus the biggest web languages' stock
+#: error phrases.
+#:
+#: Case handling is by LOWERCASING THE TEXT, not by ``(?i)``: Java's
+#: inline ``(?i)`` folds ASCII only (Unicode folding needs ``(?iu)``),
+#: while RE2 — the DuckDB oracle dialect — folds Unicode under ``(?i)``
+#: and rejects ``(?u)``.  A shared ``(?i)`` pattern therefore
+#: classifies "Страница не найдена" differently per engine; matching
+#: ``lower(text)`` against a lowercase pattern gives one semantics in
+#: both dialects (both engines' ``lower`` is Unicode simple-lowercase)
+#: AND makes the production audit catch capitalized non-ASCII error
+#: pages.  Keep every literal below lowercase.
 SOFT404_MARKERS = (
-    "(?i)(page not found|error 404|404 not found|file not found|"
+    "(page not found|error 404|404 not found|file not found|"
     "page does not exist|page you requested (was|could) not|"
     "no longer available|p[áa]gina n[ãa]o encontrada|"
     "page introuvable|seite nicht gefunden|"
@@ -167,7 +177,7 @@ def soft404_audit(
     recrawl scheduler the hosts whose "successes" are hollow —
     alongside ``url_trap_audit_urls`` this is the second
     crawl-hygiene ledger."""
-    hit_text = F.col("text").rlike(SOFT404_MARKERS) & (
+    hit_text = F.lower(F.col("text")).rlike(SOFT404_MARKERS) & (
         F.length("text") < short_len
     )
     base = extracted.select(
@@ -184,7 +194,7 @@ def soft404_audit(
                 (
                     F.col("soft")
                     | F.coalesce(
-                        F.col("title").rlike(SOFT404_MARKERS),
+                        F.lower(F.col("title")).rlike(SOFT404_MARKERS),
                         F.lit(False),
                     )
                 ).alias("soft"),

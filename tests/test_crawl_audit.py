@@ -168,6 +168,51 @@ def test_soft404_text_tier(spark):
     assert led["press.example"]["n_pages"] == 3
 
 
+def test_soft404_unicode_case_fold(spark):
+    """Capitalized NON-ASCII error phrases must be flagged — and
+    identically by the DuckDB oracle dialect.  Java's inline ``(?i)``
+    folds ASCII only while RE2's folds Unicode, so the markers match
+    ``lower(text)`` instead of relying on the flag (review finding
+    r5); this pins both the production behavior and the cross-engine
+    agreement that the driver's soft404_ledger parity depends on."""
+    import duckdb
+
+    from clara_ocr_spark.stages.crawl_audit import (
+        SOFT404_MARKERS,
+        soft404_audit,
+    )
+
+    cases = [
+        ("https://ru.example/a", "Страница не найдена"),      # capital С
+        ("https://pt.example/a", "PÁGINA NÃO ENCONTRADA"),    # all caps
+        ("https://de.example/a", "Seite nicht gefunden"),
+        ("https://ru.example/b", "обычная статья про котов"),  # healthy
+    ]
+    docs = spark.createDataFrame(cases, "url string, text string")
+    led = {r["host"]: r for r in soft404_audit(docs).collect()}
+    assert led["ru.example"]["n_soft404"] == 1
+    assert led["pt.example"]["n_soft404"] == 1
+    assert led["de.example"]["n_soft404"] == 1
+
+    # cross-engine agreement on every case, marker-for-marker
+    con = duckdb.connect()
+    for _url, text in cases:
+        want = bool(
+            con.execute(
+                "select regexp_matches(lower($1), $2)",
+                [text, SOFT404_MARKERS],
+            ).fetchone()[0]
+        )
+        got = (
+            docs.filter(F.col("text") == text)
+            .select(
+                F.lower(F.col("text")).rlike(SOFT404_MARKERS).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        assert got == want, text
+
+
 def test_soft404_title_tier(spark):
     from clara_ocr_spark.stages.crawl_audit import soft404_audit
 
