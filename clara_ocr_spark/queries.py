@@ -7127,9 +7127,14 @@ from .functions.mojibake import MOJIBAKE_JAVA_RX as _MOJI_RX
 from .stages.crawl_audit import SOFT404_MARKERS as _S404_RX
 from .stages.domains import parse_rules as _psl_parse
 
-#: _host()'s fallback for the scheme-less synthesized urls, as DuckDB
-#: SQL: strip query+fragment, then the first '/'-segment.
-_HOST_DUCK = "split_part(split_part(split_part({u}, '?', 1), '#', 1), '/', 1)"
+#: norm_host(_host())'s path for the scheme-less synthesized urls, as
+#: DuckDB SQL: strip query+fragment, first '/'-segment, lowercased
+#: (the ledgers group by the NORMALIZED host — review finding r5; the
+#: userinfo/port strips are identity on these fixtures and omitted).
+_HOST_DUCK = (
+    "lower(split_part(split_part(split_part({u}, '?', 1), '#', 1),"
+    " '/', 1))"
+)
 
 
 @q(

@@ -25,26 +25,50 @@ from pyspark.sql import DataFrame
 
 
 def _host(col):
-    """Host of a url — JVM-side ``parse_url`` (no Python, no UDF);
-    scheme-less inputs ('h3/p7?sid=1', a CDX-style capture key) fall
-    back to the first path segment.  The fallback strips the query
-    and fragment BEFORE taking the first '/'-segment: a root-path
-    session-id trap ('h3?sid=1', 'h3?sid=2', … with no path slash)
-    must group under ONE host 'h3' — splitting the raw string would
-    mint a fresh "host" per parameter variant and report exactly the
-    trap hosts this audit exists to catch as perfectly healthy
-    (review finding r5)."""
+    """Host of a url — JVM-side ``try_parse_url`` (no Python, no UDF;
+    the ``try_`` form because Spark 4 runs ANSI by default, where
+    plain ``parse_url`` THROWS on a malformed url — one harvested
+    link with a raw space would abort the whole audit job instead of
+    falling through — review finding r5); scheme-less inputs
+    ('h3/p7?sid=1', a CDX-style capture key) fall back to the first
+    path segment.  The fallback strips the query and fragment BEFORE
+    taking the first '/'-segment: a root-path session-id trap
+    ('h3?sid=1', 'h3?sid=2', … with no path slash) must group under
+    ONE host 'h3' — splitting the raw string would mint a fresh
+    "host" per parameter variant and report exactly the trap hosts
+    this audit exists to catch as perfectly healthy (review finding
+    r5)."""
     stripped = F.split_part(
         F.split_part(col, F.lit("?"), F.lit(1)), F.lit("#"), F.lit(1)
     )
-    # protocol-relative '//host/...' carries a real host the bare
-    # split would read as '' (merging unrelated sites into one ''
-    # ledger row — review finding r5); path-only '/p1' keeps '' (it
-    # genuinely has no host)
-    rel = F.regexp_replace(stripped, r"^//", "")
+    # the fallback also serves scheme-FUL urls whose authority
+    # java.net.URI rejects (underscore hostnames: parse succeeds,
+    # getHost() is null — review finding r5) and malformed urls, so
+    # it must strip 'scheme://' — else the first '/'-segment reads
+    # the literal 'http:' as the host.  Protocol-relative '//host/…'
+    # carries a real host the bare split would read as '' (merging
+    # unrelated sites into one '' ledger row — review finding r5);
+    # path-only '/p1' keeps '' (it genuinely has no host)
+    rel = F.regexp_replace(
+        stripped, r"^(?i)([a-z][a-z0-9+.-]*:)?//", ""
+    )
     return F.coalesce(
-        F.parse_url(col, F.lit("HOST")),
+        F.try_parse_url(col, F.lit("HOST")),
         F.split_part(rel, F.lit("/"), F.lit(1)),
+    )
+
+
+def norm_host(col):
+    """Canonical per-host ledger / politeness-queue identity of an
+    authority string: lowercase, userinfo and ``:port`` stripped.
+    THE one copy of this algebra — the r5 review rounds each caught a
+    host-keyed join missing because one site normalized and its peer
+    didn't ('Example.com' vs 'example.com' splitting a coverage row,
+    ':8443' candidates missing their robots rules), so every host
+    equi-join and host rollup in robots/domains/crawl_audit routes
+    through here."""
+    return F.lower(
+        F.substring_index(F.substring_index(col, "@", -1), ":", 1)
     )
 
 
@@ -76,7 +100,7 @@ def sitemap_coverage_urls(
         )
     )
     b = lambda c_: F.sum(F.when(c_, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    return j.groupBy(_host(F.col("u")).alias("host")).agg(
+    return j.groupBy(norm_host(_host(F.col("u"))).alias("host")).agg(
         b(F.col("declared")).alias("n_declared"),
         b(F.col("crawled")).alias("n_crawled"),
         b(F.col("declared") & F.col("crawled")).alias("n_both"),
@@ -113,7 +137,7 @@ def sitemap_staleness_urls(
     n = F.count(F.lit(1))
     stale = F.col("lastmod_ts") > F.col("fetched_ts")
     return (
-        j.groupBy(_host(F.col("u")).alias("host"))
+        j.groupBy(norm_host(_host(F.col("u"))).alias("host"))
         .agg(
             n.cast("bigint").alias("n_matched"),
             F.sum(F.col("lastmod_ts").isNotNull().cast("bigint"))
@@ -205,7 +229,7 @@ def soft404_audit(
     # scheme-less CDX-style urls under their real host, not '' — the
     # same hardening the trap audit carries (review finding r5)
     return (
-        base.groupBy(_host(F.col("url")).alias("host"))
+        base.groupBy(norm_host(_host(F.col("url"))).alias("host"))
         .agg(
             n.cast("bigint").alias("n_pages"),
             F.sum(F.col("soft").cast("bigint"))
@@ -245,7 +269,7 @@ def url_trap_audit_urls(urls: DataFrame) -> DataFrame:
     n = F.count(F.lit(1))
     nc = F.countDistinct("clean")
     return (
-        u.groupBy(_host(F.col("url")).alias("host"))
+        u.groupBy(norm_host(_host(F.col("url"))).alias("host"))
         .agg(
             n.cast("bigint").alias("n_urls"),
             nc.cast("bigint").alias("n_clean"),

@@ -130,15 +130,18 @@ def registered_domain_map(
     ``with_registered_domain`` (one equi-join against this map — do it
     AFTER host-level rollups, where the relation is already
     host-sized, not across the raw corpus)."""
+    from .crawl_audit import norm_host
+
     h = hosts.select(F.lower(F.col(host_col)).alias("host")).distinct()
     # authority cleanup (review finding r5): drop userinfo and :port
-    # so 'a.blogspot.com:8080' keys as a.blogspot.com instead of
-    # minting a bogus 'blogspot.com:8080' eTLD+1 that merges distinct
-    # publishers; IP literals get NULL below (PSL defines no
-    # registered domain for them)
-    clean = F.substring_index(
-        F.substring_index(F.col("host"), "@", -1), ":", 1
-    )
+    # (the shared norm_host algebra) so 'a.blogspot.com:8080' keys as
+    # a.blogspot.com instead of minting a bogus 'blogspot.com:8080'
+    # eTLD+1 that merges distinct publishers; strip the FQDN trailing
+    # dot ('example.com.' is the same zone as 'example.com' — without
+    # the strip the empty last label elects the implicit-* rule and
+    # slices a garbage 'com.' eTLD+1); IP literals get NULL below
+    # (PSL defines no registered domain for them)
+    clean = F.regexp_replace(norm_host(F.col("host")), r"\.$", "")
     labels = F.split(clean, r"\.")
     n = F.size(labels)
     # all label-suffixes of the host: join(labels[i:]) for i in 0..n-1
@@ -171,16 +174,20 @@ def registered_domain_map(
             "_eff", F.struct(F.col("_exc").cast("int"), F.col("_eff"))
         ).alias("_eff")
     )
-    clean2 = F.substring_index(
-        F.substring_index(F.col("host"), "@", -1), ":", 1
-    )
+    clean2 = F.regexp_replace(norm_host(F.col("host")), r"\.$", "")
     is_ip2 = F.col("host").startswith("[") | clean2.rlike(
         r"^\d{1,3}(\.\d{1,3}){3}$"
     )
     labels2 = F.split(clean2, r"\.")
     n2 = F.size(labels2)
+    # empty labels ('a..com') make the host invalid per RFC 1035 —
+    # any slice would be garbage ('.com'), so resolve to NULL
+    # (review finding r5)
     reg = F.when(
-        (n2 > F.col("_eff")) & (F.length(clean2) > 0) & ~is_ip2,
+        (n2 > F.col("_eff"))
+        & (F.length(clean2) > 0)
+        & ~is_ip2
+        & ~F.array_contains(labels2, ""),
         F.array_join(
             F.slice(labels2, n2 - F.col("_eff"), F.col("_eff") + 1), "."
         ),

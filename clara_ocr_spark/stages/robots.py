@@ -127,8 +127,18 @@ def crawl_delays(
     duplicate groups — the conservative read big crawlers use).
     Hosts whose robots.txt declares no applicable delay are absent
     (the caller supplies its politeness default).  Non-numeric delay
-    values are ignored."""
-    from .crawl_audit import _host
+    values are ignored.
+
+    DELIBERATE divergence from robots_gate's strict RFC group
+    election (review finding r5, kept): when the exact-agent group
+    exists but declares no Crawl-delay, this ledger falls back to the
+    ``*`` group's delay instead of the crawler default.  Strict
+    election would let 'User-agent: clarabot / Disallow:' exempt the
+    bot from a 60 s ``*`` delay; for PACING we take the politeness-
+    conservative read (never fetch faster than the site asked anyone
+    to) — rule ACCESS stays strictly elected in robots_gate.
+    Pinned by tests/test_robots.py."""
+    from .crawl_audit import _host, norm_host
 
     a = agent.lower()
     d = (
@@ -137,9 +147,9 @@ def crawl_delays(
             & F.col("agent").isin(a, "*")
         )
         .select(
-            # lowercase: the frontier side normalizes its host the
+            # normalized: the frontier side normalizes its host the
             # same way, so the pacing join cannot silently miss
-            F.lower(_host(F.col("robots_url"))).alias("host"),
+            norm_host(_host(F.col("robots_url"))).alias("host"),
             (F.col("agent") == a).cast("int").alias("exact"),
             # try_cast: a malformed Crawl-delay value must be ignored,
             # not crash the ledger under ANSI mode
@@ -207,9 +217,9 @@ def robots_gate(
     (lowercase, userinfo/port stripped) so a ':8443' candidate still
     meets its host's rules (review finding r5)."""
     a = agent.lower()
-    from .crawl_audit import _host
+    from .crawl_audit import _host, norm_host
 
-    norm_rhost = F.lower(_host(F.col("robots_url")))
+    norm_rhost = norm_host(_host(F.col("robots_url")))
     g = rules.filter(
         F.col("kind").isin("allow", "disallow", "crawl_delay")
         & F.col("agent").isin(a, "*")
@@ -237,19 +247,18 @@ def robots_gate(
         _pattern_rx(F.col("pattern")).alias("rx"),
         (2 * F.length("pattern") + F.col("allow")).alias("score"),
     )
-    raw_path = F.parse_url(F.col("url"), F.lit("PATH"))
+    # try_parse_url: ANSI-default Spark 4 THROWS on malformed urls,
+    # and a crawl frontier holds exactly those (review finding r5);
+    # a NULL path reads as '/' below, the conservative root match
+    raw_path = F.try_parse_url(F.col("url"), F.lit("PATH"))
     path = F.when(
         F.coalesce(F.length(raw_path), F.lit(0)) == 0, F.lit("/")
     ).otherwise(raw_path)
-    qs = F.parse_url(F.col("url"), F.lit("QUERY"))
+    qs = F.try_parse_url(F.col("url"), F.lit("QUERY"))
     target = F.when(
         qs.isNotNull(), F.concat(path, F.lit("?"), qs)
     ).otherwise(path)
-    cand_host = F.lower(
-        F.substring_index(
-            F.substring_index(F.col("host"), "@", -1), ":", 1
-        )
-    )
+    cand_host = norm_host(F.col("host"))
     u = urls.withColumn("_path", target).withColumn("_nhost", cand_host)
     hit = u.join(
         elected,
@@ -286,23 +295,25 @@ def paced_schedule(
     (never salt it); with ``max_waves`` > 0 Catalyst plans a partial
     WindowGroupLimit below the exchange, bounding each map task to
     max_waves rows per host."""
-    wv = Window.partitionBy("host").orderBy(
+    from .crawl_audit import norm_host
+
+    # the politeness queue is the NORMALIZED host (lowercase,
+    # userinfo/port stripped) on BOTH surfaces: the wave window AND
+    # the delay join.  Partitioning the window by the raw host would
+    # give 'alice@h.com' and 'h.com' independent wave sequences that
+    # both start at offset 0 — two simultaneous fetches to one origin,
+    # violating the very Crawl-delay this stage honors (review
+    # finding r5).
+    wv = Window.partitionBy("_nhost").orderBy(
         F.desc("priority"), F.asc("url")
     )
-    ranked = frontier.select(
-        "url", "host", F.row_number().over(wv).alias("wave")
+    ranked = frontier.withColumn(
+        "_nhost", norm_host(F.col("host"))
+    ).select(
+        "url", "host", "_nhost", F.row_number().over(wv).alias("wave")
     )
     if max_waves:
         ranked = ranked.filter(F.col("wave") <= max_waves)
-    # join on the NORMALIZED host (lowercase, userinfo/port stripped):
-    # the delays ledger keys by the robots url's bare host, and a
-    # ':8443' frontier candidate must still meet its host's delay
-    nhost = F.lower(
-        F.substring_index(
-            F.substring_index(F.col("host"), "@", -1), ":", 1
-        )
-    )
-    ranked = ranked.withColumn("_nhost", nhost)
     d = delays.withColumnRenamed("host", "_dhost")
     return ranked.join(
         d, ranked["_nhost"] == d["_dhost"], "left"

@@ -314,3 +314,42 @@ def test_host_protocol_relative_and_fragment_traps(spark):
     assert led["h5"]["n_param_variants"] == 2
     assert led["h5"]["trap_pm"] == 666
     assert led[""]["n_urls"] == 1  # the path-only row
+
+
+def test_host_malformed_and_underscore_urls(spark):
+    """Review findings r5: ANSI-default Spark 4 must not abort the
+    ledgers on malformed urls (try_parse_url, not parse_url), and a
+    scheme-ful url whose authority java.net.URI rejects (underscore
+    hostname: getHost() is null) must fall back to its REAL host —
+    never the literal 'http:' the bare first-'/'-segment split reads."""
+    import pyspark.sql.functions as F
+
+    from clara_ocr_spark.stages.crawl_audit import _host
+
+    df = spark.createDataFrame(
+        [("http://foo_bar.com/x",),   # URI-parseable, host rejected
+         ("http://h.com/a b",),       # malformed: raw space
+         ("HTTP://Up.Example/y",)],   # uppercase scheme
+        "url string",
+    )
+    got = {r["url"]: r["h"] for r in df.select(
+        "url", _host(F.col("url")).alias("h")).collect()}
+    assert got["http://foo_bar.com/x"] == "foo_bar.com"
+    assert got["http://h.com/a b"] == "h.com"
+    assert got["HTTP://Up.Example/y"] == "Up.Example"
+
+
+def test_ledgers_merge_host_case_variants(spark):
+    """Review finding r5: DNS names are case-insensitive, and sitemap
+    vs crawl sources routinely disagree on case — the ledgers must
+    group 'Example.com' and 'example.com' as ONE host (via the shared
+    norm_host), not report a phantom coverage gap per case variant."""
+    from clara_ocr_spark.stages.crawl_audit import sitemap_coverage_urls
+
+    cov = sitemap_coverage_urls(
+        spark.createDataFrame([("http://Example.com/a",)], "url string"),
+        spark.createDataFrame([("http://example.com/b",)], "loc string"),
+    )
+    rows = cov.collect()
+    assert len(rows) == 1 and rows[0]["host"] == "example.com"
+    assert rows[0]["n_crawled"] == 1 and rows[0]["n_declared"] == 1

@@ -174,3 +174,20 @@ def test_idn_rules_punycode_normalized(spark):
     # registrant under the IDN registry would merge into one key
     assert got["foo.xn--55qx5d.cn"] == "foo.xn--55qx5d.cn"
     assert got["bar.foo.xn--55qx5d.cn"] == "foo.xn--55qx5d.cn"
+
+
+def test_registered_domain_fqdn_and_empty_labels(spark):
+    """Review finding r5: the FQDN trailing dot is the same DNS zone
+    ('example.com.' -> 'example.com', not the garbage 'com.' the
+    empty last label used to slice), and hosts with interior empty
+    labels are invalid per RFC 1035 -> NULL, never '.com'."""
+    rules = rules_df(spark, ["com"])
+    hosts = spark.createDataFrame(
+        [("example.com.",), ("a..com",), ("example.com",)],
+        "host string",
+    )
+    got = {r["host"]: r["reg_domain"]
+           for r in registered_domain_map(hosts, rules).collect()}
+    assert got["example.com."] == "example.com"
+    assert got["a..com"] is None
+    assert got["example.com"] == "example.com"

@@ -279,3 +279,45 @@ def test_robots_gate_and_pacing_host_normalization(spark):
     sched = {r["url"]: r["offset_s"] for r in paced_schedule(
         frontier, crawl_delays(rules)).collect()}
     assert sched["https://h.example:8443/b"] == 10.0  # delay applied
+
+
+def test_gate_survives_malformed_frontier_urls(spark):
+    """Review finding r5: a harvested link with a raw space (which
+    parse_links emits for href="/a b") must not abort the gate under
+    ANSI-default Spark 4 — try_parse_url, with the NULL path reading
+    as '/' (the conservative root match)."""
+    from clara_ocr_spark.stages.robots import robots_gate
+
+    rules = spark.createDataFrame(
+        [("http://h.com/robots.txt", "*", "disallow", "/x")],
+        "robots_url string, agent string, kind string, value string",
+    )
+    urls = spark.createDataFrame(
+        [("http://h.com/a b", "h.com"), ("http://h.com/x/1", "h.com")],
+        "url string, host string",
+    )
+    got = {r["url"]: r["verdict"]
+           for r in robots_gate(urls, rules, agent="clarabot").collect()}
+    assert got["http://h.com/a b"] == "default_allow"
+    assert got["http://h.com/x/1"] == "blocked"
+
+
+def test_paced_schedule_one_queue_per_origin(spark):
+    """Review finding r5: userinfo/case variants of one host are ONE
+    politeness queue — the wave window partitions by the same
+    normalized host the delay join uses, so 'alice@h.com' and 'h.com'
+    cannot both fetch at offset 0."""
+    from clara_ocr_spark.stages.robots import paced_schedule
+
+    delays = spark.createDataFrame(
+        [("h.com", 10.0)], "host string, delay_s double"
+    )
+    frontier = spark.createDataFrame(
+        [("http://alice@h.com/a", "alice@h.com", 5),
+         ("http://h.com/b", "h.com", 3)],
+        "url string, host string, priority int",
+    )
+    sched = {r["url"]: (r["wave"], r["offset_s"])
+             for r in paced_schedule(frontier, delays).collect()}
+    assert sched["http://alice@h.com/a"] == (1, 0.0)
+    assert sched["http://h.com/b"] == (2, 10.0)
