@@ -251,13 +251,32 @@ def main() -> None:
         wat_sidecar(
             pages, extract_links(pages), harvest_metadata(pages)
         ),
-        "Two map-only Arrow harvests (html dies inside each parse)\n"
-        "then four keyed Exchanges carrying short strings only —\n"
-        "three url-keyed reductions (pages, head, out-link\n"
-        "collect_list) plus the link-dedup distinct on the\n"
-        "(url,dst,anchor,nf) composite; the joins reuse the url\n"
-        "partitioning.  Bucket the harvests by url (plans/bucketing)\n"
-        "and only the distinct survives.",
+        "Two map-only Arrow harvests (html dies inside each parse) then\n"
+        "THREE url-keyed Exchanges carrying short strings only — the pages\n"
+        "max(ts), the head max(struct), and the out-link collect_set (the\n"
+        "link dedup runs INSIDE that aggregate as partial_collect_set,\n"
+        "map-side — the r5 review replaced the prior distinct+collect_list,\n"
+        "which paid a fourth full-table Exchange on the (url,dst,anchor,nf)\n"
+        "composite just to dedup first).  The joins reuse the aggregates' url\n"
+        "partitioning; bucket the harvests by url (plans/bucketing) and the\n"
+        "compose is zero-Exchange.",
+    )
+
+    from clara_ocr_spark.stages.domains import registered_domain_map, rules_df
+
+    hosts = spark.createDataFrame(
+        [("a.example.co.uk",), ("b.blogspot.com",), ("www.ck",)],
+        "host string",
+    )
+    add(
+        "registered_domain_map (PSL eTLD+1 resolution, r5)",
+        registered_domain_map(
+            hosts, rules_df(spark, ["com", "co.uk", "blogspot.com", "*.ck", "!www.ck"])
+        ),
+        "ONE Exchange total (the host distinct; the max_by election reuses its\n"
+        "partitioning), rules BROADCAST, no join-back — the implicit-* rule\n"
+        "rides the left-joined lookup so reg_domain projects off the group key.\n"
+        "Pinned in tests/test_domains.py::test_map_plan_shape.",
     )
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
