@@ -125,6 +125,9 @@ HEADLINE = [
     "cdc_chunk_dedup",  # added r4: content-defined chunk overlap
     "c4_gopher_rules",  # added r4: named C4+Gopher rule battery
     "blocklist_term_filter",  # added r4: broadcast blocklist gate
+    "anchor_election",  # added r5: anchor-text election per dst
+    "extraction_eval",  # added r5: token-level P/R/F1 eval harness
+    "publish_date_extract",  # added r5: publish-date tier ladder
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -4708,6 +4708,330 @@ def pagerank_bipartite(spark, sf_dir):
     )
 
 
+#: null-safe token list for the synthesized-link queries, as DuckDB SQL
+_TOK_SAFE_DUCK = _TOK_DUCK.format(x="lower(coalesce(text, ''))")
+
+
+@q(
+    "anchor_election",
+    f"""
+    with t as (select doc_id, {_TOK_SAFE_DUCK} as ws
+               from documents),
+    l as (select 'd' || cast(doc_id % 17 as varchar) as dst_url,
+                 case when doc_id % 11 = 0 then ''
+                      when len(ws) = 0 then ''
+                      else ws[cast(doc_id % len(ws) as int) + 1]
+                 end as anchor
+          from t),
+    c as (select dst_url, anchor, count(*) as n
+          from l where length(anchor) > 0 group by 1, 2),
+    r as (select dst_url, anchor, n,
+                 sum(n) over (partition by dst_url) as n_inlinks,
+                 row_number() over (partition by dst_url
+                                    order by n desc, anchor) as rn
+          from c)
+    select dst_url, cast(n_inlinks as bigint) as n_inlinks,
+           anchor as top_anchor, cast(n as bigint) as top_anchor_n
+    from r where rn = 1
+    """,
+)
+def anchor_election(spark, sf_dir):
+    """Anchor-text election per destination (`stages/links.
+    top_anchor_text`): total in-links and the most frequent non-empty
+    anchor, ties broken lexicographically — the description a page's
+    NEIGHBORS give it, the classic web-search document-expansion
+    signal.  Reference analogue: the transliteration vote/election
+    over match edges (review_tr, revision.c) — many noisy voters, one
+    deterministic winner per target.  The link rows are synthesized
+    from the fixed driver tables (the sitemap_coverage precedent):
+    dst from doc_id mod 17, anchor a deterministic token of the doc's
+    own text, with a mod-11 class of EMPTY anchors that the election's
+    non-empty gate must drop.
+
+    Scale shape: the stage elects with a two-level aggregate —
+    groupBy(dst, anchor) with map-side partials, then MIN over the
+    (-n, anchor) struct per dst — never a row_number window over the
+    full link table, so at 10^12 links the shuffles carry (dst,
+    anchor) pairs and the final state is |dst| rows.  (The oracle's
+    row_number formulation is the same election, affordable at oracle
+    scale.)"""
+    from .stages.links import top_anchor_text
+
+    d = _t(spark, sf_dir, "documents")
+    ws = _tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    links = d.select(
+        F.concat(
+            F.lit("d"), (F.col("doc_id") % 17).cast("string")
+        ).alias("dst_url"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .when(F.size(ws) == 0, F.lit(""))
+        .otherwise(
+            F.element_at(
+                ws, ((F.col("doc_id") % F.size(ws)) + 1).cast("int")
+            )
+        )
+        .alias("anchor"),
+    )
+    return top_anchor_text(links)
+
+
+@q(
+    "extraction_eval",
+    f"""
+    with t as (select doc_id, lang, {_TOK_SAFE_DUCK} as ws
+               from documents),
+    g as (select doc_id, lang, ws[i] as w, i
+          from (select doc_id, lang, ws,
+                       unnest(generate_series(1, len(ws))) as i
+                from t)),
+    gold as (select doc_id, lang, w, count(*) as ng
+             from g group by 1, 2, 3),
+    e0 as (select doc_id, lang, w from g where (doc_id + i) % 19 <> 0
+           union all
+           select doc_id, lang, u.w
+           from documents, unnest(['home', 'about', 'contact']) as u(w)
+           where doc_id % 4 = 0),
+    extr as (select doc_id, lang, w, count(*) as ne
+             from e0 group by 1, 2, 3),
+    j as (select coalesce(g.lang, e.lang) as lang,
+                 coalesce(g.ng, 0) as ng, coalesce(e.ne, 0) as ne,
+                 least(coalesce(g.ng, 0), coalesce(e.ne, 0)) as m
+          from gold g full outer join extr e
+            on g.doc_id = e.doc_id and g.lang = e.lang and g.w = e.w)
+    select lang,
+           cast(sum(ng) as bigint) as n_gold,
+           cast(sum(ne) as bigint) as n_extr,
+           cast(sum(m) as bigint)  as n_match,
+           case when sum(ne) > 0
+                then round(cast(sum(m) as double) / sum(ne), 4) end as prec,
+           case when sum(ng) > 0
+                then round(cast(sum(m) as double) / sum(ng), 4) end as rec,
+           case when sum(ng) + sum(ne) > 0
+                then round(2.0 * sum(m) / (sum(ng) + sum(ne)), 4) end as f1
+    from j group by lang
+    """,
+)
+def extraction_eval(spark, sf_dir):
+    """Extraction-quality evaluation harness: token-level micro
+    precision / recall / F1 of a DEGRADED extraction against the
+    golden text, rolled up per language — the quantified form of the
+    north rule's byte-identity invariant (when the invariant holds,
+    P = R = F1 = 1.0; when an extractor change regresses, this table
+    says by how much and where, the scoreboard every boilerplate-
+    removal paper reports on CleanEval-style corpora).  Reference
+    analogue: clara's per-page recognition-rate accounting in
+    `write_report` (clara.c) — matched symbols over golden symbols.
+
+    The degraded side is synthesized deterministically from the fixed
+    driver tables (the sitemap_coverage precedent): every 19th token
+    position per doc is dropped (recall loss) and the mod-4 doc class
+    gains three boilerplate tokens the golden text lacks (precision
+    loss) — both gap classes nonempty, so all three metrics move.
+
+    Scale shape: multiset intersection per doc is TWO map-side-partial
+    aggregations on (doc_id, token) plus one equi-join of the two
+    count tables — token text is the only payload shuffled, never
+    documents; at 10^12 docs the shuffles are bounded by per-doc
+    distinct-token counts and the final state is |langs| rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        _tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("ws"),
+    )
+    g = d.select(
+        "doc_id", "lang", F.posexplode("ws").alias("i0", "w")
+    ).select("doc_id", "lang", (F.col("i0") + 1).alias("i"), "w")
+    gold = g.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("ng")
+    )
+    injected = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(F.lit("home"), F.lit("about"), F.lit("contact"))
+            ).alias("w"),
+        )
+    )
+    extr = (
+        g.filter((F.col("doc_id") + F.col("i")) % 19 != 0)
+        .select("doc_id", "lang", "w")
+        .unionByName(injected)
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    j = gold.join(
+        extr, ["doc_id", "lang", "w"], "full_outer"
+    ).select(
+        "lang",
+        F.coalesce("ng", F.lit(0)).alias("ng"),
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+        F.least(
+            F.coalesce("ng", F.lit(0)), F.coalesce("ne", F.lit(0))
+        ).alias("m"),
+    )
+    s = j.groupBy("lang").agg(
+        F.sum("ng").cast("bigint").alias("n_gold"),
+        F.sum("ne").cast("bigint").alias("n_extr"),
+        F.sum("m").cast("bigint").alias("n_match"),
+    )
+    return s.select(
+        "lang",
+        "n_gold",
+        "n_extr",
+        "n_match",
+        F.when(
+            F.col("n_extr") > 0,
+            F.round(F.col("n_match") / F.col("n_extr"), 4),
+        ).alias("prec"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.round(F.col("n_match") / F.col("n_gold"), 4),
+        ).alias("rec"),
+        F.when(
+            (F.col("n_gold") + F.col("n_extr")) > 0,
+            F.round(
+                F.lit(2.0) * F.col("n_match")
+                / (F.col("n_gold") + F.col("n_extr")),
+                4,
+            ),
+        ).alias("f1"),
+    )
+
+
+from .stages.metadata import (  # noqa: E402  (regex ladder shared with SQL)
+    PUBDATE_BODY_RX as _PD_BODY,
+    PUBDATE_META_RX as _PD_META,
+    PUBDATE_TIME_RX as _PD_TIME,
+)
+
+
+@q(
+    "publish_date_extract",
+    f"""
+    with s as (select doc_id,
+                      printf('%04d-%02d-%02d',
+                             2020 + doc_id % 3,
+                             1 + doc_id % 12,
+                             1 + doc_id % 28) as ds,
+                      coalesce(text, '') as txt
+               from documents),
+    p as (select doc_id,
+                 case cast(doc_id % 5 as int)
+                   when 0 then '<head><meta property="article:published_time"'
+                               || ' content="' || ds
+                               || 'T08:30:00Z"></head> ' || txt
+                   when 1 then '<article><time datetime="' || ds
+                               || '">updated</time></article> ' || txt
+                   when 2 then 'Published on ' || ds || ' — ' || txt
+                   when 3 then '<meta property="article:published_time"'
+                               || ' content="' || ds
+                               || '"> Published on 1999-01-01 ' || txt
+                   else txt
+                 end as page
+          from s),
+    x as (select doc_id,
+                 nullif(regexp_extract(page, '{_PD_META}', 1), '') as dm,
+                 nullif(regexp_extract(page, '{_PD_TIME}', 1), '') as dt,
+                 nullif(regexp_extract(page, '{_PD_BODY}', 1), '') as db
+          from p),
+    r as (select coalesce(dm, dt, db) as pub_date,
+                 case when dm is not null then 'meta'
+                      when dt is not null then 'time'
+                      when db is not null then 'body'
+                      else 'none' end as date_tier
+          from x)
+    select date_tier, substring(pub_date, 1, 7) as ym,
+           cast(count(*) as bigint) as n_docs,
+           min(pub_date) as first_date, max(pub_date) as last_date
+    from r group by 1, 2
+    """,
+)
+def publish_date_extract(spark, sf_dir):
+    """Publish-date harvest (`stages/metadata.publish_dates`): walk
+    the date ladder every article-metadata extractor walks —
+    structured ``article:published_time`` meta beats a semantic
+    ``<time datetime>`` beats a prose "Published on ..." byline — and
+    report corpus date coverage per winning tier and month.  The
+    mod-5 page classes exercise every rung, including a
+    meta-vs-byline CONFLICT class where precedence (not document
+    order) must pick the meta date, and a no-date class that lands in
+    tier 'none'.  Pages are synthesized deterministically from the
+    fixed driver tables (the sitemap_coverage precedent).  Reference
+    analogue: the per-page provenance header kept beside recognized
+    text (loadpgm fields, pgmblock.c:263-457).
+
+    Scale shape: three JVM regexp_extracts, map-only, no Python, no
+    shuffle until the |tiers × months|-sized rollup — at 10^12 docs
+    the harvest rides whatever pass already materialized the page."""
+    from .stages.metadata import publish_dates
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = F.format_string(
+        "%04d-%02d-%02d",
+        (F.lit(2020) + did % 3).cast("int"),
+        (F.lit(1) + did % 12).cast("int"),
+        (F.lit(1) + did % 28).cast("int"),
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    page = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(
+                    '<head><meta property="article:published_time"'
+                    ' content="'
+                ),
+                ds,
+                F.lit('T08:30:00Z"></head> '),
+                txt,
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit('<article><time datetime="'),
+                ds,
+                F.lit('">updated</time></article> '),
+                txt,
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(F.lit("Published on "), ds, F.lit(" — "), txt),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit(
+                    '<meta property="article:published_time" content="'
+                ),
+                ds,
+                F.lit('"> Published on 1999-01-01 '),
+                txt,
+            ),
+        )
+        .otherwise(txt)
+    )
+    pages = d.select(
+        F.concat(F.lit("p"), did.cast("string")).alias("url"),
+        page.alias("page"),
+    )
+    return (
+        publish_dates(pages)
+        .groupBy(
+            "date_tier", F.substring("pub_date", 1, 7).alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("pub_date").alias("first_date"),
+            F.max("pub_date").alias("last_date"),
+        )
+    )
+
+
 @q(
     "pack_token_budget",
     f"""
@@ -7737,6 +8061,9 @@ def nfc_normalize_audit(spark, sf_dir):
 # r3-signed and locally re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
+    "anchor_election",        # web anchor-text election (r5)
+    "extraction_eval",        # extraction-quality P/R/F1 harness (r5)
+    "publish_date_extract",   # web publish-date tier ladder (r5)
     "soft404_ledger",         # web soft-404 content-tier ledger (r5)
     "registered_domain",      # web PSL eTLD+1 resolution (r5)
     "mojibake_audit",         # LLM encoding-damage ledger (r5)
@@ -7776,7 +8103,12 @@ DRIVER_WINDOW = [
     "retention_cohorts",      # §2.5 cohort windows
     "top_suppliers_per_nation",  # §2.5 pattern-list multi-key order
     # -- (c) backfill: oldest remaining (r3-signed), one per family ---
-    "interval_overlap",       # §2.6 intersize/ldist interval algebra
+    # (interval_overlap / cube_metrics / regex_extract_props rotated
+    # OUT late-r5 to make room for the three new never-signed r5
+    # operators above — each displaced family keeps an r4-fresh rep:
+    # set_dedup via dedup_keep_first + dedup_exact below,
+    # agg_grouping_sets via grouping_sets_metrics, and the regex
+    # scalar family has no freshness constraint.)
     "neighbor_gap",           # §2.3 rsymb/lsymb nearest neighbor
     "topk_doubts",            # §2.1/§2.5 doubt ranking top-k
     "dedup_exact",            # §2.6/LLM exact dedup
@@ -7784,8 +8116,6 @@ DRIVER_WINDOW = [
     "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
     "set_ops_users",          # §2.6 union/intersect/except
     "salted_user_stats",      # §2.4 skew-salted per-site stats
-    "cube_metrics",           # §2.4 cube
-    "regex_extract_props",    # §2.7 regex scalar family
     "layout_columns",         # §2.10 blockfind columns
     "value_percentiles",      # §2.9 pp_thresh calibration
     "hqbin_residual",         # §2.9 hqbin second pass

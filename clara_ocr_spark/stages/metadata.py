@@ -157,3 +157,51 @@ def harvest_metadata(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(
         _batches, schema=METADATA_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# Publish-date harvest — the date tier ladder every article-metadata
+# extractor walks (trafilatura/htmldate shape): structured metadata
+# beats a semantic <time> tag beats a prose byline.  Pure JVM column
+# algebra (regexp over the decoded page string), map-only — unlike the
+# head parse above there is no Python boundary at all, so the harvest
+# rides free on any pass that already materialized the page text.
+# Reference analogue: the per-page properties block the reference
+# keeps beside the recognized text (loadpgm header fields,
+# pgmblock.c:263-457) — provenance metadata, not content.
+# ---------------------------------------------------------------------
+
+#: capture group 1 is always the ISO date; the ladder is ordered.
+PUBDATE_META_RX = 'article:published_time" content="(\\d{4}-\\d{2}-\\d{2})'
+PUBDATE_TIME_RX = '<time datetime="(\\d{4}-\\d{2}-\\d{2})'
+PUBDATE_BODY_RX = '[Pp]ublished on (\\d{4}-\\d{2}-\\d{2})'
+
+
+def publish_dates(pages: DataFrame, col: str = "page") -> DataFrame:
+    """(url, <col> string) → (url, pub_date, date_tier).
+
+    ``pub_date`` is the first tier that matches (meta > time > body),
+    NULL when none does; ``date_tier`` names the winning tier so a
+    corpus run can report how much of its date coverage rests on weak
+    prose matches.  All three probes are one regexp_extract each —
+    map-only, no shuffle, no Python."""
+    import pyspark.sql.functions as F
+
+    s = F.col(col)
+
+    def _hit(rx: str):
+        v = F.regexp_extract(s, rx, 1)
+        return F.when(v != "", v)
+
+    meta, time_, body = (
+        _hit(PUBDATE_META_RX), _hit(PUBDATE_TIME_RX), _hit(PUBDATE_BODY_RX)
+    )
+    return pages.select(
+        "url",
+        F.coalesce(meta, time_, body).alias("pub_date"),
+        F.when(meta.isNotNull(), F.lit("meta"))
+        .when(time_.isNotNull(), F.lit("time"))
+        .when(body.isNotNull(), F.lit("body"))
+        .otherwise(F.lit("none"))
+        .alias("date_tier"),
+    )

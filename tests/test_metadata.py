@@ -321,3 +321,35 @@ def test_wet_record_ids_unique_per_content(spark):
         for v in vals
     ]
     assert len(set(ids)) == 4
+
+
+def test_publish_dates_tier_ladder(spark):
+    """meta > time > body precedence; none-class → NULL + 'none'."""
+    from clara_ocr_spark.stages.metadata import publish_dates
+
+    rows = [
+        # meta present AND a conflicting prose byline: meta must win
+        ("u1", '<meta property="article:published_time" '
+               'content="2024-03-15T08:30:00Z"> Published on 1999-01-01'),
+        # time tag only
+        ("u2", '<article><time datetime="2023-07-04">x</time></article>'),
+        # prose byline only (capitalized and lowercased variants)
+        ("u3", "Published on 2022-12-31 by staff"),
+        ("u4", "published on 2021-01-02"),
+        # no date at all
+        ("u5", "plain page, nothing dated, 404 not a date"),
+        # a <time> without an ISO date must NOT match the ladder
+        ("u6", '<time datetime="yesterday">x</time>'),
+    ]
+    out = {
+        r["url"]: (r["pub_date"], r["date_tier"])
+        for r in publish_dates(
+            spark.createDataFrame(rows, "url string, page string")
+        ).collect()
+    }
+    assert out["u1"] == ("2024-03-15", "meta")
+    assert out["u2"] == ("2023-07-04", "time")
+    assert out["u3"] == ("2022-12-31", "body")
+    assert out["u4"] == ("2021-01-02", "body")
+    assert out["u5"] == (None, "none")
+    assert out["u6"] == (None, "none")

@@ -150,6 +150,11 @@ def test_driver_window_invariants():
         "web_staleness": {"recrawl_staleness", "recrawl_delta"},
         "web_pacing": {"paced_frontier", "frontier_waves"},
         "llm_normalize": {"nfc_normalize_audit"},
+        # late-r5 additions (lead the r5 window, never-signed until
+        # CORRECTNESS_r05)
+        "web_anchor": {"anchor_election"},
+        "llm_eval": {"extraction_eval"},
+        "web_pubdate": {"publish_date_extract"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
