@@ -205,3 +205,35 @@ def publish_dates(pages: DataFrame, col: str = "page") -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("date_tier"),
     )
+
+
+def harvest_publish_dates(pages: DataFrame) -> DataFrame:
+    """pages(url, html binary) → (url, pub_date, date_tier).
+
+    The production twin of the oracled `publish_date_extract` catalog
+    query: decode each page with the SAME charset tiers as extraction
+    (``decode_html`` — BOM sniff → UTF-8 strict → declared charset →
+    fallbacks), then walk the :func:`publish_dates` ladder.  The
+    decode is Arrow-batched map-only Python (the one pass that must
+    touch bytes); the ladder itself stays JVM column algebra, and the
+    html payload dies at the decode boundary — downstream sees only
+    (url, date, tier)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def _batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page": [
+                        decode_html(h) for h in pdf["html"].to_numpy()
+                    ],
+                }
+            )
+
+    decoded = pages.select("url", "html").mapInPandas(
+        _batches, schema="url string, page string"
+    )
+    return publish_dates(decoded)

@@ -199,6 +199,29 @@ def main(argv: list[str] | None = None) -> None:
         "golden-pinned extractor for the same reason as --links",
     )
     ap.add_argument(
+        "--anchors",
+        default=None,
+        metavar="PATH",
+        help="also write the anchor-text election ledger (dst_url, "
+        "n_inlinks, top_anchor, top_anchor_n — stages/links."
+        "top_anchor_text, the oracled anchor_election shape): the "
+        "most frequent non-empty anchor per destination with a "
+        "deterministic tie-break; elects over the CUMULATIVE --links "
+        "table when that sink exists (incremental replays describe "
+        "the whole harvest), else over this run's harvested links",
+    )
+    ap.add_argument(
+        "--pubdate-out",
+        default=None,
+        metavar="PATH",
+        help="also write the publish-date harvest (url, pub_date, "
+        "date_tier — stages/metadata.harvest_publish_dates, the "
+        "oracled publish_date_extract ladder: article:published_time "
+        "meta > <time datetime> > prose byline) of the HTML leg to "
+        "PATH; decode is the extraction's own charset tiers, the "
+        "ladder is map-only JVM regexp",
+    )
+    ap.add_argument(
         "--wet-out",
         default=None,
         metavar="PATH",
@@ -520,11 +543,19 @@ def main(argv: list[str] | None = None) -> None:
     # (review finding: --links --head-meta --wat used to parse the
     # corpus twice per harvest).
     links_df = meta_df = None
-    if args.links or args.wat:
+    if args.links or args.wat or args.anchors:
         from clara_ocr_spark.stages.links import extract_links
 
         links_df = extract_links(dom_pages)
-        if args.links and args.wat:
+        # one localCheckpoint when TWO OR MORE write actions will
+        # consume the in-memory harvest (--anchors consumes it only
+        # when there is no cumulative --links table to read back)
+        n_link_sinks = (
+            bool(args.links)
+            + bool(args.wat)
+            + bool(args.anchors and not args.links)
+        )
+        if n_link_sinks >= 2:
             links_df = links_df.localCheckpoint(eager=False)
     if args.head_meta or args.wat:
         from clara_ocr_spark.stages.metadata import harvest_metadata
@@ -545,6 +576,28 @@ def main(argv: list[str] | None = None) -> None:
         wat_sidecar(dom_pages, links_df, meta_df).select(
             "wat"
         ).write.mode("append").text(args.wat)
+    if args.anchors:
+        from clara_ocr_spark.stages.links import top_anchor_text
+
+        # whole-crawl discipline when the cumulative --links sink
+        # exists (it appends across --incremental runs): elect over
+        # everything harvested, never just this delta; overwrite —
+        # the ledger is a pure function of the harvest (the
+        # --sitemap-out precedent)
+        all_links = (
+            spark.read.parquet(args.links) if args.links else links_df
+        )
+        top_anchor_text(all_links).write.mode("overwrite").parquet(
+            args.anchors
+        )
+    if args.pubdate_out:
+        from clara_ocr_spark.stages.metadata import harvest_publish_dates
+
+        # per-page harvest row, appended like --head-meta (an
+        # --incremental delta adds its pages' rows)
+        harvest_publish_dates(dom_pages).write.mode("append").parquet(
+            args.pubdate_out
+        )
     if args.sitemaps:
         from clara_ocr_spark.sources.sitemap import read_sitemaps
 

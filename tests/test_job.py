@@ -786,3 +786,69 @@ def test_curate_job_fix_encoding(tmp_path):
     }
     assert "www.broken.example" not in mix
     assert mix["broken.example"] == 2  # deduped pair -> 1, plus www's 1
+
+
+def test_extract_job_anchors_and_pubdate(tmp_path):
+    """--anchors (anchor-text election over the cumulative --links
+    harvest) and --pubdate-out (publish-date ladder over the decoded
+    HTML leg) ride one extraction run."""
+    from clara_ocr_spark.extract_rules import reference_extract
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+    rows = [gen_page(i, seed=33) for i in range(12)]
+    dated_html = (
+        b'<!DOCTYPE html><html><head>'
+        b'<meta property="article:published_time" '
+        b'content="2024-06-01T09:00:00Z"></head>'
+        b"<body><main><article><p>Dated article body paragraph."
+        b"</p></article></main></body></html>"
+    )
+    dated = dict(rows[0])
+    dated["url"] = "https://dated.example/post"
+    dated["html"] = dated_html
+    dated["text"] = reference_extract(dated_html)
+    rows.append(dated)
+    inp = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp),
+            "--output", str(tmp_path / "out"),
+            "--links", str(tmp_path / "links"),
+            "--anchors", str(tmp_path / "anchors"),
+            "--pubdate-out", str(tmp_path / "pubdate"),
+        ],
+        capture_output=True,
+        text=True,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    # election ledger: every winner non-empty, counts consistent,
+    # destinations are harvested link targets (never crawled inputs'
+    # own urls only — the corpus nav links point at /home etc.)
+    anchors = duckdb.sql(
+        f"select dst_url, n_inlinks, top_anchor, top_anchor_n "
+        f"from '{tmp_path}/anchors/*.parquet'"
+    ).fetchall()
+    assert anchors
+    assert all(a and n >= k >= 1 for _d, n, a, k in anchors)
+
+    # date ladder: one row per HTML page; exactly the crafted page
+    # harvests (tier meta), the synthetic corpus is undated
+    pub = duckdb.sql(
+        f"select url, pub_date, date_tier from '{tmp_path}/pubdate/*.parquet'"
+    ).fetchall()
+    assert len(pub) == len(rows)
+    by_url = {u: (d, t) for u, d, t in pub}
+    assert by_url["https://dated.example/post"] == ("2024-06-01", "meta")
+    assert all(
+        v == (None, "none")
+        for u, v in by_url.items()
+        if u != "https://dated.example/post"
+    )

@@ -272,3 +272,24 @@ def test_frontier_strips_fragments(spark):
     # guide.html (already crawled) excluded despite fragment variants;
     # the two 'new' forms collapse to one candidate with indegree 2
     assert got == {"https://h/new": 2}
+
+
+def test_anchor_election_plan_window_free(spark, sf001):
+    """The election must stay a two-level aggregate (groupBy + MIN over
+    a (-n, anchor) struct) — never a row_number() window over the full
+    link table, which would sort every (dst, anchor) group through
+    window state at 10^12 links.  Pinned for both sites: the stage and
+    the catalog query."""
+    from clara_ocr_spark.queries import REGISTRY
+
+    links = spark.createDataFrame(
+        [("d1", "alpha"), ("d1", "alpha"), ("d1", "beta"), ("d2", "")],
+        "dst_url string, anchor string",
+    )
+    for df in (
+        top_anchor_text(links),
+        REGISTRY["anchor_election"][0](spark, sf001),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "Exchange SinglePartition" not in plan

@@ -353,3 +353,28 @@ def test_publish_dates_tier_ladder(spark):
     assert out["u4"] == ("2021-01-02", "body")
     assert out["u5"] == (None, "none")
     assert out["u6"] == (None, "none")
+
+
+def test_harvest_publish_dates_stage(spark):
+    """Binary html in, (url, pub_date, date_tier) out — decode tiers
+    shared with extraction (a declared-charset latin-1 page must
+    still harvest)."""
+    from clara_ocr_spark.stages.metadata import harvest_publish_dates
+
+    latin = (
+        '<html><head><meta charset="iso-8859-1">'
+        '<meta property="article:published_time" '
+        'content="2023-11-05T00:00:00Z"></head>'
+        "<body><p>ol\xe1</p></body></html>"
+    ).encode("latin-1")
+    rows = [
+        ("u1", latin),
+        ("u2", b"<html><body><p>Published on 2020-02-29 x</p></body></html>"),
+        ("u3", b"<html><body><p>undated</p></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: (r["pub_date"], r["date_tier"])
+           for r in harvest_publish_dates(df).collect()}
+    assert out["u1"] == ("2023-11-05", "meta")
+    assert out["u2"] == ("2020-02-29", "body")
+    assert out["u3"] == (None, "none")
