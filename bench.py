@@ -128,6 +128,7 @@ HEADLINE = [
     "anchor_election",  # added r5: anchor-text election per dst
     "extraction_eval",  # added r5: token-level P/R/F1 eval harness
     "publish_date_extract",  # added r5: publish-date tier ladder
+    "hits_scores",  # added r5: HITS hubs/authorities fixed point
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -5033,6 +5033,101 @@ def publish_date_extract(spark, sf_dir):
 
 
 @q(
+    "hits_scores",
+    """
+    with e as (select o.o_custkey as c, l.l_suppkey as s,
+                      count(*) as w
+               from lineitem l join orders o
+                 on l.l_orderkey = o.o_orderkey
+               group by 1, 2),
+    a1 as (select s, cast(sum(w) as bigint) * 1000000 as a
+           from e group by s),
+    a1n as (select s, (a * 1000000) // (select max(a) from a1) as an
+            from a1),
+    h1 as (select c, cast(sum(an * w) as bigint) as h
+           from e join a1n using (s) group by c),
+    h1n as (select c, (h * 1000000) // (select max(h) from h1) as hn
+            from h1),
+    a2 as (select s, cast(sum(hn * w) as bigint) as a
+           from e join h1n using (c) group by s),
+    a2n as (select s, (a * 1000000) // (select max(a) from a2) as an
+            from a2)
+    select 'S' || cast(s as varchar) as node,
+           cast(an as bigint) as authority
+    from a2n order by authority desc, node limit 20
+    """,
+)
+def hits_scores(spark, sf_dir):
+    """Kleinberg HITS (hubs & authorities) on the directed
+    customer→supplier order graph — the OTHER classic link-analysis
+    fixed point next to `pagerank_bipartite`: a supplier is
+    authoritative when good hubs point at it, a customer is a good hub
+    when it points at authoritative suppliers (the web analogue: hub
+    pages / authority pages inside a host graph, Kleinberg JACM'99).
+    Two full mutual-reinforcement rounds, all INTEGER arithmetic
+    (scores in 1e-6 units, max-normalized per half-step with floor
+    division) so partial-aggregation order cannot perturb a bit and
+    the DuckDB oracle matches exactly — the same determinism
+    discipline as the PageRank query.  Reference analogue: the
+    two-pass PNT1→PNT2 relaxation (pattern votes reinforcing symbol
+    assignments reinforcing pattern votes, revision.c).
+
+    Scale shape: each half-step is ONE equi-join of the edge list
+    against a |nodes|-sized score table (broadcast) plus ONE groupBy
+    with map-side partial sums; the max-normalizer is a 1-row
+    broadcast.  The final top-k is orderBy().limit() →
+    TakeOrderedAndProject, never a global window.  The edge list is
+    localCheckpointed once so round i never re-executes the
+    lineitem × orders join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(scores: DataFrame, key: str, col: str) -> DataFrame:
+        m = scores.agg(F.max(col).alias("m"))
+        return scores.crossJoin(F.broadcast(m)).select(
+            key, F.expr(f"({col} * 1000000) div m").alias(col)
+        )
+
+    a1 = _norm(
+        e.groupBy("s").agg(
+            (F.sum("w").cast("bigint") * 1000000).alias("a")
+        ),
+        "s",
+        "a",
+    )
+    h1 = _norm(
+        e.join(F.broadcast(a1), "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("a") * F.col("w")).cast("bigint").alias("h")),
+        "c",
+        "h",
+    )
+    a2 = _norm(
+        e.join(F.broadcast(h1), "c")
+        .groupBy("s")
+        .agg(F.sum(F.col("h") * F.col("w")).cast("bigint").alias("a")),
+        "s",
+        "a",
+    )
+    return (
+        a2.select(
+            F.concat(F.lit("S"), F.col("s").cast("string")).alias("node"),
+            F.col("a").cast("bigint").alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@q(
     "pack_token_budget",
     f"""
     with t as (select doc_id, lang,
@@ -8064,6 +8159,7 @@ DRIVER_WINDOW = [
     "anchor_election",        # web anchor-text election (r5)
     "extraction_eval",        # extraction-quality P/R/F1 harness (r5)
     "publish_date_extract",   # web publish-date tier ladder (r5)
+    "hits_scores",            # web HITS hubs/authorities (r5)
     "soft404_ledger",         # web soft-404 content-tier ledger (r5)
     "registered_domain",      # web PSL eTLD+1 resolution (r5)
     "mojibake_audit",         # LLM encoding-damage ledger (r5)
@@ -8106,7 +8202,8 @@ DRIVER_WINDOW = [
     # (interval_overlap / cube_metrics / regex_extract_props rotated
     # OUT late-r5 to make room for the three new never-signed r5
     # operators above — each displaced family keeps an r4-fresh rep:
-    # set_dedup via dedup_keep_first + dedup_exact below,
+    # set_dedup via dedup_keep_first + dedup_exact below (and
+    # set_ops_users rotated out for hits_scores under the same rule),
     # agg_grouping_sets via grouping_sets_metrics, and the regex
     # scalar family has no freshness constraint.)
     "neighbor_gap",           # §2.3 rsymb/lsymb nearest neighbor
@@ -8114,7 +8211,6 @@ DRIVER_WINDOW = [
     "dedup_exact",            # §2.6/LLM exact dedup
     "minhash_signatures",     # LLM MinHash signatures
     "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
-    "set_ops_users",          # §2.6 union/intersect/except
     "salted_user_stats",      # §2.4 skew-salted per-site stats
     "layout_columns",         # §2.10 blockfind columns
     "value_percentiles",      # §2.9 pp_thresh calibration

@@ -102,7 +102,7 @@ def test_driver_window_invariants():
                           "embedding_lsh_buckets", "semdedup_cells"},
         "llm_line_dedup": {"line_dedup_corpus"},
         "llm_dup_spans": {"dup_span_detect", "cdc_chunk_dedup"},
-        "llm_graph_rank": {"pagerank_bipartite"},
+        "llm_graph_rank": {"pagerank_bipartite", "hits_scores"},
         "llm_classifier": {"nb_lang_classifier"},
         "llm_ann": {"ivf_topk", "ivf_recall", "ivf_topk_probe2"},
         "llm_quality": {"lm_quality_scores", "repetition_filter",
