@@ -4832,72 +4832,39 @@ def extraction_eval(spark, sf_dir):
     aggregations on (doc_id, token) plus one equi-join of the two
     count tables — token text is the only payload shuffled, never
     documents; at 10^12 docs the shuffles are bounded by per-doc
-    distinct-token counts and the final state is |langs| rows."""
+    distinct-token counts and the final state is |langs| rows.  The
+    metric itself is `stages/consist.token_prf` — the SAME
+    implementation the production regression gate (`extract_job
+    --eval-golden`) runs; this query is its oracle."""
+    from .stages.consist import token_prf
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         _tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("ws"),
     )
-    g = d.select(
-        "doc_id", "lang", F.posexplode("ws").alias("i0", "w")
-    ).select("doc_id", "lang", (F.col("i0") + 1).alias("i"), "w")
-    gold = g.groupBy("doc_id", "lang", "w").agg(
-        F.count(F.lit(1)).alias("ng")
+    want = d.select(
+        "doc_id", "lang", F.concat_ws(" ", "ws").alias("text")
     )
-    injected = (
-        d.filter(F.col("doc_id") % 4 == 0)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.array(F.lit("home"), F.lit("about"), F.lit("contact"))
-            ).alias("w"),
-        )
+    # degraded tokens, rebuilt as a text column so the stage's own
+    # tokenizer round-trips them (tokens carry no whitespace): HOF
+    # filter drops every 19th position (i is 0-based), the mod-4 doc
+    # class gains three boilerplate tokens
+    kept = F.filter(
+        F.col("ws"),
+        lambda x, i: ((F.col("doc_id") + i + 1) % 19) != 0,
     )
-    extr = (
-        g.filter((F.col("doc_id") + F.col("i")) % 19 != 0)
-        .select("doc_id", "lang", "w")
-        .unionByName(injected)
-        .groupBy("doc_id", "lang", "w")
-        .agg(F.count(F.lit(1)).alias("ne"))
+    extr_toks = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            kept,
+            F.array(F.lit("home"), F.lit("about"), F.lit("contact")),
+        ),
+    ).otherwise(kept)
+    got = d.select(
+        "doc_id", "lang", F.concat_ws(" ", extr_toks).alias("text")
     )
-    j = gold.join(
-        extr, ["doc_id", "lang", "w"], "full_outer"
-    ).select(
-        "lang",
-        F.coalesce("ng", F.lit(0)).alias("ng"),
-        F.coalesce("ne", F.lit(0)).alias("ne"),
-        F.least(
-            F.coalesce("ng", F.lit(0)), F.coalesce("ne", F.lit(0))
-        ).alias("m"),
-    )
-    s = j.groupBy("lang").agg(
-        F.sum("ng").cast("bigint").alias("n_gold"),
-        F.sum("ne").cast("bigint").alias("n_extr"),
-        F.sum("m").cast("bigint").alias("n_match"),
-    )
-    return s.select(
-        "lang",
-        "n_gold",
-        "n_extr",
-        "n_match",
-        F.when(
-            F.col("n_extr") > 0,
-            F.round(F.col("n_match") / F.col("n_extr"), 4),
-        ).alias("prec"),
-        F.when(
-            F.col("n_gold") > 0,
-            F.round(F.col("n_match") / F.col("n_gold"), 4),
-        ).alias("rec"),
-        F.when(
-            (F.col("n_gold") + F.col("n_extr")) > 0,
-            F.round(
-                F.lit(2.0) * F.col("n_match")
-                / (F.col("n_gold") + F.col("n_extr")),
-                4,
-            ),
-        ).alias("f1"),
-    )
+    return token_prf(want, got, key="doc_id", group_cols=("lang",))
 
 
 from .stages.metadata import (  # noqa: E402  (regex ladder shared with SQL)

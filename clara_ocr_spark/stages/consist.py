@@ -138,3 +138,111 @@ def partition_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
 
 def append_metrics(metrics: DataFrame, path: str) -> None:
     metrics.write.mode("append").parquet(path)
+
+
+# ---------------------------------------------------------------------
+# Extraction-quality scoreboard — the regression gate for the
+# byte-identity invariant (north rule: byte-identical extracted text
+# per url).  ≈ the reference's per-page recognition-rate accounting in
+# write_report (clara.c): matched symbols over golden symbols, here
+# matched tokens over golden tokens plus the exact-page count.
+# Oracled as the `extraction_eval` catalog query, which calls
+# token_prf on a synthesized degraded side — single implementation.
+# ---------------------------------------------------------------------
+
+def _ws_tokens(col: F.Column) -> F.Column:
+    """Whitespace tokens; empty/NULL text → empty array."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+
+
+def token_prf(
+    want: DataFrame,
+    got: DataFrame,
+    key: str = "url",
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Token-level micro precision / recall / F1 of ``got.text``
+    against ``want.text``, one row per ``group_cols`` combination
+    (overall when empty).  Multiset intersection per document = two
+    map-side-partial (key, token) count aggregations + ONE full-outer
+    equi-join of the count tables — token strings are the only
+    shuffled payload, never documents; final state is |groups| rows.
+    P = R = F1 = 1.0 exactly when the invariant holds."""
+    g = list(group_cols)
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                key, *g, F.explode(_ws_tokens(F.col("text"))).alias("w")
+            )
+            .groupBy(key, *g, "w")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = counts(want, "ng").join(
+        counts(got, "ne"), [key, *g, "w"], "full_outer"
+    ).select(
+        *g,
+        F.coalesce("ng", F.lit(0)).alias("ng"),
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+        F.least(
+            F.coalesce("ng", F.lit(0)), F.coalesce("ne", F.lit(0))
+        ).alias("m"),
+    )
+    s = j.groupBy(*g).agg(
+        F.coalesce(F.sum("ng"), F.lit(0)).cast("bigint").alias("n_gold"),
+        F.coalesce(F.sum("ne"), F.lit(0)).cast("bigint").alias("n_extr"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n_match"),
+    )
+    return s.select(
+        *g,
+        "n_gold",
+        "n_extr",
+        "n_match",
+        F.when(
+            F.col("n_extr") > 0,
+            F.round(F.col("n_match") / F.col("n_extr"), 4),
+        ).alias("prec"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.round(F.col("n_match") / F.col("n_gold"), 4),
+        ).alias("rec"),
+        F.when(
+            (F.col("n_gold") + F.col("n_extr")) > 0,
+            F.round(
+                F.lit(2.0) * F.col("n_match")
+                / (F.col("n_gold") + F.col("n_extr")),
+                4,
+            ),
+        ).alias("f1"),
+    )
+
+
+def extraction_report(
+    want: DataFrame, got: DataFrame, key: str = "url"
+) -> DataFrame:
+    """ONE-row extraction-quality report: exact-page accounting
+    (n_pages / n_exact — the byte-identity invariant verbatim) plus
+    the corpus-level token P/R/F1 from :func:`token_prf`.  Two tiny
+    aggregates crossJoined — no driver-side collect."""
+    w = want.select(key, F.col("text").alias("_want"))
+    pages = (
+        got.select(key, "text")
+        .join(w, key, "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("text").eqNullSafe(F.col("_want")), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_exact"),
+        )
+    )
+    return pages.crossJoin(token_prf(want, got, key=key))

@@ -199,6 +199,23 @@ def main(argv: list[str] | None = None) -> None:
         "golden-pinned extractor for the same reason as --links",
     )
     ap.add_argument(
+        "--eval-golden",
+        default=None,
+        metavar="PATH",
+        help="parquet of golden (url, text) pairs; with --eval-report "
+        "set, compare the CUMULATIVE extracted output against it and "
+        "write a one-row extraction-quality report (n_pages, n_exact, "
+        "token-level micro P/R/F1 — stages/consist.extraction_report, "
+        "the oracled extraction_eval metric): the regression gate for "
+        "the byte-identity invariant, n_exact == n_pages when it holds",
+    )
+    ap.add_argument(
+        "--eval-report",
+        default=None,
+        metavar="PATH",
+        help="destination for the --eval-golden report",
+    )
+    ap.add_argument(
         "--anchors",
         default=None,
         metavar="PATH",
@@ -598,6 +615,17 @@ def main(argv: list[str] | None = None) -> None:
         harvest_publish_dates(dom_pages).write.mode("append").parquet(
             args.pubdate_out
         )
+    if args.eval_golden and args.eval_report:
+        from clara_ocr_spark.stages.consist import extraction_report
+
+        # whole-crawl discipline (the --soft404-audit precedent):
+        # grade the CUMULATIVE extracted output read back as a pruned
+        # (url, text) scan, never just this run's delta; overwrite —
+        # the report is a pure function of (output, golden)
+        extraction_report(
+            spark.read.parquet(args.eval_golden).select("url", "text"),
+            spark.read.parquet(args.output).select("url", "text"),
+        ).write.mode("overwrite").parquet(args.eval_report)
     if args.sitemaps:
         from clara_ocr_spark.sources.sitemap import read_sitemaps
 

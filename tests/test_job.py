@@ -819,6 +819,8 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
             "--links", str(tmp_path / "links"),
             "--anchors", str(tmp_path / "anchors"),
             "--pubdate-out", str(tmp_path / "pubdate"),
+            "--eval-golden", str(inp),
+            "--eval-report", str(tmp_path / "evalrep"),
         ],
         capture_output=True,
         text=True,
@@ -852,3 +854,15 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
         for u, v in by_url.items()
         if u != "https://dated.example/post"
     )
+
+    # --eval-golden graded the output against the input's own golden
+    # text: the byte-identity invariant holds, so the one-row report
+    # reads exact == pages and P = R = F1 = 1.0
+    rep = duckdb.sql(
+        f"select n_pages, n_exact, prec, rec, f1 "
+        f"from '{tmp_path}/evalrep/*.parquet'"
+    ).fetchall()
+    assert len(rep) == 1
+    n_pages, n_exact, prec, rec, f1 = rep[0]
+    assert n_pages == n_exact == len(rows)
+    assert (prec, rec, f1) == (1.0, 1.0, 1.0)

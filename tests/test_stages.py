@@ -1016,3 +1016,42 @@ def test_merge_upsert_publish_sentinel_guards_restore(spark, tmp_path):
     )
     assert {r.act_id for r in spark.read.parquet(path).collect()} == {1, 2}
     assert not os.path.exists(path + ".old")
+
+
+def test_token_prf_and_extraction_report(spark):
+    """The byte-identity scoreboard: identical corpora read 1.0
+    everywhere; a dropped token dents recall only, an added token
+    dents precision only; exact-page accounting counts byte equality
+    (NULL-safe)."""
+    from clara_ocr_spark.stages.consist import (
+        extraction_report,
+        token_prf,
+    )
+
+    want = spark.createDataFrame(
+        [("u1", "alpha beta beta gamma"), ("u2", "delta"), ("u3", "")],
+        "url string, text string",
+    )
+    # u1: one 'beta' dropped (recall), one 'zeta' added (precision);
+    # u2, u3 byte-identical
+    got = spark.createDataFrame(
+        [("u1", "alpha beta gamma zeta"), ("u2", "delta"), ("u3", "")],
+        "url string, text string",
+    )
+    r = extraction_report(want, got).collect()[0]
+    assert r["n_pages"] == 3 and r["n_exact"] == 2
+    assert r["n_gold"] == 5 and r["n_extr"] == 5 and r["n_match"] == 4
+    assert r["prec"] == 0.8 and r["rec"] == 0.8 and r["f1"] == 0.8
+
+    perfect = extraction_report(want, want).collect()[0]
+    assert perfect["n_exact"] == perfect["n_pages"] == 3
+    assert (perfect["prec"], perfect["rec"], perfect["f1"]) == (
+        1.0, 1.0, 1.0,
+    )
+
+    # grouped form: one row per group, group key carried through
+    wg = want.withColumn("lang", F.lit("en"))
+    gg = got.withColumn("lang", F.lit("en"))
+    rows = token_prf(wg, gg, group_cols=("lang",)).collect()
+    assert len(rows) == 1 and rows[0]["lang"] == "en"
+    assert rows[0]["f1"] == 0.8
