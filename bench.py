@@ -129,6 +129,7 @@ HEADLINE = [
     "extraction_eval",  # added r5: token-level P/R/F1 eval harness
     "publish_date_extract",  # added r5: publish-date tier ladder
     "hits_scores",  # added r5: HITS hubs/authorities fixed point
+    "title_suffix_audit",  # added r5: per-host title-suffix ledger
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

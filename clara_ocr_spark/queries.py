@@ -4999,6 +4999,94 @@ def publish_date_extract(spark, sf_dir):
     )
 
 
+from .stages.metadata import (  # noqa: E402  (suffix regex shared with SQL)
+    TITLE_SUFFIX_RX as _TSFX_RX,
+)
+
+
+@q(
+    "title_suffix_audit",
+    f"""
+    with t as (select doc_id, {_TOK_SAFE_DUCK} as ws from documents),
+    b as (select doc_id,
+                 case when len(ws) = 0 then 'untitled'
+                      else array_to_string(list_slice(ws, 1, 2), ' ')
+                 end as base
+          from t),
+    p as (select doc_id, doc_id % 7 as k, (doc_id % 7) % 3 as c, base
+          from b),
+    ti as (select 'h' || cast(k as varchar) as host,
+                  case when c = 0 and doc_id % 5 <> 4
+                         then base || ' | site h' || cast(k as varchar)
+                       when c = 1 and doc_id % 5 = 0
+                         then base || ' - site h' || cast(k as varchar)
+                       else base end as title
+           from p),
+    cand as (select host,
+                    nullif(regexp_extract(title, '{_TSFX_RX}', 1), '')
+                      as suffix
+             from ti),
+    ph as (select host, cast(count(*) as bigint) as n_titles
+           from cand group by host),
+    cnt as (select host, suffix, count(*) as n
+            from cand where suffix is not null group by 1, 2),
+    el as (select host, suffix, n,
+                  row_number() over (partition by host
+                                     order by n desc, suffix) as rn
+           from cnt)
+    select ph.host, ph.n_titles, el.suffix,
+           cast(coalesce(el.n, 0) as bigint) as n_suffix,
+           cast(1000 * coalesce(el.n, 0) // ph.n_titles as bigint)
+             as share_pm,
+           (1000 * coalesce(el.n, 0) // ph.n_titles >= 500
+            and coalesce(el.n, 0) >= 3) as is_boiler
+    from ph left join (select * from el where rn = 1) el using (host)
+    """,
+)
+def title_suffix_audit(spark, sf_dir):
+    """Per-host title-suffix boilerplate ledger (`stages/metadata.
+    title_suffix_ledger`): elect the brand tail sites append after a
+    separator ("Article Name | Example Times") and flag it BOILERPLATE
+    when it dominates the host (share ≥ 500 pm over ≥ 3 titled pages)
+    — the metadata-cleaning twin of the body-side boilerplate scope
+    audit: strip the elected tail and titles become per-page signal;
+    keep it and every page on a host shares spurious title tokens.
+    Reference analogue: the per-book pattern library's shared-glyph
+    discipline (what repeats across every page of a source is
+    structure, not content).  The mod-7 hosts split into three
+    classes: 80 %-share suffix (flagged), 20 %-share (elected but NOT
+    flagged — the share gate), and never-suffixed (NULL suffix).
+
+    Scale shape: suffix candidate = one map-only JVM regexp (greedy
+    ^.* pins the LAST separator); per-(host, suffix) counts with
+    map-side partials; winner = MIN over the (-n, suffix) struct per
+    host — the `top_anchor_text` window-free election — so the final
+    ledger is |hosts| rows.  (The oracle's row_number formulation is
+    the same election at oracle scale.)"""
+    from .stages.metadata import title_suffix_ledger
+
+    d = _t(spark, sf_dir, "documents")
+    ws = _tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    base = F.when(F.size(ws) == 0, F.lit("untitled")).otherwise(
+        F.concat_ws(" ", F.slice(ws, 1, 2))
+    )
+    k = (F.col("doc_id") % 7).cast("string")
+    titled = d.select(
+        F.concat(F.lit("h"), k).alias("host"),
+        F.when(
+            ((F.col("doc_id") % 7) % 3 == 0) & (F.col("doc_id") % 5 != 4),
+            F.concat(base, F.lit(" | site h"), k),
+        )
+        .when(
+            ((F.col("doc_id") % 7) % 3 == 1) & (F.col("doc_id") % 5 == 0),
+            F.concat(base, F.lit(" - site h"), k),
+        )
+        .otherwise(base)
+        .alias("title"),
+    )
+    return title_suffix_ledger(titled)
+
+
 @q(
     "hits_scores",
     """
@@ -8127,6 +8215,7 @@ DRIVER_WINDOW = [
     "extraction_eval",        # extraction-quality P/R/F1 harness (r5)
     "publish_date_extract",   # web publish-date tier ladder (r5)
     "hits_scores",            # web HITS hubs/authorities (r5)
+    "title_suffix_audit",     # web title-suffix boilerplate ledger (r5)
     "soft404_ledger",         # web soft-404 content-tier ledger (r5)
     "registered_domain",      # web PSL eTLD+1 resolution (r5)
     "mojibake_audit",         # LLM encoding-damage ledger (r5)
@@ -8170,7 +8259,9 @@ DRIVER_WINDOW = [
     # OUT late-r5 to make room for the three new never-signed r5
     # operators above — each displaced family keeps an r4-fresh rep:
     # set_dedup via dedup_keep_first + dedup_exact below (and
-    # set_ops_users rotated out for hits_scores under the same rule),
+    # set_ops_users / salted_user_stats rotated out for hits_scores /
+    # title_suffix_audit under the same rule — agg_stats keeps
+    # pricing_summary r4 + value_percentiles below),
     # agg_grouping_sets via grouping_sets_metrics, and the regex
     # scalar family has no freshness constraint.)
     "neighbor_gap",           # §2.3 rsymb/lsymb nearest neighbor
@@ -8178,7 +8269,6 @@ DRIVER_WINDOW = [
     "dedup_exact",            # §2.6/LLM exact dedup
     "minhash_signatures",     # LLM MinHash signatures
     "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
-    "salted_user_stats",      # §2.4 skew-salted per-site stats
     "layout_columns",         # §2.10 blockfind columns
     "value_percentiles",      # §2.9 pp_thresh calibration
     "hqbin_residual",         # §2.9 hqbin second pass

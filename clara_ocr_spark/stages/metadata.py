@@ -237,3 +237,69 @@ def harvest_publish_dates(pages: DataFrame) -> DataFrame:
         _batches, schema="url string, page string"
     )
     return publish_dates(decoded)
+
+
+#: title-suffix separators sites use before their brand name —
+#: " | Site", " - Site", " – Site", " — Site"; greedy ^.* pins the
+#: capture to the LAST separator (Java and RE2 agree).
+TITLE_SUFFIX_RX = "^.*\\s[|\\-–—]\\s(.+)$"
+
+
+def title_suffix_ledger(titled: DataFrame) -> DataFrame:
+    """(host, title) → per-host elected title suffix — the brand tail
+    sites append after a separator (``Article Name | Example Times``).
+    A suffix is BOILERPLATE when the same tail dominates the host
+    (share ≥ 500 per-mille over ≥ 3 titled pages): strip it and titles
+    become the per-page signal search snippets and dedup features
+    want; keep it and every page on the host shares spurious title
+    tokens.  The trafilatura-style metadata-cleaning twin of the
+    body-side boilerplate scope audit.
+
+    Election discipline: candidate = regexp capture after the LAST
+    separator (map-only JVM); per-(host, suffix) counts with map-side
+    partials; winner = MIN over the (-n, suffix) struct per host (the
+    `top_anchor_text` two-level aggregate — window-free, so at 10^12
+    pages the shuffles carry (host, suffix) pairs and the final ledger
+    is |hosts| rows)."""
+    import pyspark.sql.functions as F
+
+    cand = F.regexp_extract(F.col("title"), TITLE_SUFFIX_RX, 1)
+    t = titled.select(
+        "host",
+        F.when(cand != "", cand).alias("suffix"),
+    )
+    per_host = t.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_titles")
+    )
+    counted = (
+        t.filter(F.col("suffix").isNotNull())
+        .groupBy("host", "suffix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    elected = counted.groupBy("host").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("negn"), "suffix")
+        ).alias("_top")
+    ).select(
+        "host",
+        F.col("_top.suffix").alias("suffix"),
+        (-F.col("_top.negn")).cast("bigint").alias("n_suffix"),
+    )
+    return (
+        per_host.join(elected, "host", "left")
+        .select(
+            "host",
+            "n_titles",
+            "suffix",
+            F.coalesce("n_suffix", F.lit(0)).cast("bigint").alias(
+                "n_suffix"
+            ),
+            F.expr("1000 * coalesce(n_suffix, 0) div n_titles")
+            .cast("bigint")
+            .alias("share_pm"),
+        )
+        .withColumn(
+            "is_boiler",
+            (F.col("share_pm") >= 500) & (F.col("n_suffix") >= 3),
+        )
+    )

@@ -199,6 +199,17 @@ def main(argv: list[str] | None = None) -> None:
         "golden-pinned extractor for the same reason as --links",
     )
     ap.add_argument(
+        "--title-suffix",
+        default=None,
+        metavar="PATH",
+        help="also write the per-host title-suffix boilerplate ledger "
+        "(host, n_titles, suffix, n_suffix, share_pm, is_boiler — "
+        "stages/metadata.title_suffix_ledger, the oracled "
+        "title_suffix_audit election) over the titled pages of the "
+        "head-metadata harvest; reads the CUMULATIVE --head-meta "
+        "table back when that sink exists",
+    )
+    ap.add_argument(
         "--eval-golden",
         default=None,
         metavar="PATH",
@@ -574,11 +585,19 @@ def main(argv: list[str] | None = None) -> None:
         )
         if n_link_sinks >= 2:
             links_df = links_df.localCheckpoint(eager=False)
-    if args.head_meta or args.wat:
+    if args.head_meta or args.wat or args.title_suffix:
         from clara_ocr_spark.stages.metadata import harvest_metadata
 
         meta_df = harvest_metadata(dom_pages)
-        if args.head_meta and args.wat:
+        # checkpoint when two or more write actions will consume the
+        # in-memory harvest (--title-suffix consumes it only when
+        # there is no cumulative --head-meta table to read back)
+        n_meta_sinks = (
+            bool(args.head_meta)
+            + bool(args.wat)
+            + bool(args.title_suffix and not args.head_meta)
+        )
+        if n_meta_sinks >= 2:
             meta_df = meta_df.localCheckpoint(eager=False)
     if args.links:
         links_df.write.mode("append").parquet(args.links)
@@ -615,6 +634,26 @@ def main(argv: list[str] | None = None) -> None:
         harvest_publish_dates(dom_pages).write.mode("append").parquet(
             args.pubdate_out
         )
+    if args.title_suffix:
+        import pyspark.sql.functions as F
+
+        from clara_ocr_spark.stages.crawl_audit import _host, norm_host
+        from clara_ocr_spark.stages.metadata import title_suffix_ledger
+
+        # whole-crawl discipline: the cumulative --head-meta table
+        # when that sink exists, else this run's harvest; untitled
+        # pages say nothing about title boilerplate and are dropped
+        # BEFORE the ledger so share_pm is a share of titled pages
+        src = (
+            spark.read.parquet(args.head_meta)
+            if args.head_meta
+            else meta_df
+        )
+        title_suffix_ledger(
+            src.filter(F.col("title").isNotNull()).select(
+                norm_host(_host(F.col("url"))).alias("host"), "title"
+            )
+        ).write.mode("overwrite").parquet(args.title_suffix)
     if args.eval_golden and args.eval_report:
         from clara_ocr_spark.stages.consist import extraction_report
 

@@ -808,6 +808,19 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
     dated["html"] = dated_html
     dated["text"] = reference_extract(dated_html)
     rows.append(dated)
+    # three same-host pages whose titles share a " | brand" tail (the
+    # --title-suffix election needs >= 3 titled pages to flag)
+    for i, t in enumerate(["alpha", "beta", "gamma"]):
+        html = (
+            f"<html><head><title>{t} | Brand Co</title></head>"
+            f"<body><main><p>{t} page body paragraph.</p></main>"
+            "</body></html>"
+        ).encode()
+        page = dict(rows[0])
+        page["url"] = f"https://Suffix.example:8443/p{i}"
+        page["html"] = html
+        page["text"] = reference_extract(html)
+        rows.append(page)
     inp = tmp_path / "pages.parquet"
     pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
     proc = subprocess.run(
@@ -821,6 +834,8 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
             "--pubdate-out", str(tmp_path / "pubdate"),
             "--eval-golden", str(inp),
             "--eval-report", str(tmp_path / "evalrep"),
+            "--head-meta", str(tmp_path / "head_meta"),
+            "--title-suffix", str(tmp_path / "titlesfx"),
         ],
         capture_output=True,
         text=True,
@@ -866,3 +881,21 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
     n_pages, n_exact, prec, rec, f1 = rep[0]
     assert n_pages == n_exact == len(rows)
     assert (prec, rec, f1) == (1.0, 1.0, 1.0)
+
+    # --title-suffix elected " Brand Co" as boilerplate on the
+    # crafted host (3/3 titled pages share the tail; norm_host folds
+    # the mixed case and the :8443 port); corpus hosts (every
+    # template titled the bare "t") elect nothing
+    sfx = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in duckdb.sql(
+            f"select host, n_titles, suffix, share_pm, is_boiler "
+            f"from '{tmp_path}/titlesfx/*.parquet'"
+        ).fetchall()
+    }
+    assert sfx["suffix.example"] == (3, "Brand Co", 1000, True)
+    assert all(
+        v[1] is None and not v[3]
+        for h, v in sfx.items()
+        if h != "suffix.example"
+    )

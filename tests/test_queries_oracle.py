@@ -155,6 +155,7 @@ def test_driver_window_invariants():
         "web_anchor": {"anchor_election"},
         "llm_eval": {"extraction_eval"},
         "web_pubdate": {"publish_date_extract"},
+        "web_title_boiler": {"title_suffix_audit"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
