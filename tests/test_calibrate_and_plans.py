@@ -280,3 +280,25 @@ def test_spell_correct_plan_equi_join_only(spark, sf001):
     plan = explain_str(REGISTRY["spell_correct"][0](spark, sf001))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "levenshtein" in plan  # the verify survives in the plan
+
+
+def test_hits_topk_plan_not_global_window(spark, sf001):
+    """The HITS authority top-k must compile to TakeOrderedAndProject
+    (per-partition partial top-k) — the same pin the PageRank sites
+    carry: never a row_number() window funnelling the |nodes| score
+    table through one task.  The plan's only SinglePartition exchanges
+    are the three 1-row max-normalizer reduces, each fed by a
+    partial_max (so the rows crossing them number |upstream
+    partitions|, not |nodes|)."""
+    plan = _plan(REGISTRY["hits_scores"][0](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # every SinglePartition exchange must be a 1-row max-normalizer
+    # reduce (its direct child a partial_max aggregate — so the rows
+    # crossing it number |upstream partitions|, not |nodes|); the
+    # printed tree duplicates shared subtrees under broadcasts, hence
+    # counting occurrences would overstate them
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_max" in lines[i + 1], lines[i : i + 2]
