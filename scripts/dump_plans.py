@@ -278,6 +278,46 @@ def main() -> None:
         "rides the left-joined lookup so reg_domain projects off the group key.\n"
         "Pinned in tests/test_domains.py::test_map_plan_shape.",
     )
+    from clara_ocr_spark.stages.links import top_anchor_text
+
+    links = spark.createDataFrame(
+        [("d1", "alpha"), ("d1", "alpha"), ("d2", "beta")],
+        "dst_url string, anchor string",
+    )
+    add(
+        "top_anchor_text (anchor election, late r5)",
+        top_anchor_text(links),
+        "Window-free election: groupBy(dst, anchor) with map-side\n"
+        "partials, then MIN over the (-n, anchor) struct per dst — two\n"
+        "Exchanges carrying (dst, anchor) pairs, final state |dst| rows.\n"
+        "Pinned in tests/test_links.py::test_anchor_election_plan_window_free.",
+    )
+
+    add(
+        "hits_scores (integer HITS, late r5)",
+        REGISTRY["hits_scores"][0](spark, SF),
+        "Per half-step ONE broadcast equi-join of the checkpointed edge\n"
+        "list against the |nodes| score table + ONE map-side-partial\n"
+        "groupBy; every SinglePartition exchange is a 1-row partial_max\n"
+        "normalizer reduce; final top-k TakeOrderedAndProject.  Pinned in\n"
+        "tests/test_calibrate_and_plans.py::test_hits_topk_plan_not_global_window.",
+    )
+
+    from clara_ocr_spark.stages.consist import token_prf
+
+    toy = spark.createDataFrame(
+        [("u1", "a b"), ("u2", "c")], "url string, text string"
+    )
+    add(
+        "token_prf (extraction-quality scoreboard, late r5)",
+        token_prf(toy, toy),
+        "Two map-side-partial (key, token) count aggregations + ONE\n"
+        "full-outer sort-merge equi-join of the count tables — token\n"
+        "strings are the only shuffled payload, never documents; final\n"
+        "state |groups| rows.  The extract_job --eval-golden gate and the\n"
+        "oracled extraction_eval query both run THIS plan.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
