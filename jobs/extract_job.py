@@ -213,8 +213,9 @@ def main(argv: list[str] | None = None) -> None:
         "--eval-golden",
         default=None,
         metavar="PATH",
-        help="parquet of golden (url, text) pairs; with --eval-report "
-        "set, compare the CUMULATIVE extracted output against it and "
+        help="parquet of golden (url, text) pairs; goes together with "
+        "--eval-report: compare the CUMULATIVE extracted output "
+        "(parquet read-back, so --output-format parquet) against it and "
         "write a one-row extraction-quality report (n_pages, n_exact, "
         "token-level micro P/R/F1 — stages/consist.extraction_report, "
         "the oracled extraction_eval metric): the regression gate for "
@@ -353,6 +354,11 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--staleness joins against --sitemaps; pass both")
     if args.soft404_audit and args.output_format != "parquet":
         ap.error("--soft404-audit reads the output back; needs "
+                 "--output-format parquet")
+    if bool(args.eval_golden) != bool(args.eval_report):
+        ap.error("--eval-golden and --eval-report go together")
+    if args.eval_golden and args.output_format != "parquet":
+        ap.error("--eval-golden reads the output back; needs "
                  "--output-format parquet")
     if args.frontier_out and not args.links:
         ap.error("--frontier-out schedules the --links harvest; "
@@ -654,7 +660,7 @@ def main(argv: list[str] | None = None) -> None:
                 norm_host(_host(F.col("url"))).alias("host"), "title"
             )
         ).write.mode("overwrite").parquet(args.title_suffix)
-    if args.eval_golden and args.eval_report:
+    if args.eval_golden:
         from clara_ocr_spark.stages.consist import extraction_report
 
         # whole-crawl discipline (the --soft404-audit precedent):

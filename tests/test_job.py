@@ -899,3 +899,32 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
         for h, v in sfx.items()
         if h != "suffix.example"
     )
+
+
+def test_extract_job_eval_arg_guards(tmp_path):
+    """--eval-golden/--eval-report must travel together, and the
+    report's parquet read-back of --output requires --output-format
+    parquet (the --soft404-audit guard precedent).  All three rejects
+    are argparse errors: exit 2 before any Spark session starts."""
+    base = [
+        sys.executable,
+        os.path.join(ROOT, "jobs", "extract_job.py"),
+        "--input", str(tmp_path / "in.parquet"),
+        "--output", str(tmp_path / "out"),
+    ]
+    cases = [
+        (["--eval-golden", str(tmp_path / "gold")],
+         "--eval-golden and --eval-report go together"),
+        (["--eval-report", str(tmp_path / "rep")],
+         "--eval-golden and --eval-report go together"),
+        (["--eval-golden", str(tmp_path / "gold"),
+          "--eval-report", str(tmp_path / "rep"),
+          "--output-format", "jsonl"],
+         "needs --output-format parquet"),
+    ]
+    for extra, msg in cases:
+        proc = subprocess.run(
+            base + extra, capture_output=True, text=True, timeout=60
+        )
+        assert proc.returncode == 2, (extra, proc.stderr[-500:])
+        assert msg in proc.stderr, (extra, proc.stderr[-500:])

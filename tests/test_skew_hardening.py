@@ -281,3 +281,62 @@ def test_staleness_ledger_under_hot_host(spark):
     assert hot["n_dated"] == 200
     assert hot["n_stale"] == 100
     assert hot["stale_pm"] == 500
+
+
+def test_anchor_election_under_hot_dst(spark):
+    """The election's hot key is a megasite home page: one dst_url
+    receiving 50% of all links (every page of every site links
+    'home').  Both aggregate levels must plan map-side partials —
+    groupBy(dst, anchor) combines the hot (dst, anchor) pair per map
+    task, and the per-dst MIN(struct) election combines per map task
+    again — so the hot destination reaches each reducer as one
+    counter per task, never one row per link."""
+    from clara_ocr_spark.stages.links import top_anchor_text
+
+    rows = [("hot/", "home" if i % 4 else "start") for i in range(400)]
+    rows += [("cold%d/p" % i, "article %d" % i) for i in range(40)]
+    rows += [("hot/", "") for _ in range(20)]  # empty anchors drop
+    links = spark.createDataFrame(rows, "dst_url string, anchor string")
+    out = top_anchor_text(links)
+    _assert_partial_agg_below_exchange(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the election itself (min over the (-n, anchor) struct) is also
+    # map-side partial — and window-free
+    assert "partial_min" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    got = {r["dst_url"]: r for r in out.collect()}
+    hot = got["hot/"]
+    assert hot["n_inlinks"] == 400  # empty anchors excluded
+    assert hot["top_anchor"] == "home" and hot["top_anchor_n"] == 300
+    assert all(got["cold%d/p" % i]["n_inlinks"] == 1 for i in range(40))
+
+
+def test_title_suffix_ledger_under_hot_host(spark):
+    """One host owns 80% of all titled pages (and 100% of them carry
+    the same ' | Brand' tail — the maximal hot (host, suffix) pair).
+    Same discipline: both aggregate levels partial, window-free, and
+    the ledger stays |hosts| rows with the hot host flagged and a
+    20%-share host elected but NOT flagged."""
+    from clara_ocr_spark.stages.metadata import title_suffix_ledger
+
+    rows = [("hot", "article %d | Hot Brand" % i) for i in range(400)]
+    # low-share host: 1 suffixed title out of 10 (share 100 pm < 500)
+    rows += [("lo", "page %d" % i) for i in range(9)]
+    rows += [("lo", "one page - Lo Brand")]
+    # never-suffixed host
+    rows += [("plain", "untitled page %d" % i) for i in range(5)]
+    titled = spark.createDataFrame(rows, "host string, title string")
+    out = title_suffix_ledger(titled)
+    _assert_partial_agg_below_exchange(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    got = {r["host"]: r for r in out.collect()}
+    assert got["hot"]["suffix"] == "Hot Brand"
+    assert got["hot"]["n_suffix"] == 400 and got["hot"]["is_boiler"]
+    lo = got["lo"]
+    assert lo["suffix"] == "Lo Brand" and lo["share_pm"] == 100
+    assert not lo["is_boiler"]
+    plain = got["plain"]
+    assert plain["suffix"] is None and plain["n_suffix"] == 0
+    assert not plain["is_boiler"]
