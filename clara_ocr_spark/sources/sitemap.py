@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 import xml.etree.ElementTree as ET
 from typing import Iterator, List, Optional, Tuple
 
@@ -72,7 +73,10 @@ def parse_sitemap_bytes(
                 raw = gz.read(MAX_SITEMAP_BYTES + 1)
             if len(raw) > MAX_SITEMAP_BYTES:
                 return []
-        except (OSError, EOFError):
+        except (OSError, EOFError, zlib.error):
+            # zlib.error is not an OSError: a gzip header followed by a
+            # corrupt deflate body (real crawl traffic) raises it from
+            # read(), and the contract here is never-raise
             return []
     out: List[
         Tuple[str, Optional[str], Optional[str], Optional[float], bool]

@@ -131,7 +131,7 @@ def test_gzip_bomb_bounded():
 
 # ---- hypothesis fuzz: arbitrary bytes (including gzip-magic-prefixed
 # ---- garbage and truncated XML) must yield a list, never an exception
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -147,6 +147,9 @@ def test_parse_sitemap_fuzz_never_raises(raw):
 
 @settings(max_examples=100, deadline=None)
 @given(raw=st.binary(max_size=1024))
+@example(
+    raw=b'\x08\x00\x00\x00\x00\x00\x00\x00\x06',
+).via('discovered failure')
 def test_parse_sitemap_fuzz_gzip_prefixed(raw):
     assert isinstance(parse_sitemap_bytes(b"\x1f\x8b" + raw), list)
 
