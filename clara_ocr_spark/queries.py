@@ -8105,6 +8105,376 @@ def nfc_normalize_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# Final-r5 additions: crawl revisit scheduling, fuzzy benchmark
+# decontamination, link-farm reciprocity audit
+# ---------------------------------------------------------------------
+
+
+@q(
+    "revisit_policy",
+    """
+    with cap as (
+      select doc_id // 6 as url_id, doc_id % 6 as seq,
+             md5('rv' || cast(doc_id // 6 as varchar) || ':'
+                 || cast((doc_id % 6) // (1 + (doc_id // 6) % 3)
+                         as varchar)) as digest
+      from documents),
+    lagged as (
+      select url_id, digest,
+             lag(digest) over (partition by url_id order by seq) as prev
+      from cap),
+    per_url as (
+      select url_id,
+             cast(count(prev) as bigint) as n_cmp,
+             cast(sum(case when prev is not null and digest <> prev
+                           then 1 else 0 end) as bigint) as n_chg
+      from lagged group by url_id),
+    est as (
+      select url_id,
+             cast(round(-ln((n_cmp - n_chg + 0.5) / (n_cmp + 0.5))
+                        * 1000) as bigint) as lambda_mnat
+      from per_url),
+    tiered as (
+      select case when lambda_mnat >= 900 then 'hot'
+                  when lambda_mnat >= 400 then 'warm'
+                  else 'cold' end as tier,
+             lambda_mnat,
+             case when lambda_mnat > 0 then 24000 // lambda_mnat
+                  else 8760 end as revisit_h
+      from est)
+    select tier,
+           cast(count(*) as bigint) as n_urls,
+           cast(sum(lambda_mnat) as bigint) // count(*)
+             as avg_lambda_mnat,
+           cast(min(revisit_h) as bigint) as min_revisit_h,
+           cast(max(revisit_h) as bigint) as max_revisit_h
+    from tiered group by tier
+    """,
+)
+def revisit_policy(spark, sf_dir):
+    """Crawl revisit scheduling from observed change rates — the
+    Cho & Garcia-Molina estimator ("Estimating Frequency of Change",
+    ACM TOIT 2003) applied to the per-url capture history that
+    `recrawl_delta` classifies: per url, n comparisons and x observed
+    changes give the bias-corrected Poisson rate estimate
+    lambda = -ln((n - x + 0.5) / (n + 0.5)), banked as integer
+    milli-nats (the `lm_quality_scores` fixed-point discipline, so
+    per-tier sums are exact integers on any partitioning), mapped to
+    a revisit interval 24000 // lambda_mnat hours (capped at one year
+    for never-changing urls), and rolled up into hot/warm/cold
+    scheduler tiers.
+
+    Scale shape: one url-keyed Exchange (the lag window; the
+    following per-url groupBy reuses the window's partitioning, so
+    the aggregate adds NO second shuffle) carrying 32-byte digests
+    only, then a 3-row tier rollup with map-side partials.  Url
+    cardinality ~corpus-sized, per-url capture counts bounded by the
+    revisit policy itself — no salt needed (same argument as
+    `recrawl_delta`, which shares the capture synthesis idiom).
+    Captures synthesized deterministically from doc_id: 6 per url,
+    change period 1 + url_id % 3, so all three tiers are nonempty.
+    Reference analogue: the reference's adaptive re-scan scheduling
+    (find_thing/spyhole re-parse, pbm2cl.c) — re-visit effort is
+    steered by where change was observed."""
+    d = _t(spark, sf_dir, "documents")
+    url_id = F.floor(F.col("doc_id") / 6).cast("bigint")
+    seq = F.col("doc_id") % 6
+    period = F.lit(1) + url_id % 3
+    cap = d.select(
+        url_id.alias("url_id"),
+        seq.alias("seq"),
+        F.md5(
+            F.concat(
+                F.lit("rv"),
+                url_id.cast("string"),
+                F.lit(":"),
+                F.floor(seq / period).cast("bigint").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("url_id").orderBy("seq")
+    lagged = cap.select(
+        "url_id", "digest", F.lag("digest").over(w).alias("prev")
+    )
+    per_url = lagged.groupBy("url_id").agg(
+        F.count("prev").cast("bigint").alias("n_cmp"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("digest") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_chg"),
+    )
+    lam = F.round(
+        -F.log(
+            (F.col("n_cmp") - F.col("n_chg") + F.lit(0.5))
+            / (F.col("n_cmp") + F.lit(0.5))
+        )
+        * 1000
+    ).cast("bigint")
+    tiered = per_url.select(
+        F.when(lam >= 900, "hot")
+        .when(lam >= 400, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        lam.alias("lambda_mnat"),
+        F.when(lam > 0, F.floor(F.lit(24000) / lam))
+        .otherwise(F.lit(8760))
+        .cast("bigint")
+        .alias("revisit_h"),
+    )
+    return tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.floor(F.sum("lambda_mnat") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_lambda_mnat"),
+        F.min("revisit_h").cast("bigint").alias("min_revisit_h"),
+        F.max("revisit_h").cast("bigint").alias("max_revisit_h"),
+    )
+
+
+#: DuckDB twins of the two `lsh_band_buckets` band keys (md5 of two
+#: concatenated 8-hex minhash chunks), over a CTE column `grams`.
+_BAND0_DUCK = (
+    "md5(list_aggregate(list_transform(grams,"
+    " g -> substring(md5(g), 1, 8)), 'min')"
+    " || list_aggregate(list_transform(grams,"
+    " g -> substring(md5(g), 9, 8)), 'min'))"
+)
+_BAND1_DUCK = (
+    "md5(list_aggregate(list_transform(grams,"
+    " g -> substring(md5(g), 17, 8)), 'min')"
+    " || list_aggregate(list_transform(grams,"
+    " g -> substring(md5(g), 25, 8)), 'min'))"
+)
+
+
+@q(
+    "fuzzy_decontaminate",
+    f"""
+    with t as (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+               from documents),
+    ev0 as (select doc_id as eval_id,
+                   list_slice(ws, 1, greatest(len(ws) - 1, 1)) as ws
+            from t where doc_id % 37 = 0),
+    evg as (select eval_id, ws, {_GRAMS_DUCK} as grams from ev0),
+    trg as (select doc_id, ws, {_GRAMS_DUCK} as grams from t),
+    evb as (select eval_id, {_BAND0_DUCK} as band0, {_BAND1_DUCK} as band1
+            from evg),
+    trb as (select doc_id, {_BAND0_DUCK} as band0, {_BAND1_DUCK} as band1
+            from trg),
+    evx as (select eval_id, 0 as band, band0 as bucket from evb
+            union all
+            select eval_id, 1 as band, band1 as bucket from evb),
+    trx as (select doc_id, 0 as band, band0 as bucket from trb
+            union all
+            select doc_id, 1 as band, band1 as bucket from trb),
+    cand as (select distinct tr.doc_id, ev.eval_id
+             from trx tr join evx ev
+               on tr.band = ev.band and tr.bucket = ev.bucket),
+    veri as (select c.doc_id, c.eval_id,
+                    len(list_intersect(a.wsd, b.wsd))::double
+                      / nullif(len(list_distinct(a.wsd || b.wsd)), 0)
+                      as jac
+             from cand c
+             join (select doc_id, list_distinct(ws) as wsd from t) a
+               using (doc_id)
+             join (select eval_id, list_distinct(ws) as wsd from ev0) b
+               using (eval_id))
+    select doc_id, eval_id, round(jac, 3) as jaccard
+    from veri where jac >= 0.5
+    """,
+)
+def fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination: flag training documents
+    NEAR-duplicating a held-out eval document via MinHash-LSH banding
+    + exact token-set Jaccard verify — the fuzzy complement of
+    `decontaminate`'s exact 5-gram overlap (GPT-3's appendix-C
+    procedure uses 13-gram overlap; Gopher and Llama report
+    near-match decontamination at the document level, which is this
+    shape).  The eval set is synthesized as the leak scenario itself:
+    every doc_id % 37 == 0 document reappears with its last token
+    trimmed (a benchmark answer pasted into a crawl page rarely
+    survives byte-identical), so the guaranteed signal is the
+    trimmed twin and the banding also surfaces any natural near-dups.
+
+    Scale shape: the eval side is benchmark-sized, so its banded
+    signatures BROADCAST — candidate generation is a map-side hash
+    probe (zero shuffle), the Jaccard verify runs on the candidate
+    rows in the same stage (cheap-filter → expensive-verify, the
+    reference's classify two-tier: bmpcmp_map prefilter before
+    bmpcmp_shape, stages/engines.py), and the only Exchange is the
+    final distinct over (doc_id, eval_id, jaccard) id-pairs.  Token
+    arrays never shuffle.  Band keys reuse `_minhash_sig`'s
+    single-fold 4-permutation signature (one md5 per gram)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens(F.lower(F.col("text"))).alias("ws"))
+    ev = t.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.slice(
+            "ws", F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))
+        ).alias("ws"),
+    )
+
+    def banded(df: DataFrame, id_col: str) -> DataFrame:
+        sig = _minhash_sig(_grams(F.col("ws")), 4)
+        bands = _let(
+            sig,
+            lambda s: F.array(
+                F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
+                F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
+            ),
+        )
+        return df.select(
+            id_col,
+            F.array_distinct("ws").alias("wsd"),
+            F.posexplode(bands).alias("band", "bucket"),
+        )
+
+    cand = banded(t, "doc_id").join(
+        F.broadcast(banded(ev, "eval_id").withColumnRenamed("wsd", "ev_wsd")),
+        ["band", "bucket"],
+    )
+    union_n = F.size(F.array_distinct(F.concat("wsd", "ev_wsd")))
+    jac = F.when(
+        union_n > 0,
+        F.size(F.array_intersect("wsd", "ev_wsd")).cast("double") / union_n,
+    )
+    return (
+        cand.select("doc_id", "eval_id", jac.alias("_j"))
+        .filter(F.col("_j") >= 0.5)
+        .select(
+            "doc_id", "eval_id", F.round("_j", 3).alias("jaccard")
+        )
+        .dropDuplicates(["doc_id", "eval_id", "jaccard"])
+    )
+
+
+@q(
+    "reciprocal_link_audit",
+    """
+    with m as (select doc_id,
+                      doc_id % 101 as a,
+                      (doc_id * 7 + 3) % 101 as b1,
+                      (doc_id * 13 + 5) % 101 as b2
+               from documents),
+    e as (
+      select 'h' || cast(a as varchar) as src,
+             'h' || cast(b1 as varchar) as dst from m where a <> b1
+      union all
+      select 'h' || cast(a as varchar),
+             'h' || cast(b2 as varchar) from m where a <> b2
+      union all
+      select 'h' || cast(b1 as varchar),
+             'h' || cast(a as varchar)
+      from m where a <> b1 and doc_id % 4 = 0 and doc_id < 200),
+    de as (select distinct src, dst from e),
+    p as (select least(src, dst) as x, greatest(src, dst) as y,
+                 cast(count(*) as bigint) as n_dir
+          from de group by 1, 2),
+    h as (select x as host, n_dir from p
+          union all
+          select y, n_dir from p)
+    select host,
+           cast(count(*) as bigint) as n_neighbors,
+           cast(sum(case when n_dir = 2 then 1 else 0 end) as bigint)
+             as n_reciprocal,
+           (1000 * cast(sum(case when n_dir = 2 then 1 else 0 end)
+                        as bigint)) // cast(count(*) as bigint)
+             as recip_pm,
+           ((1000 * cast(sum(case when n_dir = 2 then 1 else 0 end)
+                         as bigint)) // cast(count(*) as bigint) >= 500
+            and count(*) >= 3) as link_farm
+    from h group by host
+    """,
+)
+def reciprocal_link_audit(spark, sf_dir):
+    """Link-farm reciprocity audit over the host link graph: mutual
+    links are the classic link-spam signal (TrustRank/anti-spam
+    literature; reciprocal-edge density separates organic citation
+    from quid-pro-quo farms), and a crawl-quality prior demotes hosts
+    whose neighborhoods are mostly reciprocal.  Per host: distinct
+    unordered neighbor pairs, how many are mutual (both directions
+    crawled), reciprocity per-mille (integer, the `recrawl_staleness`
+    fixed-point idiom), and the farm flag (≥ 50% reciprocal with ≥ 3
+    neighbors).
+
+    Scale shape: three Exchanges, all on id-sized keys — the directed
+    distinct (pair key; multi-edges collapse map-side in the partial
+    distinct), the canonical unordered-pair groupBy via
+    (least, greatest) — the key is the PAIR, so a hub host does NOT
+    become a hot key here — and the |pairs|-row endpoint rollup with
+    map-side partials.  Bodies/anchors never enter any of it.  Edge
+    synthesis is deterministic from doc_id (two forward residue
+    classes, reverse edges injected for doc_id % 4 == 0 below 200, so
+    both reciprocal and one-way pairs plus both flag classes are
+    nonempty).  Reference analogue: the mutual-confirmation vote
+    (`review_merge` slink/alink cross-links, stages/feedback.py) —
+    agreement counted only when both directions assert it."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        (F.col("doc_id") % 101).alias("a"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("b1"),
+        ((F.col("doc_id") * 13 + 5) % 101).alias("b2"),
+    )
+
+    def h(c: F.Column) -> F.Column:
+        return F.concat(F.lit("h"), c.cast("string"))
+
+    e = (
+        m.filter(F.col("a") != F.col("b1"))
+        .select(h(F.col("a")).alias("src"), h(F.col("b1")).alias("dst"))
+        .unionAll(
+            m.filter(F.col("a") != F.col("b2")).select(
+                h(F.col("a")).alias("src"), h(F.col("b2")).alias("dst")
+            )
+        )
+        .unionAll(
+            m.filter(
+                (F.col("a") != F.col("b1"))
+                & (F.col("doc_id") % 4 == 0)
+                & (F.col("doc_id") < 200)
+            ).select(
+                h(F.col("b1")).alias("src"), h(F.col("a")).alias("dst")
+            )
+        )
+    )
+    de = e.distinct()
+    p = de.groupBy(
+        F.least("src", "dst").alias("x"),
+        F.greatest("src", "dst").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_dir"))
+    # explode the pair into its two endpoints in ONE pass — a
+    # p.select(x).union(p.select(y)) re-executes the whole distinct +
+    # pair-aggregate subtree for each leg (observed in the plan:
+    # doubled Exchanges), while explode duplicates rows map-side
+    hosts = p.select(
+        F.explode(F.array("x", "y")).alias("host"), "n_dir"
+    )
+    n_recip = F.sum((F.col("n_dir") == 2).cast("int")).cast("bigint")
+    ledger = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        n_recip.alias("n_reciprocal"),
+    )
+    recip_pm = F.floor(
+        F.lit(1000) * F.col("n_reciprocal") / F.col("n_neighbors")
+    ).cast("bigint")
+    return ledger.select(
+        "host",
+        "n_neighbors",
+        "n_reciprocal",
+        recip_pm.alias("recip_pm"),
+        ((recip_pm >= 500) & (F.col("n_neighbors") >= 3)).alias(
+            "link_farm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registrations of
@@ -8209,8 +8579,22 @@ def nfc_normalize_audit(spark, sf_dir):
 # llm_semdedup]; two_pass_match→broadcast_classify [r4, engines];
 # param_sweep→deskew_search [r4, sweep]).  The displaced six stay
 # r3-signed and locally re-verified at two scales every run.
+#
+# Final-r5 amendment: three more operators landed at the end of the
+# round (revisit_policy — Cho/Garcia-Molina crawl revisit scheduling;
+# fuzzy_decontaminate — MinHash-LSH benchmark decontamination;
+# reciprocal_link_audit — link-farm reciprocity ledger).  Same rule:
+# never-signed outranks rotation refreshes, so they displace the
+# three r3-signed backfills whose families keep an r4-fresh rep
+# (value_percentiles→pricing_summary [r4, agg_stats];
+# hqbin_residual→deskew_search [r4, preproc];
+# layout_columns→layout_lines [r4, layout_pdf]).  The displaced three
+# stay r3-signed and locally re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
+    "revisit_policy",         # web crawl revisit scheduling (final r5)
+    "fuzzy_decontaminate",    # LLM MinHash-LSH decontamination (final r5)
+    "reciprocal_link_audit",  # web link-farm reciprocity (final r5)
     "anchor_election",        # web anchor-text election (r5)
     "extraction_eval",        # extraction-quality P/R/F1 harness (r5)
     "publish_date_extract",   # web publish-date tier ladder (r5)
@@ -8269,9 +8653,6 @@ DRIVER_WINDOW = [
     "dedup_exact",            # §2.6/LLM exact dedup
     "minhash_signatures",     # LLM MinHash signatures
     "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
-    "layout_columns",         # §2.10 blockfind columns
-    "value_percentiles",      # §2.9 pp_thresh calibration
-    "hqbin_residual",         # §2.9 hqbin second pass
     "stream_windowed_counts", # streaming watermark windows
 ]
 

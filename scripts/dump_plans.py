@@ -318,6 +318,35 @@ def main() -> None:
         "oracled extraction_eval query both run THIS plan.",
     )
 
+    add(
+        "revisit_policy (crawl revisit scheduling, final r5)",
+        REGISTRY["revisit_policy"][0](spark, SF),
+        "TWO Exchanges: the url-keyed lag window (32-byte digests only;\n"
+        "the per-url aggregate REUSES the window's partitioning, so no\n"
+        "second url shuffle) and the 3-row tier rollup with map-side\n"
+        "partials.  Rate estimate banked as integer milli-nats.",
+    )
+
+    add(
+        "fuzzy_decontaminate (MinHash-LSH benchmark probe, final r5)",
+        REGISTRY["fuzzy_decontaminate"][0](spark, SF),
+        "The banded eval side BROADCASTS (benchmark-sized); candidate\n"
+        "generation is a map-side BroadcastHashJoin probe and the\n"
+        "token-set Jaccard verify runs in the same stage — the ONLY\n"
+        "Exchange is the final id-pair distinct.  Token arrays never\n"
+        "shuffle.",
+    )
+
+    add(
+        "reciprocal_link_audit (link-farm reciprocity, final r5)",
+        REGISTRY["reciprocal_link_audit"][0](spark, SF),
+        "THREE Exchanges, all id-sized keys: directed distinct (partial\n"
+        "map-side), canonical (least,greatest) pair aggregate — the key\n"
+        "is the PAIR, hub hosts never become hot keys — and the |pairs|\n"
+        "endpoint rollup fed by a single-pass explode (a two-leg union\n"
+        "re-executed the whole pair subtree; observed and fixed).",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

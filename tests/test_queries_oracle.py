@@ -156,6 +156,11 @@ def test_driver_window_invariants():
         "llm_eval": {"extraction_eval"},
         "web_pubdate": {"publish_date_extract"},
         "web_title_boiler": {"title_suffix_audit"},
+        # final-r5 additions (lead the r5 window, never-signed until
+        # CORRECTNESS_r05)
+        "web_revisit": {"revisit_policy"},
+        "llm_fuzzy_decontam": {"fuzzy_decontaminate", "decontaminate"},
+        "web_linkfarm": {"reciprocal_link_audit", "host_mirror_jaccard"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
