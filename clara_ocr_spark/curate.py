@@ -34,9 +34,11 @@ from .queries import (
     _band_candidates,
     _dup_2gram_frac,
     _gram5_hashes,
+    _grams,
     _jaccard_pairs,
     _min_label_components,
     _minhash_bands,
+    _minhash_sig,
     _positional_lines_arr,
     _tokens,
     _top_word_frac,
@@ -396,12 +398,68 @@ def contaminated_urls(
     )
 
 
+def fuzzy_contaminated_urls(
+    docs: DataFrame, eval_texts: DataFrame, tau: float = 0.5
+) -> DataFrame:
+    """urls of ``docs(url, text)`` whose token set NEAR-duplicates any
+    ``eval_texts(text)`` document — the fuzzy complement of
+    ``contaminated_urls``'s exact 5-gram probe (a benchmark answer
+    pasted into a crawl page rarely survives byte-identical; GPT-3's
+    appendix-C n-gram overlap and the Gopher/Llama document-level
+    near-match decontamination are this shape).  Returns
+    (url, jaccard) with the best match's token-set Jaccard ≥ tau.
+
+    Banding is 4 bands × 1 row (each `queries._minhash_sig` chunk is
+    its own bucket key — the single source of truth shared with the
+    oracle-checked `fuzzy_decontaminate` catalog twin), NOT the 2×2
+    `_minhash_bands` the dedup tier uses: dedup wants precision at
+    τ ≈ 0.8+, decontamination wants RECALL at τ ≈ 0.5, where 4×1
+    catches a pair with 1-(1-s)⁴ ≈ 94% vs ≈ 34% for 2×2; the extra
+    false candidates die in the exact verify, bounded by the
+    broadcast eval side.
+
+    Scale shape: the eval side is benchmark-sized at any corpus
+    scale, so its band keys BROADCAST; candidate generation is a
+    map-side hash probe, the exact Jaccard verify runs in the same
+    stage (cheap-filter → expensive-verify), and the only Exchange is
+    the per-url max over matching id pairs.  Token arrays never
+    shuffle."""
+    toks = _tokens(F.lower(F.col("text")))
+    tr = docs.select(
+        "url",
+        F.array_distinct(toks).alias("wsd"),
+        F.posexplode(_minhash_sig(_grams(toks), 4)).alias(
+            "band", "bucket"
+        ),
+    )
+    ev = eval_texts.select(
+        F.array_distinct(toks).alias("ev_wsd"),
+        F.posexplode(_minhash_sig(_grams(toks), 4)).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = tr.join(F.broadcast(ev), ["band", "bucket"])
+    union_n = F.size(F.array_distinct(F.concat("wsd", "ev_wsd")))
+    jac = F.when(
+        union_n > 0,
+        F.size(F.array_intersect("wsd", "ev_wsd")).cast("double")
+        / union_n,
+    )
+    return (
+        cand.select("url", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+        .groupBy("url")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+
+
 def curate(
     extracted: DataFrame,
     cfg: CurateConfig = CurateConfig(),
     eval_texts: DataFrame | None = None,
     gate_obs=None,
     lm_ref: DataFrame | None = None,
+    fuzzy_tau: float | None = None,
 ) -> tuple:
     """extracted(url, text) → (curated, rejected).
 
@@ -421,7 +479,11 @@ def curate(
     with the eval set are rejected as ``contaminated`` BEFORE dedup,
     so a contaminated doc can never be elected canonical for a clean
     family (quality reasons still win when both apply — the gate runs
-    first).
+    first).  ``fuzzy_tau`` additionally rejects docs whose token set
+    NEAR-matches an eval doc at Jaccard ≥ tau
+    (fuzzy_contaminated_urls — catches the paste-mutations the exact
+    5-gram probe misses; opt-in because it is a recall/precision
+    trade the operator owns).
 
     With ``cfg.line_dedup_min_df > 0``, corpus-frequent boilerplate
     lines are stripped from every doc FIRST (drop_frequent_lines), so
@@ -475,9 +537,19 @@ def curate(
     passing = gated.filter(F.col("reason").isNull())
     cont_rejected = None
     if eval_texts is not None:
-        cont = contaminated_urls(
-            passing.select("url", "text"), eval_texts
-        ).localCheckpoint(eager=False)
+        cont = contaminated_urls(passing.select("url", "text"), eval_texts)
+        if fuzzy_tau is not None:
+            # fuzzy tier (opt-in): docs whose token set NEAR-matches
+            # an eval doc are contaminated too — catches the
+            # paste-mutation the exact 5-gram probe can miss; both
+            # probes broadcast the eval side, so the union costs one
+            # more map-side pass, never a corpus shuffle
+            cont = cont.unionAll(
+                fuzzy_contaminated_urls(
+                    passing.select("url", "text"), eval_texts, fuzzy_tau
+                ).select("url")
+            ).distinct()
+        cont = cont.localCheckpoint(eager=False)
         cont_rejected = cont.select(
             "url", F.lit(REASON_CONTAMINATED).alias("reason")
         )

@@ -8173,15 +8173,19 @@ def revisit_policy(spark, sf_dir):
     `recrawl_delta`, which shares the capture synthesis idiom).
     Captures synthesized deterministically from doc_id: 6 per url,
     change period 1 + url_id % 3, so all three tiers are nonempty.
-    Reference analogue: the reference's adaptive re-scan scheduling
-    (find_thing/spyhole re-parse, pbm2cl.c) — re-visit effort is
-    steered by where change was observed."""
+    The per-url core is `stages/crawl_audit.revisit_schedule` (the
+    production twin over real capture tables).  Reference analogue:
+    the reference's adaptive re-scan scheduling (find_thing/spyhole
+    re-parse, pbm2cl.c) — re-visit effort is steered by where change
+    was observed."""
+    from .stages.crawl_audit import revisit_schedule
+
     d = _t(spark, sf_dir, "documents")
     url_id = F.floor(F.col("doc_id") / 6).cast("bigint")
     seq = F.col("doc_id") % 6
     period = F.lit(1) + url_id % 3
     cap = d.select(
-        url_id.alias("url_id"),
+        url_id.cast("string").alias("url"),
         seq.alias("seq"),
         F.md5(
             F.concat(
@@ -8192,41 +8196,7 @@ def revisit_policy(spark, sf_dir):
             )
         ).alias("digest"),
     )
-    w = Window.partitionBy("url_id").orderBy("seq")
-    lagged = cap.select(
-        "url_id", "digest", F.lag("digest").over(w).alias("prev")
-    )
-    per_url = lagged.groupBy("url_id").agg(
-        F.count("prev").cast("bigint").alias("n_cmp"),
-        F.sum(
-            F.when(
-                F.col("prev").isNotNull()
-                & (F.col("digest") != F.col("prev")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_chg"),
-    )
-    lam = F.round(
-        -F.log(
-            (F.col("n_cmp") - F.col("n_chg") + F.lit(0.5))
-            / (F.col("n_cmp") + F.lit(0.5))
-        )
-        * 1000
-    ).cast("bigint")
-    tiered = per_url.select(
-        F.when(lam >= 900, "hot")
-        .when(lam >= 400, "warm")
-        .otherwise("cold")
-        .alias("tier"),
-        lam.alias("lambda_mnat"),
-        F.when(lam > 0, F.floor(F.lit(24000) / lam))
-        .otherwise(F.lit(8760))
-        .cast("bigint")
-        .alias("revisit_h"),
-    )
-    return tiered.groupBy("tier").agg(
+    return revisit_schedule(cap).groupBy("tier").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_urls"),
         F.floor(F.sum("lambda_mnat") / F.count(F.lit(1)))
         .cast("bigint")
@@ -8236,20 +8206,13 @@ def revisit_policy(spark, sf_dir):
     )
 
 
-#: DuckDB twins of the two `lsh_band_buckets` band keys (md5 of two
-#: concatenated 8-hex minhash chunks), over a CTE column `grams`.
-_BAND0_DUCK = (
-    "md5(list_aggregate(list_transform(grams,"
-    " g -> substring(md5(g), 1, 8)), 'min')"
-    " || list_aggregate(list_transform(grams,"
-    " g -> substring(md5(g), 9, 8)), 'min'))"
-)
-_BAND1_DUCK = (
-    "md5(list_aggregate(list_transform(grams,"
-    " g -> substring(md5(g), 17, 8)), 'min')"
-    " || list_aggregate(list_transform(grams,"
-    " g -> substring(md5(g), 25, 8)), 'min'))"
-)
+def _mh_chunk_duck(i: int) -> str:
+    """DuckDB twin of `_minhash_sig` chunk ``i`` (one of the four
+    independent 8-hex md5 chunks), over a CTE column `grams`."""
+    return (
+        "list_aggregate(list_transform(grams,"
+        f" g -> substring(md5(g), {1 + 8 * i}, 8)), 'min')"
+    )
 
 
 @q(
@@ -8262,16 +8225,20 @@ _BAND1_DUCK = (
             from t where doc_id % 37 = 0),
     evg as (select eval_id, ws, {_GRAMS_DUCK} as grams from ev0),
     trg as (select doc_id, ws, {_GRAMS_DUCK} as grams from t),
-    evb as (select eval_id, {_BAND0_DUCK} as band0, {_BAND1_DUCK} as band1
-            from evg),
-    trb as (select doc_id, {_BAND0_DUCK} as band0, {_BAND1_DUCK} as band1
-            from trg),
-    evx as (select eval_id, 0 as band, band0 as bucket from evb
-            union all
-            select eval_id, 1 as band, band1 as bucket from evb),
-    trx as (select doc_id, 0 as band, band0 as bucket from trb
-            union all
-            select doc_id, 1 as band, band1 as bucket from trb),
+    evb as (select eval_id, {_mh_chunk_duck(0)} as c0,
+                   {_mh_chunk_duck(1)} as c1, {_mh_chunk_duck(2)} as c2,
+                   {_mh_chunk_duck(3)} as c3 from evg),
+    trb as (select doc_id, {_mh_chunk_duck(0)} as c0,
+                   {_mh_chunk_duck(1)} as c1, {_mh_chunk_duck(2)} as c2,
+                   {_mh_chunk_duck(3)} as c3 from trg),
+    evx as (select eval_id, 0 as band, c0 as bucket from evb
+            union all select eval_id, 1, c1 from evb
+            union all select eval_id, 2, c2 from evb
+            union all select eval_id, 3, c3 from evb),
+    trx as (select doc_id, 0 as band, c0 as bucket from trb
+            union all select doc_id, 1, c1 from trb
+            union all select doc_id, 2, c2 from trb
+            union all select doc_id, 3, c3 from trb),
     cand as (select distinct tr.doc_id, ev.eval_id
              from trx tr join evx ev
                on tr.band = ev.band and tr.bucket = ev.bucket),
@@ -8301,6 +8268,14 @@ def fuzzy_decontaminate(spark, sf_dir):
     survives byte-identical), so the guaranteed signal is the
     trimmed twin and the banding also surfaces any natural near-dups.
 
+    Banding is 4 bands × 1 row — each of `_minhash_sig`'s four chunks
+    is its own bucket key — NOT `lsh_band_buckets`' 2×2: dedup wants
+    precision at τ ≈ 0.8+ (fewer candidates), decontamination wants
+    RECALL at τ ≈ 0.5, where 4×1 catches a pair with
+    1-(1-s)⁴ ≈ 94% vs ≈ 34% for 2×2 (s = shingle similarity ≈ τ);
+    the extra false candidates die in the exact verify, whose cost is
+    bounded by the broadcast eval side.
+
     Scale shape: the eval side is benchmark-sized, so its banded
     signatures BROADCAST — candidate generation is a map-side hash
     probe (zero shuffle), the Jaccard verify runs on the candidate
@@ -8320,18 +8295,15 @@ def fuzzy_decontaminate(spark, sf_dir):
     )
 
     def banded(df: DataFrame, id_col: str) -> DataFrame:
-        sig = _minhash_sig(_grams(F.col("ws")), 4)
-        bands = _let(
-            sig,
-            lambda s: F.array(
-                F.md5(F.concat(F.element_at(s, 1), F.element_at(s, 2))),
-                F.md5(F.concat(F.element_at(s, 3), F.element_at(s, 4))),
-            ),
-        )
+        # 4×1 banding: the signature chunks ARE the bucket keys
+        # (_minhash_sig is the single source of truth, shared with
+        # curate.fuzzy_contaminated_urls, the production twin)
         return df.select(
             id_col,
             F.array_distinct("ws").alias("wsd"),
-            F.posexplode(bands).alias("band", "bucket"),
+            F.posexplode(_minhash_sig(_grams(F.col("ws")), 4)).alias(
+                "band", "bucket"
+            ),
         )
 
     cand = banded(t, "doc_id").join(
@@ -8411,9 +8383,13 @@ def reciprocal_link_audit(spark, sf_dir):
     synthesis is deterministic from doc_id (two forward residue
     classes, reverse edges injected for doc_id % 4 == 0 below 200, so
     both reciprocal and one-way pairs plus both flag classes are
-    nonempty).  Reference analogue: the mutual-confirmation vote
-    (`review_merge` slink/alink cross-links, stages/feedback.py) —
-    agreement counted only when both directions assert it."""
+    nonempty).  The ledger core is `stages/links.reciprocity_ledger`
+    (the production twin over `host_graph` output).  Reference
+    analogue: the mutual-confirmation vote (`review_merge`
+    slink/alink cross-links, stages/feedback.py) — agreement counted
+    only when both directions assert it."""
+    from .stages.links import reciprocity_ledger
+
     d = _t(spark, sf_dir, "documents")
     m = d.select(
         "doc_id",
@@ -8427,10 +8403,14 @@ def reciprocal_link_audit(spark, sf_dir):
 
     e = (
         m.filter(F.col("a") != F.col("b1"))
-        .select(h(F.col("a")).alias("src"), h(F.col("b1")).alias("dst"))
+        .select(
+            h(F.col("a")).alias("src_host"),
+            h(F.col("b1")).alias("dst_host"),
+        )
         .unionAll(
             m.filter(F.col("a") != F.col("b2")).select(
-                h(F.col("a")).alias("src"), h(F.col("b2")).alias("dst")
+                h(F.col("a")).alias("src_host"),
+                h(F.col("b2")).alias("dst_host"),
             )
         )
         .unionAll(
@@ -8439,39 +8419,12 @@ def reciprocal_link_audit(spark, sf_dir):
                 & (F.col("doc_id") % 4 == 0)
                 & (F.col("doc_id") < 200)
             ).select(
-                h(F.col("b1")).alias("src"), h(F.col("a")).alias("dst")
+                h(F.col("b1")).alias("src_host"),
+                h(F.col("a")).alias("dst_host"),
             )
         )
     )
-    de = e.distinct()
-    p = de.groupBy(
-        F.least("src", "dst").alias("x"),
-        F.greatest("src", "dst").alias("y"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_dir"))
-    # explode the pair into its two endpoints in ONE pass — a
-    # p.select(x).union(p.select(y)) re-executes the whole distinct +
-    # pair-aggregate subtree for each leg (observed in the plan:
-    # doubled Exchanges), while explode duplicates rows map-side
-    hosts = p.select(
-        F.explode(F.array("x", "y")).alias("host"), "n_dir"
-    )
-    n_recip = F.sum((F.col("n_dir") == 2).cast("int")).cast("bigint")
-    ledger = hosts.groupBy("host").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
-        n_recip.alias("n_reciprocal"),
-    )
-    recip_pm = F.floor(
-        F.lit(1000) * F.col("n_reciprocal") / F.col("n_neighbors")
-    ).cast("bigint")
-    return ledger.select(
-        "host",
-        "n_neighbors",
-        "n_reciprocal",
-        recip_pm.alias("recip_pm"),
-        ((recip_pm >= 500) & (F.col("n_neighbors") >= 3)).alias(
-            "link_farm"
-        ),
-    )
+    return reciprocity_ledger(e)
 
 
 # ---------------------------------------------------------------------

@@ -280,3 +280,65 @@ def url_trap_audit_urls(urls: DataFrame) -> DataFrame:
             F.expr("(1000 * n_param_variants) div n_urls").cast("bigint"),
         )
     )
+
+
+def revisit_schedule(captures) -> DataFrame:
+    """Per-url crawl revisit schedule from observed change rates —
+    the Cho & Garcia-Molina estimator ("Estimating Frequency of
+    Change", ACM TOIT 2003) over a capture history
+    ``captures(url, seq, digest)`` (seq = any monotone capture order:
+    warc_ts, CDX position, …; digest = the content digest
+    `recrawl_delta` compares).  Per url: n comparisons, x observed
+    changes, the bias-corrected Poisson rate
+    lambda = -ln((n - x + 0.5) / (n + 0.5)) banked as INTEGER
+    milli-nats (partial-sum order can never perturb a downstream
+    rollup bit), the revisit interval 24000 // lambda_mnat hours
+    (capped at one year for never-changing urls), and the
+    hot/warm/cold scheduler tier.
+
+    Scale shape: ONE url-keyed Exchange (the lag window; the per-url
+    aggregate reuses its partitioning) carrying 32-byte digests only;
+    output is |urls| rows.  Per-url capture counts are bounded by the
+    revisit policy itself, so no salt (the `recrawl_delta` argument).
+    The oracle-checked catalog twin is ``queries.revisit_policy``;
+    compose upstream with `sources/formats.read_warc` captures or the
+    CDX index, downstream with `stages/robots.paced_schedule`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("seq")
+    lagged = captures.select(
+        "url", "digest", F.lag("digest").over(w).alias("prev")
+    )
+    per_url = lagged.groupBy("url").agg(
+        F.count("prev").cast("bigint").alias("n_cmp"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("digest") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_chg"),
+    )
+    lam = F.round(
+        -F.log(
+            (F.col("n_cmp") - F.col("n_chg") + F.lit(0.5))
+            / (F.col("n_cmp") + F.lit(0.5))
+        )
+        * 1000
+    ).cast("bigint")
+    return per_url.select(
+        "url",
+        "n_cmp",
+        "n_chg",
+        lam.alias("lambda_mnat"),
+        F.when(lam >= 900, "hot")
+        .when(lam >= 400, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        F.when(lam > 0, F.floor(F.lit(24000) / lam))
+        .otherwise(F.lit(8760))
+        .cast("bigint")
+        .alias("revisit_h"),
+    )

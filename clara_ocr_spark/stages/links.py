@@ -325,3 +325,58 @@ def top_anchor_text(links: DataFrame) -> DataFrame:
         F.col("_top.anchor").alias("top_anchor"),
         (-F.col("_top.negn")).cast("bigint").alias("top_anchor_n"),
     )
+
+
+def reciprocity_ledger(edges: DataFrame) -> DataFrame:
+    """Link-farm reciprocity audit over a directed host graph
+    ``edges(src_host, dst_host)`` (``host_graph`` output, extra
+    columns ignored): per host, distinct unordered neighbor pairs,
+    how many are mutual, integer reciprocity per-mille, and the farm
+    flag (≥ 50% reciprocal with ≥ 3 neighbors) — mutual-link density
+    is the classic quid-pro-quo link-spam signal (TrustRank-family
+    anti-spam heuristics), demoting hosts whose neighborhoods are
+    mostly reciprocal in the crawl-quality prior next to
+    ``rank_hosts``.
+
+    Scale shape: three Exchanges, all id-sized keys — the directed
+    distinct (multi-edges collapse in the map-side partial), the
+    canonical (least, greatest) pair aggregate (the key is the PAIR,
+    so a hub host does NOT become a hot key here), and the
+    |pairs|-row endpoint rollup fed by a single-pass explode (a
+    two-leg union would re-execute the whole pair subtree — observed
+    in the plan and avoided).  Self-loops excluded (intra-site
+    navigation is not endorsement, the `rank_hosts` rule).  The
+    oracle-checked catalog twin is ``queries.reciprocal_link_audit``.
+    Reference analogue: the mutual-confirmation vote (`review_merge`
+    slink/alink cross-links, stages/feedback.py) — agreement counts
+    only when both directions assert it."""
+    de = (
+        edges.select("src_host", "dst_host")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    p = de.groupBy(
+        F.least("src_host", "dst_host").alias("x"),
+        F.greatest("src_host", "dst_host").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_dir"))
+    hosts = p.select(
+        F.explode(F.array("x", "y")).alias("host"), "n_dir"
+    )
+    ledger = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.sum((F.col("n_dir") == 2).cast("int"))
+        .cast("bigint")
+        .alias("n_reciprocal"),
+    )
+    recip_pm = F.floor(
+        F.lit(1000) * F.col("n_reciprocal") / F.col("n_neighbors")
+    ).cast("bigint")
+    return ledger.select(
+        "host",
+        "n_neighbors",
+        "n_reciprocal",
+        recip_pm.alias("recip_pm"),
+        ((recip_pm >= 500) & (F.col("n_neighbors") >= 3)).alias(
+            "link_farm"
+        ),
+    )

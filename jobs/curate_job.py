@@ -46,6 +46,17 @@ def main(argv: list[str] | None = None) -> None:
         "rejected as `contaminated` before dedup",
     )
     ap.add_argument(
+        "--fuzzy-tau",
+        type=float,
+        default=None,
+        metavar="TAU",
+        help="with --decontaminate, ALSO reject docs whose token set "
+        "near-matches an eval doc at Jaccard >= TAU (MinHash-LSH "
+        "banded probe, curate.fuzzy_contaminated_urls — catches the "
+        "paste-mutations the exact 5-gram probe misses); both probes "
+        "broadcast the eval side",
+    )
+    ap.add_argument(
         "--input-format",
         default="parquet",
         choices=["parquet", "warc", "wet"],
@@ -199,7 +210,7 @@ def main(argv: list[str] | None = None) -> None:
     lm_ref = spark.read.parquet(args.lm_ref) if args.lm_ref else None
     curated, rejected = curate(
         extracted, cfg, eval_texts=eval_texts, gate_obs=obs_in,
-        lm_ref=lm_ref,
+        lm_ref=lm_ref, fuzzy_tau=args.fuzzy_tau,
     )
     if args.split:
         from clara_ocr_spark.curate import assign_split

@@ -240,6 +240,17 @@ def main(argv: list[str] | None = None) -> None:
         "the whole harvest), else over this run's harvested links",
     )
     ap.add_argument(
+        "--reciprocity",
+        default=None,
+        metavar="PATH",
+        help="also write the link-farm reciprocity ledger (host, "
+        "n_neighbors, n_reciprocal, recip_pm, link_farm — stages/"
+        "links.reciprocity_ledger over host_graph, the oracled "
+        "reciprocal_link_audit shape): mutual-link density per host, "
+        "the quid-pro-quo link-spam signal; same cumulative --links "
+        "discipline as --anchors",
+    )
+    ap.add_argument(
         "--pubdate-out",
         default=None,
         metavar="PATH",
@@ -577,17 +588,19 @@ def main(argv: list[str] | None = None) -> None:
     # (review finding: --links --head-meta --wat used to parse the
     # corpus twice per harvest).
     links_df = meta_df = None
-    if args.links or args.wat or args.anchors:
+    if args.links or args.wat or args.anchors or args.reciprocity:
         from clara_ocr_spark.stages.links import extract_links
 
         links_df = extract_links(dom_pages)
         # one localCheckpoint when TWO OR MORE write actions will
-        # consume the in-memory harvest (--anchors consumes it only
-        # when there is no cumulative --links table to read back)
+        # consume the in-memory harvest (--anchors/--reciprocity
+        # consume it only when there is no cumulative --links table
+        # to read back)
         n_link_sinks = (
             bool(args.links)
             + bool(args.wat)
             + bool(args.anchors and not args.links)
+            + bool(args.reciprocity and not args.links)
         )
         if n_link_sinks >= 2:
             links_df = links_df.localCheckpoint(eager=False)
@@ -632,6 +645,21 @@ def main(argv: list[str] | None = None) -> None:
         top_anchor_text(all_links).write.mode("overwrite").parquet(
             args.anchors
         )
+    if args.reciprocity:
+        from clara_ocr_spark.stages.links import (
+            host_graph,
+            reciprocity_ledger,
+        )
+
+        # same whole-crawl discipline as --anchors: the ledger is a
+        # pure function of the harvest, so overwrite over the
+        # cumulative --links table when that sink exists
+        all_links = (
+            spark.read.parquet(args.links) if args.links else links_df
+        )
+        reciprocity_ledger(host_graph(all_links)).write.mode(
+            "overwrite"
+        ).parquet(args.reciprocity)
     if args.pubdate_out:
         from clara_ocr_spark.stages.metadata import harvest_publish_dates
 

@@ -418,3 +418,91 @@ def test_per_host_switch_requires_min_df():
     dedup — the config fails loud instead (review finding)."""
     with pytest.raises(ValueError, match="line_dedup_min_df"):
         CurateConfig.from_args(["line_dedup_per_host=1"])
+
+
+def test_fuzzy_contaminated_urls(spark):
+    """The fuzzy probe flags exact AND near matches of an eval text
+    (token dropped / substituted — the paste-mutation the exact
+    5-gram probe can miss entirely), never unrelated or empty docs,
+    respects tau, and plans as a broadcast probe: the corpus side
+    reaches the Jaccard verify without any shuffle, the single
+    Exchange is the per-url max."""
+    from clara_ocr_spark.curate import fuzzy_contaminated_urls
+
+    ev = "the held out benchmark answer alpha beta gamma delta epsilon"
+    toks = ev.split()
+    docs = spark.createDataFrame(
+        [
+            ("u_exact", ev),
+            ("u_drop", " ".join(toks[:-1])),
+            ("u_subst", " ".join(toks[:4] + ["zeta"] + toks[5:])),
+            ("u_other", "completely unrelated prose about gardening"),
+            ("u_empty", ""),
+        ],
+        "url string, text string",
+    )
+    eval_texts = spark.createDataFrame([(ev,)], "text string")
+    out = fuzzy_contaminated_urls(docs, eval_texts, tau=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    got = {r["url"]: r["jaccard"] for r in out.collect()}
+    assert got["u_exact"] == 1.0
+    assert round(got["u_drop"], 3) == round(9 / 10, 3)
+    assert round(got["u_subst"], 3) == round(9 / 11, 3)
+    assert "u_other" not in got and "u_empty" not in got
+    # tau gates: at tau just above the substitution's Jaccard the
+    # substituted doc drops out, the exact match stays
+    tight = {
+        r["url"]
+        for r in fuzzy_contaminated_urls(
+            docs, eval_texts, tau=0.9
+        ).collect()
+    }
+    assert tight == {"u_exact", "u_drop"}
+
+
+def test_curate_fuzzy_tau_catches_what_exact_misses(spark):
+    """A benchmark text pasted with every 5th token mutated shares NO
+    word-5-gram with the eval set (every 5-gram window contains a
+    mutation), so the exact probe passes it — with fuzzy_tau the
+    near-match is rejected as contaminated, and without fuzzy_tau the
+    behavior is unchanged (opt-in)."""
+    from clara_ocr_spark.curate import REASON_CONTAMINATED, curate
+
+    ev = (
+        "question seven what is the boiling point of water at sea "
+        "level answer one hundred degrees celsius under standard "
+        "pressure"
+    )
+    toks = ev.split()
+    mut = list(toks)
+    for i in range(0, len(mut), 5):
+        mut[i] = "x%d" % i
+    rows = [
+        ("https://leak.example/fuzzy", " ".join(mut)),
+        (
+            "https://clean.example/p",
+            "a perfectly ordinary page about gardening tools with "
+            "enough distinct words to pass every quality rule",
+        ),
+    ]
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    eval_texts = spark.createDataFrame([(ev,)], "text string")
+
+    # exact-only: the mutated paste sails through
+    _, rej = curate(extracted, eval_texts=eval_texts)
+    assert not [
+        r for r in rej.collect() if r["reason"] == REASON_CONTAMINATED
+    ]
+    # fuzzy tier on: rejected as contaminated, clean doc untouched
+    cur, rej = curate(
+        extracted, eval_texts=eval_texts, fuzzy_tau=0.5
+    )
+    reasons = {r["url"]: r["reason"] for r in rej.collect()}
+    assert reasons == {
+        "https://leak.example/fuzzy": REASON_CONTAMINATED
+    }
+    assert {r["url"] for r in cur.collect()} == {
+        "https://clean.example/p"
+    }

@@ -790,8 +790,9 @@ def test_curate_job_fix_encoding(tmp_path):
 
 def test_extract_job_anchors_and_pubdate(tmp_path):
     """--anchors (anchor-text election over the cumulative --links
-    harvest) and --pubdate-out (publish-date ladder over the decoded
-    HTML leg) ride one extraction run."""
+    harvest), --reciprocity (link-farm ledger over the same harvest)
+    and --pubdate-out (publish-date ladder over the decoded HTML leg)
+    ride one extraction run."""
     from clara_ocr_spark.extract_rules import reference_extract
     from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
 
@@ -821,6 +822,24 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
         page["html"] = html
         page["text"] = reference_extract(html)
         rows.append(page)
+    # cross-host link triangle for --reciprocity: ra <-> rb mutual,
+    # rc -> ra one-way (host_graph drops the corpus's intra-site nav
+    # links as self-loops, so these are the only ledger edges)
+    for host, target in (
+        ("ra.example", "https://rb.example/x"),
+        ("rb.example", "https://ra.example/y"),
+        ("rc.example", "https://ra.example/z"),
+    ):
+        html = (
+            f'<html><body><main><p>Linking page body with an '
+            f'<a href="{target}">outbound reference</a> paragraph.'
+            f"</p></main></body></html>"
+        ).encode()
+        page = dict(rows[0])
+        page["url"] = f"https://{host}/"
+        page["html"] = html
+        page["text"] = reference_extract(html)
+        rows.append(page)
     inp = tmp_path / "pages.parquet"
     pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
     proc = subprocess.run(
@@ -831,6 +850,7 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
             "--output", str(tmp_path / "out"),
             "--links", str(tmp_path / "links"),
             "--anchors", str(tmp_path / "anchors"),
+            "--reciprocity", str(tmp_path / "recip"),
             "--pubdate-out", str(tmp_path / "pubdate"),
             "--eval-golden", str(inp),
             "--eval-report", str(tmp_path / "evalrep"),
@@ -855,6 +875,20 @@ def test_extract_job_anchors_and_pubdate(tmp_path):
     ).fetchall()
     assert anchors
     assert all(a and n >= k >= 1 for _d, n, a, k in anchors)
+
+    # reciprocity ledger: the crafted cross-host triangle is the only
+    # edge set (intra-site nav links drop as self-loops) — ra <-> rb
+    # mutual, rc -> ra one-way
+    recip = {
+        r[0]: r
+        for r in duckdb.sql(
+            f"select host, n_neighbors, n_reciprocal, recip_pm, "
+            f"link_farm from '{tmp_path}/recip/*.parquet'"
+        ).fetchall()
+    }
+    assert recip["rb.example"] == ("rb.example", 1, 1, 1000, False)
+    assert recip["rc.example"] == ("rc.example", 1, 0, 0, False)
+    assert recip["ra.example"][1:3] == (2, 1)
 
     # date ladder: one row per HTML page; exactly the crafted page
     # harvests (tier meta), the synthetic corpus is undated

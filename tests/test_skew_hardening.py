@@ -340,3 +340,83 @@ def test_title_suffix_ledger_under_hot_host(spark):
     plain = got["plain"]
     assert plain["suffix"] is None and plain["n_suffix"] == 0
     assert not plain["is_boiler"]
+
+
+def test_reciprocity_ledger_under_hub_host(spark):
+    """The ledger's hot candidate is a hub: one host RECEIVING links
+    from 400 spokes (the megasite in-degree profile).  The canonical
+    pair key is (least, greatest) — the hub spreads over 400 distinct
+    pair keys instead of concentrating on one — and both aggregate
+    levels plan map-side partials, so the hub reaches each reducer as
+    counters, never one row per link.  A 4-host mutual clique must
+    flag as a farm while the hub (zero reciprocity) must not; repeat
+    edges and self-loops must not perturb the accounting."""
+    from clara_ocr_spark.stages.links import reciprocity_ledger
+
+    rows = [("spoke%03d" % i, "hub") for i in range(400)]
+    rows += [("spoke%03d" % i, "hub") for i in range(50)]  # repeats
+    rows += [("hub", "hub")] * 3  # self-loops drop
+    farm = ["f0", "f1", "f2", "f3"]
+    rows += [(a, b) for a in farm for b in farm if a != b]  # clique
+    rows += [("c0", "c1"), ("c1", "c2")]  # one-way chain
+    edges = spark.createDataFrame(
+        rows, "src_host string, dst_host string"
+    )
+    out = reciprocity_ledger(edges)
+    _assert_partial_agg_below_exchange(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    # the endpoint rollup must be the single-pass explode, never a
+    # two-leg union re-executing the pair subtree: exactly three
+    # Exchanges (directed distinct, pair aggregate, host rollup)
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
+    got = {r["host"]: r for r in out.collect()}
+    hub = got["hub"]
+    assert hub["n_neighbors"] == 400 and hub["n_reciprocal"] == 0
+    assert hub["recip_pm"] == 0 and not hub["link_farm"]
+    for f in farm:
+        r = got[f]
+        assert r["n_neighbors"] == 3 and r["n_reciprocal"] == 3
+        assert r["recip_pm"] == 1000 and r["link_farm"]
+    assert got["c1"]["n_neighbors"] == 2
+    assert got["c1"]["n_reciprocal"] == 0 and not got["c1"]["link_farm"]
+    assert all(
+        got["spoke%03d" % i]["n_neighbors"] == 1 for i in range(400)
+    )
+
+
+def test_revisit_schedule_exact_and_single_exchange(spark):
+    """Known capture histories pin the Cho/Garcia-Molina estimator's
+    fixed-point values exactly: 5/5 changes → 2398 mnat (hot, 10 h),
+    2/5 → 452 (warm, 53 h), 0/5 and a single-capture url → 0 (cold,
+    one-year cap).  A 400-capture hot url rides the same plan — the
+    per-url aggregate REUSES the lag window's url partitioning, so
+    the whole per-url ledger costs ONE Exchange."""
+    from clara_ocr_spark.stages.crawl_audit import revisit_schedule
+
+    rows = [("always", i, "d%d" % i) for i in range(6)]
+    rows += [("never", i, "same") for i in range(6)]
+    # changes at seq 2 and 4 only
+    rows += [("half", i, "h%d" % (i // 2)) for i in range(6)]
+    rows += [("single", 0, "x")]
+    rows += [("hot", i, "d%d" % (i % 2)) for i in range(400)]
+    caps = spark.createDataFrame(
+        rows, "url string, seq int, digest string"
+    )
+    out = revisit_schedule(caps)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    got = {r["url"]: r for r in out.collect()}
+    a = got["always"]
+    assert (a["n_cmp"], a["n_chg"], a["lambda_mnat"]) == (5, 5, 2398)
+    assert a["tier"] == "hot" and a["revisit_h"] == 10
+    n = got["never"]
+    assert (n["n_cmp"], n["n_chg"], n["lambda_mnat"]) == (5, 0, 0)
+    assert n["tier"] == "cold" and n["revisit_h"] == 8760
+    h = got["half"]
+    assert (h["n_cmp"], h["n_chg"], h["lambda_mnat"]) == (5, 2, 452)
+    assert h["tier"] == "warm" and h["revisit_h"] == 53
+    s = got["single"]
+    assert (s["n_cmp"], s["n_chg"], s["lambda_mnat"]) == (0, 0, 0)
+    assert s["tier"] == "cold" and s["revisit_h"] == 8760
+    assert got["hot"]["n_cmp"] == 399 and got["hot"]["n_chg"] == 399
