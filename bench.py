@@ -130,6 +130,9 @@ HEADLINE = [
     "publish_date_extract",  # added r5: publish-date tier ladder
     "hits_scores",  # added r5: HITS hubs/authorities fixed point
     "title_suffix_audit",  # added r5: per-host title-suffix ledger
+    "revisit_policy",  # added r5: Cho/G-M crawl revisit scheduling
+    "fuzzy_decontaminate",  # added r5: MinHash-LSH benchmark probe
+    "reciprocal_link_audit",  # added r5: link-farm reciprocity ledger
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -353,3 +353,51 @@ def test_ledgers_merge_host_case_variants(spark):
     rows = cov.collect()
     assert len(rows) == 1 and rows[0]["host"] == "example.com"
     assert rows[0]["n_crawled"] == 1 and rows[0]["n_declared"] == 1
+
+
+def test_revisit_schedule_differential_random_histories(spark):
+    """Seeded random capture histories vs a pure-Python oracle: exact
+    equality of every per-url row (counts, milli-nat rate, tier,
+    revisit hours) including all-change, no-change and single-capture
+    urls the generator is guaranteed to produce."""
+    import math
+    import random
+
+    from clara_ocr_spark.stages.crawl_audit import revisit_schedule
+
+    rng = random.Random(20260819)
+    rows = []
+    histories = {}
+    for u in range(50):
+        url = "u%02d" % u
+        n_caps = rng.choice([1, 2, 4, 6, 9])
+        digs = []
+        cur = 0
+        for seq in range(n_caps):
+            if seq and rng.random() < rng.choice([0.0, 0.3, 1.0]):
+                cur += 1
+            digs.append("d%d" % cur)
+            rows.append((url, seq, digs[-1]))
+        histories[url] = digs
+
+    expect = {}
+    for url, digs in histories.items():
+        n = len(digs) - 1
+        x = sum(1 for a, b in zip(digs, digs[1:]) if a != b)
+        lam = round(-math.log((n - x + 0.5) / (n + 0.5)) * 1000)
+        tier = "hot" if lam >= 900 else "warm" if lam >= 400 else "cold"
+        rh = 24000 // lam if lam > 0 else 8760
+        expect[url] = (n, x, lam, tier, rh)
+
+    df = spark.createDataFrame(rows, "url string, seq int, digest string")
+    got = {
+        r["url"]: (
+            r["n_cmp"],
+            r["n_chg"],
+            r["lambda_mnat"],
+            r["tier"],
+            r["revisit_h"],
+        )
+        for r in revisit_schedule(df).collect()
+    }
+    assert got == expect

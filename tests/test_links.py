@@ -293,3 +293,53 @@ def test_anchor_election_plan_window_free(spark, sf001):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "Exchange SinglePartition" not in plan
+
+
+def test_reciprocity_ledger_differential_random_graph(spark):
+    """Seeded random digraph vs a pure-Python oracle: exact equality
+    of the whole ledger (neighbors, reciprocal counts, per-mille,
+    flag) — the differential-twin discipline of test_fastparse applied
+    to the reciprocity accounting."""
+    import random
+
+    from clara_ocr_spark.stages.links import reciprocity_ledger
+
+    rng = random.Random(20260819)
+    hosts = ["h%02d" % i for i in range(20)]
+    edges = [
+        (rng.choice(hosts), rng.choice(hosts)) for _ in range(300)
+    ]
+    # python oracle
+    de = {(s, d) for s, d in edges if s != d}
+    pairs = {}
+    for s, d in de:
+        k = (min(s, d), max(s, d))
+        pairs[k] = pairs.get(k, 0) + 1
+    want = {}
+    for (x, y), n_dir in pairs.items():
+        for h in (x, y):
+            nb, rc = want.get(h, (0, 0))
+            want[h] = (nb + 1, rc + (1 if n_dir == 2 else 0))
+    expect = {
+        h: (
+            nb,
+            rc,
+            1000 * rc // nb,
+            (1000 * rc // nb >= 500) and nb >= 3,
+        )
+        for h, (nb, rc) in want.items()
+    }
+
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string"
+    )
+    got = {
+        r["host"]: (
+            r["n_neighbors"],
+            r["n_reciprocal"],
+            r["recip_pm"],
+            r["link_farm"],
+        )
+        for r in reciprocity_ledger(df).collect()
+    }
+    assert got == expect
