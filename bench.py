@@ -133,6 +133,7 @@ HEADLINE = [
     "revisit_policy",  # added r5: Cho/G-M crawl revisit scheduling
     "fuzzy_decontaminate",  # added r5: MinHash-LSH benchmark probe
     "reciprocal_link_audit",  # added r5: link-farm reciprocity ledger
+    "warc_revisit_dedup",  # added r5: WARC identical-payload storage dedup
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -8427,6 +8427,80 @@ def reciprocal_link_audit(spark, sf_dir):
     return reciprocity_ledger(e)
 
 
+@q(
+    "warc_revisit_dedup",
+    """
+    with cap as (
+      select 'u' || cast(doc_id // 3 as varchar) as url,
+             doc_id as warc_ts,
+             md5('rv' || cast(doc_id // 2 as varchar)) as digest,
+             n_chars
+      from documents),
+    f as (select url, digest, min(warc_ts) as first_ts
+          from cap group by 1, 2),
+    cl as (select c.url, c.n_chars,
+                  case when c.warc_ts = f.first_ts then 'response'
+                       else 'revisit' end as wtype
+           from cap c join f using (url, digest))
+    select wtype,
+           cast(count(*) as bigint) as n_records,
+           cast(count(distinct url) as bigint) as n_urls,
+           cast(sum(case when wtype = 'revisit' then n_chars
+                         else 0 end) as bigint) as saved_chars
+    from cl group by wtype
+    """,
+)
+def warc_revisit_dedup(spark, sf_dir):
+    """WARC storage dedup accounting — how much archive volume the
+    identical-payload-digest rule saves: captures whose payload
+    digest repeats an earlier capture of the same url become
+    ``revisit`` pointer records instead of stored bodies
+    (`sources/formats.warc_dedup_classify` is the classification
+    core; `to_warc_revisit_records` renders the pointers).  Output:
+    per record type, how many records, how many urls, and the chars
+    the archive does NOT re-store.
+
+    Scale shape: the classify costs two (url, digest)-keyed
+    Exchanges (the min-aggregate build and the probe co-partition)
+    with payload SIZES, never payloads, riding them; the rollup is 2
+    rows.
+    Captures synthesized exactly like `recrawl_delta` (3 per url,
+    digest flipping every 2, warc_ts = doc_id as the capture order)
+    so both record classes are nonempty and the revisit set equals
+    the 'unchanged' class recrawl_delta counts.  Reference analogue:
+    the preferred-symbol partition (common.h:612-631) — store one
+    representative, point every equivalent at it."""
+    from .sources.formats import warc_dedup_classify
+
+    d = _t(spark, sf_dir, "documents")
+    cap = d.select(
+        F.concat(
+            F.lit("u"),
+            F.floor(F.col("doc_id") / 3).cast("bigint").cast("string"),
+        ).alias("url"),
+        F.col("doc_id").alias("warc_ts"),
+        F.md5(
+            F.concat(
+                F.lit("rv"),
+                F.floor(F.col("doc_id") / 2).cast("bigint").cast("string"),
+            )
+        ).alias("digest"),
+        "n_chars",
+    )
+    cl = warc_dedup_classify(cap)
+    return cl.groupBy("wtype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.countDistinct("url").cast("bigint").alias("n_urls"),
+        F.sum(
+            F.when(F.col("wtype") == "revisit", F.col("n_chars")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("saved_chars"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -8541,13 +8615,18 @@ def reciprocal_link_audit(spark, sf_dir):
 # three r3-signed backfills whose families keep an r4-fresh rep
 # (value_percentiles→pricing_summary [r4, agg_stats];
 # hqbin_residual→deskew_search [r4, preproc];
-# layout_columns→layout_lines [r4, layout_pdf]).  The displaced three
-# stay r3-signed and locally re-verified at two scales every run.
+# layout_columns→layout_lines [r4, layout_pdf]), and
+# warc_revisit_dedup (WARC identical-payload-digest storage dedup)
+# displaces topk_doubts (both its families keep r4-fresh reps:
+# range_filter [scan_sink], argmax_per_group [window_order]).  The
+# displaced four stay r3-signed and locally re-verified at two scales
+# every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
     "fuzzy_decontaminate",    # LLM MinHash-LSH decontamination (final r5)
     "reciprocal_link_audit",  # web link-farm reciprocity (final r5)
+    "warc_revisit_dedup",     # web archive storage dedup (final r5)
     "anchor_election",        # web anchor-text election (r5)
     "extraction_eval",        # extraction-quality P/R/F1 harness (r5)
     "publish_date_extract",   # web publish-date tier ladder (r5)
@@ -8602,7 +8681,6 @@ DRIVER_WINDOW = [
     # agg_grouping_sets via grouping_sets_metrics, and the regex
     # scalar family has no freshness constraint.)
     "neighbor_gap",           # §2.3 rsymb/lsymb nearest neighbor
-    "topk_doubts",            # §2.1/§2.5 doubt ranking top-k
     "dedup_exact",            # §2.6/LLM exact dedup
     "minhash_signatures",     # LLM MinHash signatures
     "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)

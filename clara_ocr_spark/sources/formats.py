@@ -276,6 +276,111 @@ def to_wet_records(extracted: DataFrame) -> DataFrame:
     )
 
 
+def warc_dedup_classify(captures: DataFrame) -> DataFrame:
+    """Identical-payload-digest storage dedup for a multi-capture
+    crawl — the Heritrix/Common-Crawl rule that lets a WARC writer
+    emit a tiny ``revisit`` record instead of re-storing the body:
+    per (url, digest), the EARLIEST capture is the ``response``; every
+    later capture of the same unchanged payload is a ``revisit``
+    referencing the original's timestamp.
+
+    Input: ``captures(url, warc_ts, digest, …)`` — ``warc_ts`` is any
+    orderable capture key (timestamp, CDX position, fetch sequence)
+    and ``digest`` the payload digest ``recrawl_delta`` compares; all
+    other columns pass through.  Output: input columns plus
+    ``wtype`` ('response' | 'revisit') and ``refers_to_ts`` (the
+    referenced original's warc_ts, NULL on responses).  Two captures
+    carrying the same (url, digest, warc_ts) both classify
+    ``response`` — digest equality means identical payloads, so the
+    tie is harmless and needs no window.
+
+    Scale shape: one groupBy(url, digest) min + one equi-join back on
+    the SAME key — two Exchanges total, both carrying (url, digest,
+    ts) triples (the aggregate build and the probe co-partition; the
+    join itself adds none); payloads never shuffle.  Url-digest cardinality is
+    ~|captures|, no hot key (a hot URL spreads over its digests;
+    identical boilerplate payloads across urls do NOT collide because
+    url is in the key).  The oracle-checked catalog twin is
+    ``queries.warc_revisit_dedup``."""
+    first = captures.groupBy("url", "digest").agg(
+        F.min("warc_ts").alias("_first_ts")
+    )
+    out = captures.join(first, ["url", "digest"])
+    is_first = F.col("warc_ts") == F.col("_first_ts")
+    return out.select(
+        *[c for c in captures.columns],
+        F.when(is_first, "response").otherwise("revisit").alias("wtype"),
+        F.when(~is_first, F.col("_first_ts")).alias("refers_to_ts"),
+    )
+
+
+def to_warc_revisit_records(classified: DataFrame) -> DataFrame:
+    """``warc_dedup_classify`` revisit rows → one header-only WARC
+    ``revisit`` record per row in a single ``value`` string column
+    (ready for ``.write.text()``) — the storage-dedup EXPORT side of
+    the WET story: the archive keeps one ``response`` body per
+    (url, digest) and ships these pointers for every later identical
+    capture (WARC/1.1 §6.7.2, identical-payload-digest profile).
+    Response rows pass through untouched by the caller (they carry
+    bodies; this composer only renders the pointer records).
+
+    Same column-algebra hardening as ``to_wet_records``: urls stripped
+    of CR/LF (header-forgery guard), NULL url/ts coalesced instead of
+    NULL-propagating the record away, WARC-Date in UTC regardless of
+    session timezone, and a deterministic md5-derived urn:uuid
+    WARC-Record-ID (mandatory per §5.2).  The payload digest renders
+    with an explicit ``md5:`` label (the spec's labelled-digest ABNF).
+    Content-Length: 0 — readers (including this repo's own, which
+    slices by Content-Length and keeps only response/conversion
+    types) skip them without ever touching a body."""
+    rev = classified.filter(F.col("wtype") == "revisit")
+    url = F.regexp_replace(
+        F.coalesce(F.col("url"), F.lit("")), r"[\r\n]", ""
+    )
+
+    def utc(c: F.Column) -> F.Column:
+        return F.coalesce(
+            F.date_format(
+                F.to_utc_timestamp(c, F.current_timezone()),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ),
+            F.lit("1970-01-01T00:00:00Z"),
+        )
+
+    ts, ref = utc(F.col("warc_ts")), utc(F.col("refers_to_ts"))
+    rid = F.md5(
+        F.concat(
+            F.coalesce(F.col("url"), F.lit("")),
+            F.lit("\n"), ts, F.lit("\nrevisit\n"),
+            F.coalesce(F.col("digest"), F.lit("")),
+        )
+    )
+    record_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(rid, 1, 8), F.lit("-"),
+        F.substring(rid, 9, 4), F.lit("-"),
+        F.substring(rid, 13, 4), F.lit("-"),
+        F.substring(rid, 17, 4), F.lit("-"),
+        F.substring(rid, 21, 12), F.lit(">"),
+    )
+    return rev.select(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: revisit\r\n"),
+            F.lit("WARC-Record-ID: "), record_id,
+            F.lit(
+                "\r\nWARC-Profile: http://netpreserve.org/warc/1.1/"
+                "revisit/identical-payload-digest\r\n"
+            ),
+            F.lit("WARC-Target-URI: "), url,
+            F.lit("\r\nWARC-Date: "), ts,
+            F.lit("\r\nWARC-Refers-To-Date: "), ref,
+            F.lit("\r\nWARC-Payload-Digest: md5:"),
+            F.coalesce(F.col("digest"), F.lit("")),
+            F.lit("\r\nContent-Length: 0\r\n\r\n\r\n"),
+        ).alias("value")
+    )
+
+
 def write_warc(rows, path: str, gzip_members: bool = False) -> None:
     """Write WARC/1.0 records (test/fixture writer — one file per
     call; a crawler writes these, we only need to READ them at scale).

@@ -270,6 +270,19 @@ def main(argv: list[str] | None = None) -> None:
         "raw text lines, readable back by --input-format wet",
     )
     ap.add_argument(
+        "--revisit-out",
+        default=None,
+        metavar="PATH",
+        help="also export WARC revisit pointer records for every "
+        "capture whose payload digest repeats an earlier capture of "
+        "the same url (identical-payload-digest storage dedup; "
+        "sources/formats.warc_dedup_classify + "
+        "to_warc_revisit_records, the oracled warc_revisit_dedup "
+        "shape) — composes with --wet-out into the full archive "
+        "story: one stored body per (url, digest), pointers for the "
+        "rest",
+    )
+    ap.add_argument(
         "--sitemaps",
         default=None,
         metavar="PATH",
@@ -576,6 +589,23 @@ def main(argv: list[str] | None = None) -> None:
         to_wet_records(extracted.join(ts_by_url, "url")).write.mode(
             "append"
         ).text(args.wet_out)
+    if args.revisit_out:
+        import pyspark.sql.functions as F
+
+        from clara_ocr_spark.sources.formats import (
+            to_warc_revisit_records,
+            warc_dedup_classify,
+        )
+
+        # digest over the RAW payload (the archive dedup unit — what
+        # the crawler stored), never the extraction; map-only until
+        # the (url, digest)-keyed classify
+        caps = pages.select(
+            "url", "warc_ts", F.md5(F.col("html")).alias("digest")
+        )
+        to_warc_revisit_records(warc_dedup_classify(caps)).write.mode(
+            "append"
+        ).text(args.revisit_out)
     if skew_frames:
         # the PDF runs were localCheckpointed inside extract_pdf and
         # materialized by the extraction write above — this write

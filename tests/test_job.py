@@ -962,3 +962,75 @@ def test_extract_job_eval_arg_guards(tmp_path):
         )
         assert proc.returncode == 2, (extra, proc.stderr[-500:])
         assert msg in proc.stderr, (extra, proc.stderr[-500:])
+
+
+def test_extract_job_revisit_out(tmp_path):
+    """--revisit-out over a recrawl input: the second identical
+    capture of a url becomes ONE WARC revisit pointer referencing the
+    first capture's ts, a CHANGED recapture stays a response (no
+    pointer), and the composed --wet-out export is unaffected (one
+    conversion per url).  The pointers carry the md5-labelled payload
+    digest and parse as zero-length records our own reader skips."""
+    import datetime
+
+    from clara_ocr_spark.sources.corpus import PAGES_SCHEMA, gen_page
+
+    rows = [gen_page(i, seed=61) for i in range(8)]
+    # unchanged recapture: same url + html, one hour later
+    dup = dict(rows[0])
+    dup["warc_ts"] = rows[0]["warc_ts"] + datetime.timedelta(hours=1)
+    rows.append(dup)
+    # changed recapture of another url: new payload -> response
+    chg = dict(rows[1])
+    chg["warc_ts"] = rows[1]["warc_ts"] + datetime.timedelta(hours=2)
+    chg["html"] = (
+        b"<html><body><main><p>Entirely new second capture body."
+        b"</p></main></body></html>"
+    )
+    rows.append(chg)
+    inp = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), str(inp))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "extract_job.py"),
+            "--input", str(inp),
+            "--output", str(tmp_path / "out"),
+            "--wet-out", str(tmp_path / "wet"),
+            "--revisit-out", str(tmp_path / "revisit"),
+        ],
+        capture_output=True,
+        text=True,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import glob as _glob
+    import hashlib
+
+    from clara_ocr_spark.sources.formats import _parse_warc_bytes
+
+    data = b"".join(
+        open(f, "rb").read()
+        for f in sorted(_glob.glob(f"{tmp_path}/revisit/part-*"))
+    )
+    assert data.count(b"WARC-Type: revisit") == 1
+    want_digest = hashlib.md5(bytes(rows[0]["html"])).hexdigest()
+    assert (
+        data.count(b"WARC-Payload-Digest: md5:" + want_digest.encode())
+        == 1
+    )
+    ref = rows[0]["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+    assert b"WARC-Refers-To-Date: " + ref in data
+    assert rows[0]["url"].encode() in data
+
+    # the WET export still carries one conversion per url, and the
+    # reader surfaces zero records from the pointer file
+    wet = b"".join(
+        open(f, "rb").read()
+        for f in sorted(_glob.glob(f"{tmp_path}/wet/part-*"))
+    )
+    wet_urls = [u for u, _ts, _b, _t in _parse_warc_bytes(wet)]
+    assert sorted(wet_urls) == sorted({r["url"] for r in rows})
+    assert list(_parse_warc_bytes(data)) == []

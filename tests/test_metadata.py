@@ -378,3 +378,85 @@ def test_harvest_publish_dates_stage(spark):
     assert out["u1"] == ("2023-11-05", "meta")
     assert out["u2"] == ("2020-02-29", "body")
     assert out["u3"] == (None, "none")
+
+
+def test_warc_revisit_dedup_classify_and_export(spark, tmp_path):
+    """Storage dedup round-trip: a 3-capture history per url (digest
+    repeating once) classifies earliest-per-(url,digest) as response
+    and the repeat as revisit with the original's ts; the rendered
+    revisit records are header-only (Content-Length: 0), carry the
+    mandatory Record-ID, the identical-payload-digest profile, the
+    labelled md5 digest and a UTC Refers-To-Date; and this repo's own
+    WARC reader skips them without misparsing neighbors — a mixed
+    file of WET conversions + revisit pointers reads back exactly the
+    conversion set.  Classification is two (url, digest)-keyed
+    Exchanges (aggregate build + probe co-partition; the join adds
+    none)."""
+    import datetime
+    import glob
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from clara_ocr_spark.sources.formats import (
+        read_pages_warc,
+        to_warc_revisit_records,
+        to_wet_records,
+        warc_dedup_classify,
+    )
+
+    def ts(h):
+        return datetime.datetime(2024, 3, 1, h, 0, 0)
+
+    caps = spark.createDataFrame(
+        [
+            ("https://r.example/a", ts(1), "d1"),
+            ("https://r.example/a", ts(2), "d1"),   # revisit of 01:00
+            ("https://r.example/a", ts(3), "d2"),   # changed -> response
+            ("https://r.example/b", ts(4), "d9"),
+        ],
+        "url string, warc_ts timestamp, digest string",
+    )
+    cl = warc_dedup_classify(caps)
+    plan = cl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    got = {
+        (r["url"], r["warc_ts"].hour): (r["wtype"], r["refers_to_ts"])
+        for r in cl.collect()
+    }
+    assert got[("https://r.example/a", 1)] == ("response", None)
+    assert got[("https://r.example/a", 2)][0] == "revisit"
+    assert got[("https://r.example/a", 2)][1].hour == 1
+    assert got[("https://r.example/a", 3)] == ("response", None)
+    assert got[("https://r.example/b", 4)] == ("response", None)
+
+    # export: conversions for the responses + pointers for the rest,
+    # one mixed file; the reader must surface exactly the conversions
+    resp = cl.filter(cl.wtype == "response").select(
+        "url", "warc_ts", F.lit("body text").alias("text")
+    )
+    out = tmp_path / "mixed"
+    to_wet_records(resp).unionAll(
+        to_warc_revisit_records(cl)
+    ).coalesce(1).write.text(str(out))
+    back = read_pages_warc(spark, f"{out}/part-*").collect()
+    assert len(back) == 3 and all(r["text"] == "body text" for r in back)
+    data = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(f"{out}/part-*"))
+    )
+    assert data.count(b"WARC-Type: revisit") == 1
+    assert (
+        data.count(
+            b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            b"identical-payload-digest"
+        )
+        == 1
+    )
+    assert data.count(b"WARC-Payload-Digest: md5:d1") == 1
+    assert b"WARC-Refers-To-Date: 2024-03-01T01:00:00Z" in data
+    rev_ids = _re.findall(
+        rb"WARC-Type: revisit\r\nWARC-Record-ID: <urn:uuid:"
+        rb"([0-9a-f-]{36})>",
+        data,
+    )
+    assert len(rev_ids) == 1

@@ -120,7 +120,7 @@ def test_driver_window_invariants():
         "web_robots": {"robots_filter", "robots_wildcards"},
         "web_frontier": {"frontier_waves"},
         "web_charset": {"charset_sniff"},
-        "web_archive": {"cdx_index"},
+        "web_archive": {"cdx_index", "warc_revisit_dedup"},
         "web_recrawl": {"recrawl_delta"},
         "web_head_meta": {"head_metadata"},
         "web_stream_recrawl": {"stream_recrawl_delta"},
