@@ -417,13 +417,22 @@ _GZIP_MAGIC = b"\x1f\x8b"
 def _ungzip_members(data: bytes) -> bytes:
     """Concatenate every gzip member of a .warc.gz file (the
     production layout: one member per record, so a reader can seek to
-    any record offset; stdlib zlib walks members via unused_data)."""
+    any record offset; stdlib zlib walks members via unused_data).
+
+    Tolerant like every reader here: a CORRUPT member (gzip magic
+    followed by a bad header or deflate stream — routine in real
+    crawl archives) raises zlib.error from decompress(), which must
+    salvage the members already decoded instead of crashing the whole
+    split (the sitemap parser's contract, same bug class)."""
     import zlib
 
     out = []
     while data[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break  # corrupt member: keep the records already decoded
         data = d.unused_data
         if not d.eof:  # truncated member: keep what decoded
             break

@@ -460,3 +460,39 @@ def test_warc_revisit_dedup_classify_and_export(spark, tmp_path):
         data,
     )
     assert len(rev_ids) == 1
+
+
+def test_parse_warc_bytes_corrupt_gzip_salvages_prefix():
+    """A .warc.gz with a corrupt member after valid ones must yield
+    the valid members' records, and pure garbage behind the gzip magic
+    must yield [] — never raise (the sitemap parser's corrupt-gzip
+    contract; zlib.error escapes OSError handlers)."""
+    import datetime
+    import gzip as _gzip
+
+    from clara_ocr_spark.sources.formats import _parse_warc_bytes
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://g.example/a\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
+    )
+    good = _gzip.compress(rec)
+    assert [u for u, *_ in _parse_warc_bytes(good + b"\x1f\x8bXX")] == [
+        "https://g.example/a"
+    ]
+    assert list(_parse_warc_bytes(b"\x1f\x8bXX")) == []
+    assert list(_parse_warc_bytes(b"\x1f\x8b\x08\x00garbage")) == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=600))
+def test_parse_warc_bytes_never_crashes(raw):
+    """Arbitrary bytes — raw, behind a gzip magic, and behind a valid
+    record — always parse to a list of 4-tuples, never raise."""
+    for payload in (raw, b"\x1f\x8b" + raw, b"WARC/1.0\r\n" + raw):
+        from clara_ocr_spark.sources.formats import _parse_warc_bytes
+
+        out = list(_parse_warc_bytes(payload))
+        assert all(len(t) == 4 for t in out)
