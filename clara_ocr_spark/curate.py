@@ -34,11 +34,11 @@ from .queries import (
     _band_candidates,
     _dup_2gram_frac,
     _gram5_hashes,
-    _grams,
     _jaccard_pairs,
     _min_label_components,
     _minhash_bands,
-    _minhash_sig,
+    _recall_bands,
+    _set_jaccard,
     _positional_lines_arr,
     _tokens,
     _top_word_frac,
@@ -409,9 +409,9 @@ def fuzzy_contaminated_urls(
     near-match decontamination are this shape).  Returns
     (url, jaccard) with the best match's token-set Jaccard ≥ tau.
 
-    Banding is 4 bands × 1 row (each `queries._minhash_sig` chunk is
-    its own bucket key — the single source of truth shared with the
-    oracle-checked `fuzzy_decontaminate` catalog twin), NOT the 2×2
+    Banding is 4 bands × 1 row (`queries._recall_bands` — the single
+    source of truth shared with the oracle-checked
+    `fuzzy_decontaminate` catalog twin), NOT the 2×2
     `_minhash_bands` the dedup tier uses: dedup wants precision at
     τ ≈ 0.8+, decontamination wants RECALL at τ ≈ 0.5, where 4×1
     catches a pair with 1-(1-s)⁴ ≈ 94% vs ≈ 34% for 2×2; the extra
@@ -428,23 +428,14 @@ def fuzzy_contaminated_urls(
     tr = docs.select(
         "url",
         F.array_distinct(toks).alias("wsd"),
-        F.posexplode(_minhash_sig(_grams(toks), 4)).alias(
-            "band", "bucket"
-        ),
+        F.posexplode(_recall_bands(toks)).alias("band", "bucket"),
     )
     ev = eval_texts.select(
         F.array_distinct(toks).alias("ev_wsd"),
-        F.posexplode(_minhash_sig(_grams(toks), 4)).alias(
-            "band", "bucket"
-        ),
+        F.posexplode(_recall_bands(toks)).alias("band", "bucket"),
     )
     cand = tr.join(F.broadcast(ev), ["band", "bucket"])
-    union_n = F.size(F.array_distinct(F.concat("wsd", "ev_wsd")))
-    jac = F.when(
-        union_n > 0,
-        F.size(F.array_intersect("wsd", "ev_wsd")).cast("double")
-        / union_n,
-    )
+    jac = _set_jaccard(F.col("wsd"), F.col("ev_wsd"))
     return (
         cand.select("url", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)

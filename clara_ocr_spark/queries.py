@@ -754,6 +754,28 @@ def _dup_2gram_frac(toks: F.Column) -> F.Column:
     )
 
 
+def _recall_bands(toks: F.Column) -> F.Column:
+    """Four single-row LSH band keys — each `_minhash_sig` chunk is
+    its own bucket key.  The RECALL-oriented banding the
+    decontamination probes use (catches a pair of shingle similarity
+    s with 1-(1-s)⁴ ≈ 94% at s ≈ 0.5, vs ≈ 34% for `_minhash_bands`'
+    precision-oriented 2×2); single source of truth for
+    `fuzzy_decontaminate` and `curate.fuzzy_contaminated_urls` — a
+    banding change in one caller cannot silently diverge the other."""
+    return _minhash_sig(_grams(toks), 4)
+
+
+def _set_jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Token-SET Jaccard |a∩b| / |a∪b| over two distinct-element
+    arrays, NULL when both are empty (the DuckDB 0/0 behavior —
+    callers filter on a threshold, so NULL drops the pair in both
+    engines).  Shared by the fuzzy decontamination probes."""
+    union_n = F.size(F.array_distinct(F.concat(a, b)))
+    return F.when(
+        union_n > 0, F.size(F.array_intersect(a, b)).cast("double") / union_n
+    )
+
+
 def _minhash_bands(toks: F.Column) -> F.Column:
     """Two LSH band keys from the 4-permutation minhash signature."""
     sig = _minhash_sig(_grams(toks), 4)
@@ -8295,13 +8317,13 @@ def fuzzy_decontaminate(spark, sf_dir):
     )
 
     def banded(df: DataFrame, id_col: str) -> DataFrame:
-        # 4×1 banding: the signature chunks ARE the bucket keys
-        # (_minhash_sig is the single source of truth, shared with
-        # curate.fuzzy_contaminated_urls, the production twin)
+        # 4×1 recall banding (_recall_bands is the single source of
+        # truth, shared with curate.fuzzy_contaminated_urls, the
+        # production twin)
         return df.select(
             id_col,
             F.array_distinct("ws").alias("wsd"),
-            F.posexplode(_minhash_sig(_grams(F.col("ws")), 4)).alias(
+            F.posexplode(_recall_bands(F.col("ws"))).alias(
                 "band", "bucket"
             ),
         )
@@ -8310,11 +8332,7 @@ def fuzzy_decontaminate(spark, sf_dir):
         F.broadcast(banded(ev, "eval_id").withColumnRenamed("wsd", "ev_wsd")),
         ["band", "bucket"],
     )
-    union_n = F.size(F.array_distinct(F.concat("wsd", "ev_wsd")))
-    jac = F.when(
-        union_n > 0,
-        F.size(F.array_intersect("wsd", "ev_wsd")).cast("double") / union_n,
-    )
+    jac = _set_jaccard(F.col("wsd"), F.col("ev_wsd"))
     return (
         cand.select("doc_id", "eval_id", jac.alias("_j"))
         .filter(F.col("_j") >= 0.5)

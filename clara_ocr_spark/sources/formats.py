@@ -292,7 +292,9 @@ def warc_dedup_classify(captures: DataFrame) -> DataFrame:
     referenced original's warc_ts, NULL on responses).  Two captures
     carrying the same (url, digest, warc_ts) both classify
     ``response`` — digest equality means identical payloads, so the
-    tie is harmless and needs no window.
+    tie is harmless and needs no window.  Captures with a NULL url or
+    digest have no dedup key and classify ``response`` too (nothing
+    to point at) — never silently dropped.
 
     Scale shape: one groupBy(url, digest) min + one equi-join back on
     the SAME key — two Exchanges total, both carrying (url, digest,
@@ -305,8 +307,15 @@ def warc_dedup_classify(captures: DataFrame) -> DataFrame:
     first = captures.groupBy("url", "digest").agg(
         F.min("warc_ts").alias("_first_ts")
     )
-    out = captures.join(first, ["url", "digest"])
-    is_first = F.col("warc_ts") == F.col("_first_ts")
+    # LEFT join: a NULL url/digest never equi-matches, and an inner
+    # join would silently DROP those captures (review finding — e.g.
+    # md5(html) is NULL on conversion records without payloads).  A
+    # capture without a dedup key cannot point at anything, so it
+    # classifies 'response' via the NULL _first_ts branch below.
+    out = captures.join(first, ["url", "digest"], "left")
+    is_first = F.col("_first_ts").isNull() | (
+        F.col("warc_ts") == F.col("_first_ts")
+    )
     return out.select(
         *[c for c in captures.columns],
         F.when(is_first, "response").otherwise("revisit").alias("wtype"),
@@ -321,6 +330,9 @@ def to_warc_revisit_records(classified: DataFrame) -> DataFrame:
     the WET story: the archive keeps one ``response`` body per
     (url, digest) and ships these pointers for every later identical
     capture (WARC/1.1 §6.7.2, identical-payload-digest profile).
+    Records declare ``WARC/1.1`` — ``WARC-Refers-To-Date`` and this
+    profile URI are 1.1 vocabulary; a WARC file may mix record
+    versions, and this repo's reader (like warcio) handles both.
     Response rows pass through untouched by the caller (they carry
     bodies; this composer only renders the pointer records).
 
@@ -365,7 +377,7 @@ def to_warc_revisit_records(classified: DataFrame) -> DataFrame:
     )
     return rev.select(
         F.concat(
-            F.lit("WARC/1.0\r\nWARC-Type: revisit\r\n"),
+            F.lit("WARC/1.1\r\nWARC-Type: revisit\r\n"),
             F.lit("WARC-Record-ID: "), record_id,
             F.lit(
                 "\r\nWARC-Profile: http://netpreserve.org/warc/1.1/"
@@ -376,7 +388,7 @@ def to_warc_revisit_records(classified: DataFrame) -> DataFrame:
             F.lit("\r\nWARC-Refers-To-Date: "), ref,
             F.lit("\r\nWARC-Payload-Digest: md5:"),
             F.coalesce(F.col("digest"), F.lit("")),
-            F.lit("\r\nContent-Length: 0\r\n\r\n\r\n"),
+            F.lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
         ).alias("value")
     )
 
@@ -440,27 +452,44 @@ def _ungzip_members(data: bytes) -> bytes:
 
 
 def _parse_warc_bytes(data: bytes):
-    """Yield (url, iso_ts, payload, warc_type) per WARC/1.0 record of
-    interest — ``response`` (html bytes, the WARC crawl shape) and
-    ``conversion`` (extracted text, the WET sidecar shape).
-    Content-Length-driven slicing — payloads may contain anything,
-    including 'WARC/1.0' lookalikes. Gzipped input (.warc.gz /
-    .wet.gz, per-record members) is inflated first."""
+    """Yield (url, iso_ts, payload, warc_type) per WARC/1.0 or
+    WARC/1.1 record of interest — ``response`` (html bytes, the WARC
+    crawl shape) and ``conversion`` (extracted text, the WET sidecar
+    shape); other types (revisit pointers, warcinfo, …) are skipped by
+    Content-Length slicing.  Payloads may contain anything, including
+    'WARC/1.0' lookalikes.  Gzipped input (.warc.gz / .wet.gz,
+    per-record members) is inflated first.  Tolerant-reader contract:
+    non-UTF-8 header bytes decode with replacement and a malformed
+    Content-Length falls back to 0 (scan on from the header block) —
+    hostile archive bytes must never crash a split."""
     if data[:2] == _GZIP_MAGIC:
         data = _ungzip_members(data)
     pos = 0
     while True:
-        start = data.find(b"WARC/1.0\r\n", pos)
+        start = data.find(b"WARC/1.", pos)
         if start < 0:
             return
+        line_end = data.find(b"\r\n", start)
+        if line_end < 0:
+            return
+        if data[start:line_end] not in (b"WARC/1.0", b"WARC/1.1"):
+            pos = start + 7  # lookalike (WARC/1.5…): keep scanning
+            continue
         hdr_end = data.find(b"\r\n\r\n", start)
         if hdr_end < 0:
             return
         headers = {}
-        for line in data[start:hdr_end].decode("utf-8").split("\r\n")[1:]:
+        for line in (
+            data[start:hdr_end]
+            .decode("utf-8", errors="replace")
+            .split("\r\n")[1:]
+        ):
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        n = int(headers.get("content-length", "0"))
+        try:
+            n = max(int(headers.get("content-length", "0")), 0)
+        except ValueError:
+            n = 0
         body = data[hdr_end + 4 : hdr_end + 4 + n]
         pos = hdr_end + 4 + n
         wtype = headers.get("warc-type")

@@ -139,6 +139,9 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--dsir-weights and --dsir-target go together")
     if args.psl_rules and not args.mix_weights:
         ap.error("--psl-rules keys the --mix-weights table; pass both")
+    if args.fuzzy_tau is not None and not args.decontaminate:
+        ap.error("--fuzzy-tau needs --decontaminate (the eval set "
+                 "both probes run against)")
 
     from jobs.extract_job import build_session
 

@@ -599,7 +599,13 @@ def main(argv: list[str] | None = None) -> None:
 
         # digest over the RAW payload (the archive dedup unit — what
         # the crawler stored), never the extraction; map-only until
-        # the (url, digest)-keyed classify
+        # the (url, digest)-keyed classify.  This is a deliberate
+        # SECOND pass over the input: persisting `pages` to avoid it
+        # would cache raw payload bytes (the one thing that must
+        # never be cached at 100 TB), while this pass projects only
+        # (url, warc_ts, md5(html)) — parquet inputs prune to those
+        # columns at the scan, and WARC inputs should land parquet
+        # first per SCALE.md's ingest guidance
         caps = pages.select(
             "url", "warc_ts", F.md5(F.col("html")).alias("digest")
         )
@@ -661,17 +667,20 @@ def main(argv: list[str] | None = None) -> None:
         wat_sidecar(dom_pages, links_df, meta_df).select(
             "wat"
         ).write.mode("append").text(args.wat)
-    if args.anchors:
-        from clara_ocr_spark.stages.links import top_anchor_text
-
+    if args.anchors or args.reciprocity:
         # whole-crawl discipline when the cumulative --links sink
-        # exists (it appends across --incremental runs): elect over
-        # everything harvested, never just this delta; overwrite —
-        # the ledger is a pure function of the harvest (the
-        # --sitemap-out precedent)
+        # exists (it appends across --incremental runs): both ledgers
+        # read everything harvested, never just this delta, and are
+        # pure functions of the harvest (overwrite — the
+        # --sitemap-out precedent).  ONE read shared by both sinks
+        # (review finding: two independent spark.read.parquet calls
+        # scanned the cumulative harvest twice when both flags ran).
         all_links = (
             spark.read.parquet(args.links) if args.links else links_df
         )
+    if args.anchors:
+        from clara_ocr_spark.stages.links import top_anchor_text
+
         top_anchor_text(all_links).write.mode("overwrite").parquet(
             args.anchors
         )
@@ -681,12 +690,6 @@ def main(argv: list[str] | None = None) -> None:
             reciprocity_ledger,
         )
 
-        # same whole-crawl discipline as --anchors: the ledger is a
-        # pure function of the harvest, so overwrite over the
-        # cumulative --links table when that sink exists
-        all_links = (
-            spark.read.parquet(args.links) if args.links else links_df
-        )
         reciprocity_ledger(host_graph(all_links)).write.mode(
             "overwrite"
         ).parquet(args.reciprocity)

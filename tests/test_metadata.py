@@ -414,6 +414,9 @@ def test_warc_revisit_dedup_classify_and_export(spark, tmp_path):
             ("https://r.example/a", ts(2), "d1"),   # revisit of 01:00
             ("https://r.example/a", ts(3), "d2"),   # changed -> response
             ("https://r.example/b", ts(4), "d9"),
+            # NULL digest (e.g. md5 of a NULL payload): no dedup key,
+            # must classify response — an inner join would DROP it
+            ("https://r.example/nul", ts(5), None),
         ],
         "url string, warc_ts timestamp, digest string",
     )
@@ -429,12 +432,13 @@ def test_warc_revisit_dedup_classify_and_export(spark, tmp_path):
     assert got[("https://r.example/a", 2)][1].hour == 1
     assert got[("https://r.example/a", 3)] == ("response", None)
     assert got[("https://r.example/b", 4)] == ("response", None)
+    assert got[("https://r.example/nul", 5)] == ("response", None)
 
     # export: conversions for the responses + pointers for the rest,
     # one mixed file; the reader must surface exactly the conversions
-    resp = cl.filter(cl.wtype == "response").select(
-        "url", "warc_ts", F.lit("body text").alias("text")
-    )
+    resp = cl.filter(
+        (cl.wtype == "response") & cl.digest.isNotNull()
+    ).select("url", "warc_ts", F.lit("body text").alias("text"))
     out = tmp_path / "mixed"
     to_wet_records(resp).unionAll(
         to_warc_revisit_records(cl)
@@ -445,6 +449,11 @@ def test_warc_revisit_dedup_classify_and_export(spark, tmp_path):
         open(f, "rb").read() for f in sorted(glob.glob(f"{out}/part-*"))
     )
     assert data.count(b"WARC-Type: revisit") == 1
+    # version + framing: revisit records declare WARC/1.1 (the
+    # Refers-To-Date / profile-URI vocabulary) and terminate with the
+    # full header-block CRLF + two record CRLFs
+    assert data.count(b"WARC/1.1\r\nWARC-Type: revisit") == 1
+    assert data.count(b"Content-Length: 0\r\n\r\n\r\n\r\n") == 1
     assert (
         data.count(
             b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
@@ -484,6 +493,35 @@ def test_parse_warc_bytes_corrupt_gzip_salvages_prefix():
     ]
     assert list(_parse_warc_bytes(b"\x1f\x8bXX")) == []
     assert list(_parse_warc_bytes(b"\x1f\x8b\x08\x00garbage")) == []
+
+
+def test_parse_warc_bytes_hostile_headers_and_versions():
+    """Non-UTF-8 header bytes, malformed/negative Content-Length and
+    lookalike version lines (WARC/1.5) must never raise; WARC/1.1
+    records (the revisit composer's version) parse like 1.0 ones."""
+    from clara_ocr_spark.sources.formats import _parse_warc_bytes
+
+    assert list(_parse_warc_bytes(b"WARC/1.0\r\n\xff\xfe\r\n\r\n")) == []
+    assert (
+        list(_parse_warc_bytes(b"WARC/1.0\r\nContent-Length: xyz\r\n\r\n"))
+        == []
+    )
+    assert (
+        list(
+            _parse_warc_bytes(b"WARC/1.0\r\nContent-Length: -5\r\n\r\nabc")
+        )
+        == []
+    )
+    rec11 = (
+        b"WARC/1.1\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://v.example/a\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    assert [u for u, *_ in _parse_warc_bytes(rec11)] == [
+        "https://v.example/a"
+    ]
+    assert list(_parse_warc_bytes(b"WARC/1.5\r\nnope\r\n\r\n" + rec11))
 
 
 @settings(max_examples=150, deadline=None)
