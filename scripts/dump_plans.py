@@ -347,6 +347,15 @@ def main() -> None:
         "re-executed the whole pair subtree; observed and fixed).",
     )
 
+    add(
+        "warc_revisit_dedup (archive storage dedup, final r5)",
+        REGISTRY["warc_revisit_dedup"][0](spark, SF),
+        "TWO (url, digest)-keyed Exchanges — the min-aggregate build\n"
+        "and the probe co-partition (LEFT join so NULL-keyed captures\n"
+        "classify response instead of dropping) — carrying digests\n"
+        "and sizes, never payloads; the rollup is 2 rows.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
