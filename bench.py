@@ -134,6 +134,9 @@ HEADLINE = [
     "fuzzy_decontaminate",  # added r5: MinHash-LSH benchmark probe
     "reciprocal_link_audit",  # added r5: link-farm reciprocity ledger
     "warc_revisit_dedup",  # added r5: WARC identical-payload storage dedup
+    "bitext_margin_mine",  # added r5: CCMatrix margin-based bitext mining
+    "snapshot_drift_kl",  # added r5: crawl-snapshot drift ledger
+    "nb_confidence_calibration",  # added r5: NB reliability bins
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

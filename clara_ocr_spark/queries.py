@@ -1352,6 +1352,160 @@ coalesce(round(list_sum(list_transform(generate_series(1,{EMB_DIM}),
         k -> cast(b.v[k] as double)**2)))), 4), -2.0)
 """.strip()
 
+#: Bitext-mining knobs: k-NN neighborhood size for the two margin
+#: denominators, and the per-mille ratio-margin acceptance threshold
+#: (1.100 — between the published 1.06 "loose" and 1.2 "strict" CCMatrix
+#: operating points; on this corpus it mines ~half the src side).
+_BITEXT_K = 4
+_BITEXT_TAU_PM = 1100
+
+
+@q(
+    "bitext_margin_mine",
+    f"""
+    with e as (select vec_id, embedding from embeddings),
+    src as (select vec_id, embedding as v from e where vec_id % 2 = 0),
+    tgt as (select vec_id, embedding as v from e where vec_id % 2 = 1),
+    p as (select a.vec_id as s_id, b.vec_id as t_id,
+                 cast(round(({_COS_AB_DUCK}) * 10000) as bigint) as cos_q
+          from src a join tgt b on true),
+    fwd as (select s_id, cast(sum(cos_q) as bigint) as sum_f
+            from (select s_id, cos_q, row_number() over
+                    (partition by s_id order by cos_q desc, t_id) as rn
+                  from p)
+            where rn <= {_BITEXT_K} group by s_id),
+    bwd as (select t_id, cast(sum(cos_q) as bigint) as sum_b
+            from (select t_id, cos_q, row_number() over
+                    (partition by t_id order by cos_q desc, s_id) as rn
+                  from p)
+            where rn <= {_BITEXT_K} group by t_id),
+    m as (select p.s_id, p.t_id, p.cos_q,
+                 ({2 * 1000 * _BITEXT_K} * p.cos_q) // (f.sum_f + w.sum_b)
+                   as margin_pm
+          from p
+          join fwd f on p.s_id = f.s_id
+          join bwd w on p.t_id = w.t_id
+          where p.cos_q > 0 and f.sum_f + w.sum_b > 0)
+    select s_id, t_id, cos_q, margin_pm
+    from (select *, row_number() over
+            (partition by s_id order by margin_pm desc, t_id) as rn
+          from m)
+    where rn = 1 and margin_pm >= {_BITEXT_TAU_PM}
+    """,
+)
+def bitext_margin_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    CCMatrix/CCAligned parallel-corpus miner): the embedding corpus is
+    split into two "language sides" (vec_id parity — the fixed-schema
+    analogue of a src/tgt pair of multilingual-encoder spaces), every
+    cross-side pair is cosine-scored, and a pair is mined when its
+    RATIO MARGIN — cosine over the mean of the two endpoints' k-NN
+    neighborhood cosines — clears the threshold.  The margin cancels
+    hubness: a vector globally similar to everything carries a high
+    neighborhood mean and never clears it.
+
+    Cross-engine exactness (the nb_lang_classifier milli-nat
+    discipline): cosines are quantized to integer 1e-4 units, the two
+    neighborhood denominators are integer top-k sums (deterministic
+    (cos_q desc, id) order), and the margin is ONE integer division
+    margin_pm = 2k·1000·cos_q div (sum_f + sum_b) over strictly
+    positive operands — no float crosses an aggregation or ranking
+    boundary, so partial-agg order cannot perturb the mined set.
+
+    Scale shape: the exact all-pairs table is the oracle-verifiable
+    baseline; at 100 TB the pair table is REPLACED by the IVF/LSH
+    candidate table (`ivf_topk` / `embedding_lsh_buckets` — forward
+    and backward probes share one banded index, built once) and the
+    margin algebra downstream is UNCHANGED: two per-endpoint partial
+    top-k aggregates (map-side combinable) and one equi-join back,
+    with bare (id, cos_q) keys in every shuffle — vectors never travel
+    with the pair table.  Reference analogue: the two-sided acceptance
+    mirrors classify's cheap-filter → mutual-best pattern election
+    (symbol.c:3420-3463) — a candidate must beat BOTH endpoints'
+    neighborhoods, not one."""
+    e = _emb(spark, sf_dir)
+    # round-robin fan-out of the probe side first: the embeddings scan
+    # is a few parquet splits, which would cap the cross-product stage
+    # at the file count (measured: the whole cosine stage serialized
+    # into ONE task without it)
+    n_parts = spark.sparkContext.defaultParallelism
+    # norms hoisted to once PER VECTOR (the near_dup_cosine r4 fix):
+    # inline _cos_arrays would re-run both 64-term norm folds on every
+    # PAIR — 2/3 of the cross-product stage's work for values that only
+    # depend on one side (measured ~2× on this query at sf0.1)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    src = (
+        e.filter(F.col("vec_id") % 2 == 0)
+        .select(
+            F.col("vec_id").alias("s_id"),
+            F.col("v").alias("sv"),
+            nrm.alias("s_nrm"),
+        )
+        .repartition(n_parts)
+    )
+    tgt = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("v").alias("tv"),
+        nrm.alias("t_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("tv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    # same -2.0 zero-norm sentinel and operation order as _cos_arrays
+    # (nrm(a)*nrm(b) then one divide), so oracle parity is bitwise
+    nprod = F.col("s_nrm") * F.col("t_nrm")
+    cos = F.when(nprod > 0, dot / nprod).otherwise(F.lit(-2.0))
+    cos_q = F.round(F.round(cos, 4) * 10000).cast("bigint")
+    # the quantized pair table is materialized ONCE (lazy
+    # localCheckpoint, the _near_dup_pairs discipline): its three
+    # consumers below (fwd top-k, bwd top-k, margin join) would
+    # otherwise EACH recompute every 64-dim cosine (measured 3×); the
+    # materialized rows are bare (id, id, int) — vectors stay out
+    p = (
+        src.crossJoin(tgt)
+        .select("s_id", "t_id", cos_q.alias("cos_q"))
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("s_id").orderBy(F.desc("cos_q"), F.asc("t_id"))
+    wb = Window.partitionBy("t_id").orderBy(F.desc("cos_q"), F.asc("s_id"))
+    fwd = (
+        p.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("s_id")
+        .agg(F.sum("cos_q").cast("bigint").alias("sum_f"))
+    )
+    bwd = (
+        p.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("t_id")
+        .agg(F.sum("cos_q").cast("bigint").alias("sum_b"))
+    )
+    m = (
+        p.join(fwd, "s_id")
+        .join(bwd, "t_id")
+        .filter((F.col("cos_q") > 0) & (F.col("sum_f") + F.col("sum_b") > 0))
+        .withColumn(
+            "margin_pm",
+            F.expr(f"({2 * 1000 * _BITEXT_K} * cos_q) div (sum_f + sum_b)"),
+        )
+    )
+    best = Window.partitionBy("s_id").orderBy(
+        F.desc("margin_pm"), F.asc("t_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(best))
+        .filter((F.col("rn") == 1) & (F.col("margin_pm") >= _BITEXT_TAU_PM))
+        .select("s_id", "t_id", "cos_q", "margin_pm")
+    )
+
 
 def _near_dup_pairs(
     spark, sf_dir, tau: float, n_planes: int = N_PLANES
@@ -5259,12 +5413,16 @@ def pack_token_budget(spark, sf_dir):
     )
 
 
-@q(
-    "nb_lang_classifier",
-    f"""
-    with d as (select doc_id, lang,
-                      {_TOK_DUCK.format(x='lower(text)')} as ws
-               from documents),
+#: Shared NB CTE prefix — training (counts, priors, Laplace smoothing,
+#: integer milli-nat quantization) and test-slice scoring, through the
+#: ``scored`` relation (doc_id, actual, lang, score).  Reused by
+#: nb_lang_classifier (argmax → confusion matrix) and
+#: nb_confidence_calibration (top1−top2 margin → reliability bins), so
+#: both oracles score with the IDENTICAL model algebra.
+_NB_SCORED_DUCK = f"""
+    d as (select doc_id, lang,
+                 {_TOK_DUCK.format(x='lower(text)')} as ws
+          from documents),
     tr as (select * from d where doc_id % 5 <> 0),
     te as (select * from d where doc_id % 5 = 0),
     trt as (select lang, u.w from tr, unnest(tr.ws) as u(w)),
@@ -5295,7 +5453,14 @@ def pack_token_budget(spark, sf_dir):
                from tet cross join langs
                left join llr on llr.lang = langs.lang and llr.w = tet.w
                group by tet.doc_id, tet.actual, langs.lang,
-                        langs.prior_m),
+                        langs.prior_m)
+""".strip()
+
+
+@q(
+    "nb_lang_classifier",
+    f"""
+    with {_NB_SCORED_DUCK},
     pred as (select doc_id, actual, lang as predicted from
                (select doc_id, actual, lang,
                        row_number() over (partition by doc_id
@@ -5322,6 +5487,24 @@ def nb_lang_classifier(spark, sf_dir):
     analogue: the classifier pipeline mirrors how the reference's
     shape classifier votes per-symbol class from trained pattern
     statistics (classify tallies, pattern.c)."""
+    scored = _nb_scored(spark, sf_dir)
+    rn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("lang").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _nb_scored(spark, sf_dir) -> DataFrame:
+    """The NB model's ``scored`` relation (doc_id, actual, lang,
+    score): per-(doc, lang) integer milli-nat log-posterior over the
+    doc_id % 5 == 0 test slice, trained on the other 80%.  Shared by
+    nb_lang_classifier and nb_confidence_calibration — the Spark twin
+    of ``_NB_SCORED_DUCK``."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", _tokens(F.lower(F.col("text"))).alias("ws")
     )
@@ -5385,14 +5568,106 @@ def nb_lang_classifier(spark, sf_dir):
         )
         .select("doc_id", "actual", "lang", "score")
     )
-    rn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    pred = (
-        scored.withColumn("rn", F.row_number().over(rn))
-        .filter(F.col("rn") == 1)
-        .select("actual", F.col("lang").alias("predicted"))
+    return scored
+
+
+@q(
+    "nb_confidence_calibration",
+    f"""
+    with {_NB_SCORED_DUCK},
+    ntok as (select doc_id, cast(len(ws) as bigint) as n_tok from te),
+    ranked as (select doc_id, actual, lang, score,
+                      row_number() over (partition by doc_id
+                        order by score desc, lang) as rn
+               from scored),
+    perdoc as (select a.doc_id,
+                      case when a.lang = a.actual then 1 else 0 end as ok,
+                      (a.score - b.score) // greatest(n.n_tok, 1)
+                        as pt_margin
+               from ranked a
+               join ranked b on a.doc_id = b.doc_id
+                            and a.rn = 1 and b.rn = 2
+               join ntok n on a.doc_id = n.doc_id)
+    select cast(least(9, pt_margin // 5) as int) as conf_bin,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(pt_margin) as bigint) // count(*) as mean_pt_margin,
+           (1000 * cast(sum(ok) as bigint)) // count(*) as acc_pm
+    from perdoc group by 1
+    """,
+)
+def nb_confidence_calibration(spark, sf_dir):
+    """Classifier-confidence calibration (the reliability-diagram pass
+    run before a quality/language classifier's scores gate a training
+    corpus — FineWeb-Edu-style threshold picking needs to know whether
+    "more confident" actually means "more correct"): per test doc the
+    NB confidence is the top1−top2 score margin NORMALIZED PER TOKEN
+    (NB log-posteriors grow linearly with doc length; an unnormalized
+    margin would bin long docs as "confident" regardless of evidence),
+    binned into 5-milli-nat-per-token buckets capped at bin 9, with
+    per-bin observed accuracy in exact per-mille integers.  Reading
+    acc_pm against conf_bin IS the calibration curve; a threshold for
+    corpus gating is picked where acc_pm clears the target.
+
+    Cross-engine exactness: scores are already integer milli-nats
+    (``_nb_scored``), the margin/normalization/bin/accuracy algebra is
+    ALL integer division over non-negative operands — nothing floats.
+
+    Scale shape: ranking is a per-doc window (natural partition key),
+    the margin join is doc-keyed, and the final rollup has 10 groups —
+    map-side partials everywhere; the model tables inside _nb_scored
+    broadcast exactly as in nb_lang_classifier.  Docs whose test text
+    has no tokens carry no scored rows and drop (the classifier's own
+    contract); docs scored against a single trained language have no
+    rn=2 row and drop from CALIBRATION only (no margin is defined).
+    Reference analogue: the classifier-confidence cutoff of
+    uncertain(tc) doubt ranking (clara.c:3447-3487) — this query
+    measures what a cutoff BUYS instead of asserting it."""
+    scored = _nb_scored(spark, sf_dir)
+    rnw = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("lang")
     )
-    return pred.groupBy("actual", "predicted").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    ranked = scored.withColumn("rn", F.row_number().over(rnw))
+    top1 = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.when(F.col("lang") == F.col("actual"), 1).otherwise(0).alias("ok"),
+        F.col("score").alias("s1"),
+    )
+    top2 = ranked.filter(F.col("rn") == 2).select(
+        "doc_id", F.col("score").alias("s2")
+    )
+    ntok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.size(_tokens(F.lower(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+    )
+    perdoc = (
+        top1.join(top2, "doc_id")
+        .join(ntok, "doc_id")
+        .select(
+            "ok",
+            F.expr("(s1 - s2) div greatest(n_tok, 1)").alias("pt_margin"),
+        )
+    )
+    return (
+        perdoc.groupBy(
+            F.least(F.lit(9), F.expr("pt_margin div 5"))
+            .cast("int")
+            .alias("conf_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("cast(sum(pt_margin) as bigint) div count(*)").alias(
+                "mean_pt_margin"
+            ),
+            F.expr("(1000 * cast(sum(ok) as bigint)) div count(*)").alias(
+                "acc_pm"
+            ),
+        )
     )
 
 
@@ -6813,6 +7088,107 @@ def ngram_lm_score(spark, sf_dir):
         F.round(F.avg("nll"), 3).alias("avg_nll"),
         F.round(F.min("nll"), 3).alias("best_nll"),
         F.round(F.max("nll"), 3).alias("worst_nll"),
+    )
+
+
+#: Drift-ledger vocabulary gate: terms below this total count stay out
+#: of the ledger.  At web scale this bounds V (the ledger is the FREQUENT
+#: vocabulary — rare-term drift is noise at any corpus size); on the sf
+#: corpus the full 31-term vocabulary clears it, so the gate is exercised
+#: by the edge corpus (where only the 8× repeated token survives).
+_DRIFT_MIN_CNT = 8
+
+
+@q(
+    "snapshot_drift_kl",
+    f"""
+    with tok as (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+                 from documents),
+    t as (select doc_id % 2 as slice, u.w as term
+          from tok, unnest(tok.ws) as u(w)),
+    c as (select term,
+                 cast(sum(case when slice = 0 then 1 else 0 end) as bigint)
+                   as cnt_a,
+                 cast(sum(case when slice = 1 then 1 else 0 end) as bigint)
+                   as cnt_b
+          from t group by term),
+    kept as (select * from c where cnt_a + cnt_b >= {_DRIFT_MIN_CNT}),
+    tot as (select cast(sum(cnt_a) as bigint) as tot_a,
+                   cast(sum(cnt_b) as bigint) as tot_b,
+                   cast(count(*) as bigint) as v
+            from kept),
+    lr as (select term, cnt_a, cnt_b,
+                  cast(round(ln(((cnt_a + 1.0) * (tot_b + v))
+                                / ((cnt_b + 1.0) * (tot_a + v))) * 1000)
+                       as bigint) as lr_m
+           from kept cross join tot)
+    select term, cnt_a, cnt_b, lr_m, (cnt_a + 1) * lr_m as contrib_m
+    from lr
+    """,
+)
+def snapshot_drift_kl(spark, sf_dir):
+    """Crawl-snapshot distribution-drift ledger: the corpus QA pass
+    run before a new Common-Crawl snapshot joins a training mix
+    (C4 → CC-MAIN-20xx drift, the "is this month's crawl the same
+    language?" check).  The corpus is split into two snapshots
+    (doc_id parity — the fixed-schema analogue of two crawl dates),
+    per-snapshot term distributions are add-one smoothed over the
+    SHARED frequent vocabulary, and each term carries its
+    log-probability ratio lr_m = round(ln(p_a/p_b)·1000) (integer
+    milli-nats) plus an unnormalized KL(a‖b) contribution
+    contrib_m = (cnt_a+1)·lr_m — integer, so the ledger can be
+    summed/ranked downstream with exact arithmetic (sum of contrib_m
+    over the ledger ∝ the corpus drift score).
+
+    Cross-engine exactness: counts and totals are integers; the
+    single ln() per TERM runs over a ratio of exactly-representable
+    integer products (< 2^53) and is quantized to milli-nats — the
+    ngram_lm_score / nb_lang_classifier discipline.
+
+    Scale shape: one explode → one (term)-keyed partial-aggregating
+    groupBy (counts only — text never shuffles); the totals row is a
+    second tiny aggregate CROSS-JOINED back (broadcast, 1 row, the
+    domain_mix_weights pattern — never a window over an unpartitioned
+    frame); the vocabulary gate bounds the ledger to the frequent
+    vocab at any corpus size.  Reference analogue: the per-source
+    statistics report of write_report (clara.c:3361-3381) — corpus
+    health counters rolled up per slice — extended to a two-slice
+    comparison."""
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    c = d.groupBy("term").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_b"),
+    )
+    kept = c.filter(F.col("cnt_a") + F.col("cnt_b") >= _DRIFT_MIN_CNT)
+    tot = kept.agg(
+        F.sum("cnt_a").cast("bigint").alias("tot_a"),
+        F.sum("cnt_b").cast("bigint").alias("tot_b"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lr_m = F.round(
+        F.log(
+            ((F.col("cnt_a") + F.lit(1.0)) * (F.col("tot_b") + F.col("v")))
+            / ((F.col("cnt_b") + F.lit(1.0)) * (F.col("tot_a") + F.col("v")))
+        )
+        * 1000
+    ).cast("bigint")
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select("term", "cnt_a", "cnt_b", lr_m.alias("lr_m"))
+        .select(
+            "term",
+            "cnt_a",
+            "cnt_b",
+            "lr_m",
+            ((F.col("cnt_a") + 1) * F.col("lr_m")).alias("contrib_m"),
+        )
     )
 
 
@@ -8639,6 +9015,17 @@ def warc_revisit_dedup(spark, sf_dir):
 # range_filter [scan_sink], argmax_per_group [window_order]).  The
 # displaced four stay r3-signed and locally re-verified at two scales
 # every run.
+#
+# Continuation-r5 amendment: three operators landed in the round's
+# continuation session (bitext_margin_mine — CCMatrix margin-based
+# bitext mining; snapshot_drift_kl — crawl-snapshot term-distribution
+# drift ledger; nb_confidence_calibration — classifier reliability
+# bins).  Never-signed outranks rotation refreshes, so they displace
+# three r1/r2 refreshes whose queries stay r1/r2-signed and whose
+# families keep fresh reps (value_histogram → range_filter [r4,
+# scan_sink]; point_lookup and distinct_classes are standalone
+# trivial lookups with no family constraint) — all three displaced
+# queries remain locally re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -8663,6 +9050,9 @@ DRIVER_WINDOW = [
     "cdc_chunk_dedup",        # LLM content-defined-chunking dedup
     "c4_gopher_rules",        # LLM named C4+Gopher rule battery
     "blocklist_term_filter",  # LLM blocklist-term gate
+    "bitext_margin_mine",     # LLM margin-based bitext mining (cont. r5)
+    "snapshot_drift_kl",      # LLM crawl-snapshot drift ledger (cont. r5)
+    "nb_confidence_calibration",  # LLM reliability bins (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     "cosine_topk",            # LLM brute-force cosine top-k
@@ -8672,13 +9062,10 @@ DRIVER_WINDOW = [
     "funnel_conversion",      # §2.5 funnel windows
     "rolling_value_range",    # §2.5 rolling range
     "doc_fingerprints",       # LLM rolling-hash fingerprints
-    "point_lookup",           # §2.2 symbol_at point lookup
-    "distinct_classes",       # §2.4 count_classes
     "embedding_lsh_buckets",  # LLM hyperplane-LSH buckets
     "top_sources_by_chars",   # §2.5 multi-key ordering
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
     "quality_scores",         # LLM heuristic quality gate
-    "value_histogram",        # §2.1/§2.4 loadpgm histogram
     "token_stats",            # §2.4 per-page token counters
     "json_props_stats",       # §2.7 JSON property extraction
     "revenue_by_nation",      # §2.3/§2.4 broadcast dim join + agg

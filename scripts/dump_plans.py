@@ -356,6 +356,28 @@ def main() -> None:
         "and sizes, never payloads; the rollup is 2 rows.",
     )
 
+    add(
+        "bitext_margin_mine (margin-based bitext mining, cont. r5)",
+        REGISTRY["bitext_margin_mine"][0](spark, SF),
+        "The quantized (s_id, t_id, cos_q) pair table materializes ONCE\n"
+        "(localCheckpoint) after a round-robin fan-out — its three\n"
+        "consumers (fwd/bwd top-k denominators, margin join) would each\n"
+        "recompute every 64-dim cosine otherwise — with norms hoisted to\n"
+        "once per VECTOR; both top-k sums prune map-side via\n"
+        "WindowGroupLimit; every downstream shuffle carries bare\n"
+        "(id, id, int) rows.  At 100 TB the pair table is the IVF/LSH\n"
+        "candidate set; the margin algebra is unchanged.",
+    )
+
+    add(
+        "snapshot_drift_kl (crawl-snapshot drift ledger, cont. r5)",
+        REGISTRY["snapshot_drift_kl"][0](spark, SF),
+        "One explode -> ONE term-keyed partial-aggregating groupBy\n"
+        "(counts only — text never shuffles); the totals return as a\n"
+        "1-row broadcast cross join (the domain_mix_weights pattern),\n"
+        "never a window over the unpartitioned vocabulary.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

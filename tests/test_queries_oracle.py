@@ -161,6 +161,11 @@ def test_driver_window_invariants():
         "web_revisit": {"revisit_policy"},
         "llm_fuzzy_decontam": {"fuzzy_decontaminate", "decontaminate"},
         "web_linkfarm": {"reciprocal_link_audit", "host_mirror_jaccard"},
+        # continuation-r5 additions (lead the r5 window, never-signed
+        # until CORRECTNESS_r05)
+        "llm_bitext": {"bitext_margin_mine"},
+        "llm_drift": {"snapshot_drift_kl"},
+        "llm_calibration": {"nb_confidence_calibration"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -233,6 +238,13 @@ EDGE_QUERIES = [
     # false-positive), and whitespace-only docs all flow through the
     # regexp/normalize paths
     "soft404_ledger", "mojibake_audit", "nfc_normalize_audit",
+    # continuation r5: the drift ledger's vocab gate must keep its edge
+    # output nonempty (only the 8x-repeated token clears it) and empty
+    # docs must tokenize to zero drift rows; the calibration query must
+    # survive a test slice whose docs are empty (doc 0 drops — no
+    # scored rows) or single-language-dominant (top2 margin defined
+    # because three langs train)
+    "snapshot_drift_kl", "nb_confidence_calibration",
 ]
 
 
