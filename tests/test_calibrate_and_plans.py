@@ -302,3 +302,21 @@ def test_hits_topk_plan_not_global_window(spark, sf001):
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             assert "partial_max" in lines[i + 1], lines[i : i + 2]
+
+
+def test_bitext_margin_plan_shape(spark, sf001):
+    """The bitext miner's margin plan must consume the ONCE-materialized
+    quantized pair table (Scan ExistingRDD from the lazy
+    localCheckpoint) everywhere — no parquet scan and no cross-product
+    operator may survive into the margin/top-k subtree, or each of the
+    three consumers would recompute every 64-dim cosine (measured 3×
+    before the checkpoint landed; BENCH.md round-5 continuation).  Both
+    neighborhood top-k sums must pre-prune map-side via
+    WindowGroupLimit, and nothing may funnel the pair table through a
+    SinglePartition exchange."""
+    plan = _plan(REGISTRY["bitext_margin_mine"][0](spark, sf001))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
