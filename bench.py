@@ -137,6 +137,8 @@ HEADLINE = [
     "bitext_margin_mine",  # added r5: CCMatrix margin-based bitext mining
     "snapshot_drift_kl",  # added r5: crawl-snapshot drift ledger
     "nb_confidence_calibration",  # added r5: NB reliability bins
+    "minhash_jaccard_error",  # added r5: sketch estimator-error audit
+    "tokenizer_fertility",  # added r5: tokenizer-equity premium table
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

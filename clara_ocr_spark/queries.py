@@ -532,6 +532,89 @@ def bpe_token_stats(spark, sf_dir):
     )
 
 
+@q(
+    "tokenizer_fertility",
+    f"""
+    with t as (select lang, n_chars,
+                 len(regexp_extract_all(text, '{_BPE_RE_SQL}')) as n_bpe,
+                 len({_TOK_DUCK.format(x='text')}) as n_ws
+               from documents),
+    per as (select lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_bpe) as bigint) as tot_bpe,
+                   cast(sum(n_ws) as bigint) as tot_ws,
+                   cast(sum(n_chars) as bigint) as tot_chars
+            from t group by lang),
+    f as (select lang, n_docs,
+                 (1000 * tot_bpe) // greatest(tot_ws, 1) as fert_pm,
+                 (1000 * tot_chars) // greatest(tot_bpe, 1) as cpt_pm
+          from per),
+    base as (select max(case when lang = 'en' then fert_pm end) as en_fert
+             from f)
+    select lang, n_docs, fert_pm, cpt_pm,
+           (1000 * fert_pm) // greatest(en_fert, 1) as premium_pm
+    from f cross join base
+    """,
+)
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-equity audit (the multilingual "tokenizer premium"
+    measurement — languages whose scripts fragment into more subword
+    tokens per word pay proportionally more of a fixed training/
+    inference token budget; the published parity studies report
+    exactly this per-language fertility table before a tokenizer is
+    frozen).  Per language: corpus-level fertility (BPE-ish segments
+    per whitespace word), compression (chars per segment), and the
+    premium relative to the English baseline — premium_pm > 1000
+    means the language pays more tokens for the same text volume.
+
+    Cross-engine exactness: corpus-level ratios are integer per-mille
+    divisions over summed counts (never averaged per-doc floats); the
+    English baseline returns as a 1-row cross join (both engines'
+    greatest() ignores the NULL of a corpus with no English slice, so
+    the premium column degenerates identically rather than diverging
+    NULL-vs-value).
+
+    Scale shape: one map-only segmentation pass (the shared
+    lookahead-free GPT-2-shape regex, JVM-side) feeding one |langs|-
+    sized partial-aggregating groupBy; the baseline is a second tiny
+    aggregate CROSS-JOINED back (broadcast, 1 row — the
+    domain_mix_weights pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    n_ws = F.size(_tokens(F.col("text")))
+    t = d.select(
+        "lang", "n_chars", n_bpe.alias("n_bpe"), n_ws.alias("n_ws")
+    )
+    per = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("tot_bpe"),
+        F.sum("n_ws").cast("bigint").alias("tot_ws"),
+        F.sum("n_chars").cast("bigint").alias("tot_chars"),
+    )
+    f = per.select(
+        "lang",
+        "n_docs",
+        F.expr("(1000 * tot_bpe) div greatest(tot_ws, 1)").alias("fert_pm"),
+        F.expr("(1000 * tot_chars) div greatest(tot_bpe, 1)").alias(
+            "cpt_pm"
+        ),
+    )
+    base = f.agg(
+        F.max(F.when(F.col("lang") == "en", F.col("fert_pm"))).alias(
+            "en_fert"
+        )
+    )
+    return f.crossJoin(F.broadcast(base)).select(
+        "lang",
+        "n_docs",
+        "fert_pm",
+        "cpt_pm",
+        F.expr("(1000 * fert_pm) div greatest(en_fert, 1)").alias(
+            "premium_pm"
+        ),
+    )
+
+
 _STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
 _STOP_DE = ["der", "die", "das", "und", "ist", "ein", "mit"]
 _STOP_ES = ["el", "la", "los", "y", "de", "en", "es"]
@@ -940,6 +1023,98 @@ def ngram_jaccard_pairs(spark, sf_dir):
         )
         .filter(F.col("_j") >= 0.5)
         .drop("_j")
+    )
+
+
+@q(
+    "minhash_jaccard_error",
+    f"""
+    with t as (select doc_id, {_GRAMS_DUCK} as grams
+               from (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+                     from documents where doc_id < 40)),
+    s as (select doc_id,
+                 list_distinct(grams) as gs,
+                 list_aggregate(list_transform(grams,
+                   g -> substring(md5(g), 1, 8)), 'min') as s1,
+                 list_aggregate(list_transform(grams,
+                   g -> substring(md5(g), 9, 8)), 'min') as s2,
+                 list_aggregate(list_transform(grams,
+                   g -> substring(md5(g), 17, 8)), 'min') as s3,
+                 list_aggregate(list_transform(grams,
+                   g -> substring(md5(g), 25, 8)), 'min') as s4
+          from t),
+    p as (select
+            cast(250 * (case when a.s1 = b.s1 then 1 else 0 end
+                      + case when a.s2 = b.s2 then 1 else 0 end
+                      + case when a.s3 = b.s3 then 1 else 0 end
+                      + case when a.s4 = b.s4 then 1 else 0 end)
+                 as int) as est_pm,
+            cast(1000 * cast(len(list_intersect(a.gs, b.gs)) as bigint)
+                 as bigint)
+              // greatest(cast(len(list_distinct(a.gs || b.gs)) as bigint),
+                          1) as true_pm
+          from s a join s b on a.doc_id < b.doc_id)
+    select est_pm,
+           cast(count(*) as bigint) as n_pairs,
+           cast(sum(abs(est_pm - true_pm)) as bigint) // count(*)
+             as mean_abs_err_pm,
+           cast(sum(true_pm) as bigint) // count(*) as mean_true_pm
+    from p group by est_pm
+    """,
+)
+def minhash_jaccard_error(spark, sf_dir):
+    """MinHash estimator-error audit (the honest-measurement companion
+    to `minhash_signatures`/`lsh_band_buckets`, the same discipline as
+    `ivf_recall` and `hll_estimate`: MEASURE what the sketch costs
+    instead of asserting it).  For every pair in a bounded audit set,
+    the 4-permutation signature estimate (matching components / 4 —
+    the only unbiased estimator the 4-chunk md5 signature supports) is
+    compared against TRUE gram-set Jaccard; the rollup per estimate
+    level shows the estimator's coarseness — exactly why the LSH tier
+    is only a CANDIDATE GENERATOR and the pipeline always re-verifies
+    with exact Jaccard (`dedup_canonicalize`'s verify stage).
+
+    Cross-engine exactness: both quantities are integer per-mille
+    (est_pm in 0/250/500/750/1000, true_pm = 1000·|∩| div |∪| with
+    |∪| ≥ 1 by the degenerate-gram contract), the error/means are
+    integer division — nothing floats.
+
+    Scale shape: the audit set is bounded (a production run samples
+    pairs from the LSH candidate stream instead — same algebra); the
+    signature fold is ONE md5 per gram (`_minhash_sig`), the rollup is
+    a ≤5-group aggregate with map-side partials."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
+        )
+        .select("doc_id", _grams(F.col("ws")).alias("grams"))
+    )
+    sig = _minhash_sig(F.col("grams"), 4)
+    s = d.select(
+        "doc_id",
+        F.array_distinct(F.col("grams")).alias("gs"),
+        *[F.element_at(sig, i + 1).alias(f"s{i + 1}") for i in range(4)],
+    )
+    a, b = s.alias("a"), s.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+        for i in range(1, 5)
+    )
+    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
+    uni = F.size(F.array_distinct(F.concat(F.col("a.gs"), F.col("b.gs"))))
+    p = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        (F.lit(250) * matches).cast("int").alias("est_pm"),
+        (F.lit(1000) * inter.cast("bigint")).alias("num"),
+        F.greatest(uni.cast("bigint"), F.lit(1)).alias("den"),
+    ).select("est_pm", F.expr("num div den").alias("true_pm"))
+    return p.groupBy("est_pm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("cast(sum(abs(est_pm - true_pm)) as bigint) div count(*)")
+        .alias("mean_abs_err_pm"),
+        F.expr("cast(sum(true_pm) as bigint) div count(*)")
+        .alias("mean_true_pm"),
     )
 
 
@@ -9026,6 +9201,12 @@ def warc_revisit_dedup(spark, sf_dir):
 # scan_sink]; point_lookup and distinct_classes are standalone
 # trivial lookups with no family constraint) — all three displaced
 # queries remain locally re-verified at two scales every run.
+# Second continuation batch: minhash_jaccard_error (sketch
+# estimator-error audit) and tokenizer_fertility (per-language
+# tokenizer-equity premium) displace rollup_metrics
+# (agg_grouping_sets keeps grouping_sets_metrics [r4]) and
+# json_props_stats (regex/JSON scalar family, no freshness
+# constraint) under the same never-signed-outranks-refresh rule.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -9053,12 +9234,13 @@ DRIVER_WINDOW = [
     "bitext_margin_mine",     # LLM margin-based bitext mining (cont. r5)
     "snapshot_drift_kl",      # LLM crawl-snapshot drift ledger (cont. r5)
     "nb_confidence_calibration",  # LLM reliability bins (cont. r5)
+    "minhash_jaccard_error",  # LLM sketch estimator-error audit (cont. r5)
+    "tokenizer_fertility",    # LLM tokenizer-equity premium (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     "cosine_topk",            # LLM brute-force cosine top-k
     "ngram_jaccard_pairs",    # LLM n-gram Jaccard near-dup
     "bpe_token_stats",        # LLM BPE-ish token counting
-    "rollup_metrics",         # §2.4 rollup
     "funnel_conversion",      # §2.5 funnel windows
     "rolling_value_range",    # §2.5 rolling range
     "doc_fingerprints",       # LLM rolling-hash fingerprints
@@ -9067,7 +9249,6 @@ DRIVER_WINDOW = [
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
     "quality_scores",         # LLM heuristic quality gate
     "token_stats",            # §2.4 per-page token counters
-    "json_props_stats",       # §2.7 JSON property extraction
     "revenue_by_nation",      # §2.3/§2.4 broadcast dim join + agg
     "events_hourly",          # §2.4 time-bucketed agg
     "anti_join_discard",      # §2.2/§2.3 anti-join probe

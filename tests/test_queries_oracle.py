@@ -166,6 +166,8 @@ def test_driver_window_invariants():
         "llm_bitext": {"bitext_margin_mine"},
         "llm_drift": {"snapshot_drift_kl"},
         "llm_calibration": {"nb_confidence_calibration"},
+        "llm_sketch_error": {"minhash_jaccard_error"},
+        "llm_tokenizer_equity": {"tokenizer_fertility", "bpe_token_stats"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -245,6 +247,13 @@ EDGE_QUERIES = [
     # scored rows) or single-language-dominant (top2 margin defined
     # because three langs train)
     "snapshot_drift_kl", "nb_confidence_calibration",
+    # second continuation batch: empty docs must carry the degenerate
+    # single-space gram (defined signatures on both engines) through
+    # the estimator-error audit, and the identical doc pair (97, 194)
+    # must land in the est_pm=1000 / true_pm=1000 cell; the fertility
+    # audit must survive zero-token docs via the summed-count
+    # greatest() guards
+    "minhash_jaccard_error", "tokenizer_fertility",
 ]
 
 
