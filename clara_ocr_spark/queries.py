@@ -5753,16 +5753,17 @@ def _nb_scored(spark, sf_dir) -> DataFrame:
     ntok as (select doc_id, cast(len(ws) as bigint) as n_tok from te),
     ranked as (select doc_id, actual, lang, score,
                       row_number() over (partition by doc_id
-                        order by score desc, lang) as rn
+                        order by score desc, lang) as rn,
+                      lead(score) over (partition by doc_id
+                        order by score desc, lang) as s2
                from scored),
     perdoc as (select a.doc_id,
                       case when a.lang = a.actual then 1 else 0 end as ok,
-                      (a.score - b.score) // greatest(n.n_tok, 1)
+                      (a.score - a.s2) // greatest(n.n_tok, 1)
                         as pt_margin
                from ranked a
-               join ranked b on a.doc_id = b.doc_id
-                            and a.rn = 1 and b.rn = 2
-               join ntok n on a.doc_id = n.doc_id)
+               join ntok n on a.doc_id = n.doc_id
+               where a.rn = 1 and a.s2 is not null)
     select cast(least(9, pt_margin // 5) as int) as conf_bin,
            cast(count(*) as bigint) as n_docs,
            cast(sum(pt_margin) as bigint) // count(*) as mean_pt_margin,
@@ -5793,22 +5794,29 @@ def nb_confidence_calibration(spark, sf_dir):
     broadcast exactly as in nb_lang_classifier.  Docs whose test text
     has no tokens carry no scored rows and drop (the classifier's own
     contract); docs scored against a single trained language have no
-    rn=2 row and drop from CALIBRATION only (no margin is defined).
-    Reference analogue: the classifier-confidence cutoff of
-    uncertain(tc) doubt ranking (clara.c:3447-3487) — this query
-    measures what a cutoff BUYS instead of asserting it."""
+    runner-up (lead(score) NULL) and drop from CALIBRATION only (no
+    margin is defined).  The runner-up score comes from lead() on the
+    SAME (score desc, lang) window that ranks top-1 — a rn=1 × rn=2
+    self-join would re-evaluate the whole _nb_scored training/scoring
+    subtree twice (the dominant cost; the bitext pair table earned a
+    localCheckpoint for exactly this shape).  Reference analogue: the
+    classifier-confidence cutoff of uncertain(tc) doubt ranking
+    (clara.c:3447-3487) — this query measures what a cutoff BUYS
+    instead of asserting it."""
     scored = _nb_scored(spark, sf_dir)
     rnw = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("lang")
     )
-    ranked = scored.withColumn("rn", F.row_number().over(rnw))
-    top1 = ranked.filter(F.col("rn") == 1).select(
+    ranked = scored.withColumn("rn", F.row_number().over(rnw)).withColumn(
+        "s2", F.lead("score").over(rnw)
+    )
+    top1 = ranked.filter(
+        (F.col("rn") == 1) & F.col("s2").isNotNull()
+    ).select(
         "doc_id",
         F.when(F.col("lang") == F.col("actual"), 1).otherwise(0).alias("ok"),
         F.col("score").alias("s1"),
-    )
-    top2 = ranked.filter(F.col("rn") == 2).select(
-        "doc_id", F.col("score").alias("s2")
+        "s2",
     )
     ntok = (
         _t(spark, sf_dir, "documents")
@@ -5820,13 +5828,9 @@ def nb_confidence_calibration(spark, sf_dir):
             .alias("n_tok"),
         )
     )
-    perdoc = (
-        top1.join(top2, "doc_id")
-        .join(ntok, "doc_id")
-        .select(
-            "ok",
-            F.expr("(s1 - s2) div greatest(n_tok, 1)").alias("pt_margin"),
-        )
+    perdoc = top1.join(ntok, "doc_id").select(
+        "ok",
+        F.expr("(s1 - s2) div greatest(n_tok, 1)").alias("pt_margin"),
     )
     return (
         perdoc.groupBy(

@@ -249,8 +249,12 @@ EDGE_QUERIES = [
     "snapshot_drift_kl", "nb_confidence_calibration",
     # second continuation batch: empty docs must carry the degenerate
     # single-space gram (defined signatures on both engines) through
-    # the estimator-error audit, and the identical doc pair (97, 194)
-    # must land in the est_pm=1000 / true_pm=1000 cell; the fertility
+    # the estimator-error audit — docs 0 and 1 both tokenize empty and
+    # land in the est_pm=1000 cell via that shared gram — and the
+    # identical NON-empty pair (7, 9) sits inside the doc_id < 40
+    # audit bound so a real gram/signature regression cannot hide
+    # behind the empty-doc degenerate case (the (97, 194) twins are
+    # OUTSIDE the bound and never reach this query); the fertility
     # audit must survive zero-token docs via the summed-count
     # greatest() guards
     "minhash_jaccard_error", "tokenizer_fertility",
@@ -274,6 +278,14 @@ def edge_dir(tmp_path_factory):
         (4, "héllo wörld ação coração métrica über naïve few more words",
          "pt", "src2", 59),
         (5, "dup dup dup dup dup dup dup dup", "en", "src2", 31),
+        # identical NON-empty pair INSIDE the minhash_jaccard_error
+        # doc_id < 40 audit bound (the 97/194 twins below are outside
+        # it): est_pm=1000 must also come from a real gram signature,
+        # not only the empty-doc degenerate single-space gram
+        (7, "the quick brown fox jumps over the lazy dog again and again",
+         "en", "src0", 60),
+        (9, "the quick brown fox jumps over the lazy dog again and again",
+         "en", "src1", 60),
         (97, "the quick brown fox jumps over the lazy dog again and again",
          "en", "src0", 60),
         (194, "the quick brown fox jumps over the lazy dog again and again",
@@ -405,6 +417,10 @@ EDGE_EMB_QUERIES = [
     "cosine_topk", "embedding_lsh_buckets", "ivf_topk",
     "ivf_topk_probe2", "ivf_recall", "kmeans_refine",
     "near_dup_cosine", "dup_clusters",
+    # cont. r5: the zero-vector pair (30 even/src, 31 odd/tgt) drives
+    # the -2.0 sentinel (cos_q = -20000) through the fwd/bwd top-k
+    # sums and the cos_q > 0 / sum_f + sum_b > 0 margin guards
+    "bitext_margin_mine",
 ]
 
 
