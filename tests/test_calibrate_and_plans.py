@@ -320,3 +320,35 @@ def test_bitext_margin_plan_shape(spark, sf001):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_drift_ledger_plan_partial_aggs(spark, sf001):
+    """snapshot_drift_kl's only data-sized shuffle is the term-keyed
+    count aggregate, and it must partially aggregate map-side; the
+    totals row returns as a 1-row broadcast cross join, so every
+    SinglePartition exchange in the plan is fed by a partial aggregate
+    (rows crossing it = |upstream partitions|, never |vocabulary|).
+    No window anywhere — a window over the unpartitioned vocabulary
+    would single-task the ledger at web scale."""
+    plan = _plan(REGISTRY["snapshot_drift_kl"][0](spark, sf001))
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_" in lines[i + 1], lines[i : i + 2]
+
+
+def test_tokenizer_fertility_plan_partial_aggs(spark, sf001):
+    """tokenizer_fertility: one |langs|-keyed partial-aggregating
+    groupBy; the English baseline is a 1-row broadcast cross join
+    (every SinglePartition exchange fed by a partial aggregate), no
+    window, and the segmentation regex stays map-side (no per-doc
+    shuffle of text)."""
+    plan = _plan(REGISTRY["tokenizer_fertility"][0](spark, sf001))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row baseline
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_" in lines[i + 1], lines[i : i + 2]
