@@ -139,6 +139,9 @@ HEADLINE = [
     "nb_confidence_calibration",  # added r5: NB reliability bins
     "minhash_jaccard_error",  # added r5: sketch estimator-error audit
     "tokenizer_fertility",  # added r5: tokenizer-equity premium table
+    "heavy_hitters",  # added r5: MG-sketch heavy hitters, exact verify
+    "zipf_slope",  # added r5: Zipf rank-frequency corpus-health fit
+    "exact_quantiles",  # added r5: counting-sort exact per-mille quantiles
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

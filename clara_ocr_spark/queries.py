@@ -9074,6 +9074,217 @@ def warc_revisit_dedup(spark, sf_dir):
     )
 
 
+#: heavy_hitters: exact-output threshold (a token is heavy iff its
+#: corpus frequency strictly exceeds total/HH_K) and the per-partition
+#: Misra–Gries summary size.  MG with ``HH_MG`` counters guarantees
+#: any token with partition frequency > n_p/(HH_MG+1) survives the
+#: summary; the averaging lemma (if freq(t) > N/HH_K then some
+#: partition has freq_p(t) > n_p/HH_K) then makes the candidate union
+#: a guaranteed superset of the true heavy hitters for any HH_MG+1 >=
+#: HH_K — 256 >> 30 leaves a wide margin, so batching/partitioning can
+#: never drop a true hitter and the final exact filter makes the
+#: OUTPUT partition-independent.
+HH_K = 30
+HH_MG = 256
+
+
+@q(
+    "heavy_hitters",
+    f"""
+    with t as (select unnest({_TOK_DUCK.format(x='lower(text)')}) as w
+               from documents),
+         n as (select count(*) as total from t)
+    select w as token,
+           count(*) as n,
+           cast((1000 * count(*)) // total as bigint) as per_mille
+    from t, n
+    group by w, total
+    having count(*) * {HH_K} > total
+    """,
+)
+def heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters (frequency > total/HH_K) with EXACT
+    counts, found the way a 100 TB corpus has to find them: a
+    per-partition Misra–Gries sketch proposes candidates, then one
+    exact counting pass verifies — the full term relation is never
+    shuffled.  This is the skew-detection primitive (which tokens /
+    hosts / shingles dominate the corpus) behind every salting
+    decision in this repo.  Reference analogue: the most-frequent
+    pattern election in the classifier vote (clara.c:3447-3487 picks
+    argmax over bounded per-symbol tallies).
+
+    Scale shape: pass 1 is shuffle-FREE — ``mapInPandas`` folds each
+    partition's Arrow batches into one MG summary (``value_counts``
+    per batch, pandas ``Series.add`` merge, numpy k-th-order-statistic
+    decrement), emitting at most {HH_MG} candidate tokens per
+    partition.  Pass 2 re-scans with the candidate set BROADCAST and
+    collapses every non-candidate token into a single null group
+    before the exchange, so the shuffle carries at most
+    |candidates|+1 rows per map task (map-side partial agg) instead
+    of the full vocabulary.  The exact-threshold filter on the
+    counted candidates makes the output identical to the oracle's
+    full groupBy regardless of partition/batch boundaries (superset
+    lemma above)."""
+    import numpy as np
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+
+    def mg_partition(batches):
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            s = s.add(pdf["w"].value_counts(), fill_value=0)
+            if len(s) > HH_MG:
+                vals = s.to_numpy()
+                cut = len(vals) - HH_MG
+                m = np.partition(vals, cut - 1)[cut - 1]
+                s = s[s > m] - m
+        yield pd.DataFrame({"w": s.index.astype(str)})
+
+    cands = (
+        toks.mapInPandas(mg_partition, schema="w string")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    flagged = toks.join(F.broadcast(cands), "w", "left")
+    g = (
+        flagged.groupBy(
+            F.when(F.col("is_cand") == 1, F.col("w")).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        # tiny (<= candidates+1 rows); two consumers (total + filter) —
+        # materialize so the counting scan runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    return (
+        g.filter(F.col("w").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * HH_K > F.col("total"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(1000 * n) div total").cast("bigint").alias("per_mille"),
+        )
+    )
+
+
+@q(
+    "zipf_slope",
+    f"""
+    with t as (select unnest({_TOK_DUCK.format(x='lower(text)')}) as w
+               from documents),
+         f as (select w, count(*) as n from t group by w
+               order by n desc, w limit 512),
+         r as (select n, row_number() over (order by n desc, w) as rank
+               from f)
+    select cast(count(*) as bigint) as n_terms,
+           round(regr_slope(ln(n), ln(rank)), 3) as slope,
+           round(regr_intercept(ln(n), ln(rank)), 3) as intercept,
+           round(regr_r2(ln(n), ln(rank)), 3) as r2
+    from r
+    """,
+)
+def zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus head — the classic
+    corpus-health audit (clean natural text fits log(freq) ~
+    -1.0*log(rank); OCR noise, boilerplate floods and spam farms bend
+    the slope), fit by least squares over the top-512 terms.
+    Reference analogue: the per-pattern frequency tallies that drive
+    classifier confidence (pattern.c usage counters).
+
+    Scale shape: the term count is a map-side-partial groupBy; the
+    head selection is ``orderBy().limit(512)`` — TakeOrderedAndProject
+    (per-partition partial top-k, the feedback.py:38 doubts pattern),
+    NEVER a global sort; ranking + regression then run over a
+    BOUNDED <=512-row relation, so the one unpartitioned window is
+    constant-size at any corpus scale.  regr_* over ln() doubles is
+    rounded to 3 decimals in both engines (the baseline_slope
+    convention)."""
+    d = _t(spark, sf_dir, "documents")
+    f = (
+        d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(512)
+    )
+    # bounded (<=512 rows) by the limit above — the unpartitioned
+    # window is constant-size, not corpus-size
+    r = f.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w"))),
+    )
+    ln_n, ln_r = F.log(F.col("n")), F.log(F.col("rank"))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_r), 3).alias("slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 3).alias("intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 3).alias("r2"),
+    )
+
+
+@q(
+    "exact_quantiles",
+    """
+    with h as (select n_chars as v, count(*) as c
+               from documents group by n_chars),
+         s as (select v, sum(c) over (order by v) as cum,
+                      sum(c) over () as total
+               from h),
+         p as (select unnest([500, 900, 990]) as pm)
+    select pm, min(v) as value
+    from p join s on s.cum >= (pm * s.total + 999) // 1000
+    group by pm
+    """,
+)
+def exact_quantiles(spark, sf_dir):
+    """EXACT per-mille quantiles (p50/p90/p99) of document length via
+    the counting-sort plan: histogram the bounded integer domain,
+    cumulate, pick the smallest value whose cumulative count reaches
+    ceil(p*N/1000).  The exact sibling of ``value_percentiles``
+    (percentile_approx): at 100 TB you histogram the DOMAIN (doc
+    lengths — at most a few million distinct values) instead of
+    sorting 10^12 rows, and the answer is exact, not sketch-bounded.
+    Reference analogue: the global threshold histogram h_thr_stat
+    (preproc.c:186-214) — same exact-histogram-then-scan shape.
+
+    Scale shape: one map-side-partial groupBy on the value domain;
+    the cumulative window runs over the BOUNDED histogram relation
+    (|distinct lengths|, never |docs|); the total rides a broadcast
+    1-row cross join (the domain_mix_weights pattern); the 3-row
+    quantile-target side of the >= join is broadcast.  Integer
+    arithmetic end to end — no float quantile semantics to disagree
+    across engines."""
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        # two consumers (cumulative + total) — materialize the tiny
+        # histogram so the 100 TB documents scan runs ONCE
+        .localCheckpoint(eager=False)
+    )
+    # bounded by |distinct n_chars| (the value DOMAIN), not by |docs|
+    s = h.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+    )
+    tot = h.agg(F.sum("c").alias("total"))
+    p = spark.range(1).select(
+        F.explode(F.array(F.lit(500), F.lit(900), F.lit(990))).alias("pm")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(p),
+            F.col("cum") >= F.expr("(pm * total + 999) div 1000"),
+        )
+        .groupBy("pm")
+        .agg(F.min("v").alias("value"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -9211,6 +9422,14 @@ def warc_revisit_dedup(spark, sf_dir):
 # (agg_grouping_sets keeps grouping_sets_metrics [r4]) and
 # json_props_stats (regex/JSON scalar family, no freshness
 # constraint) under the same never-signed-outranks-refresh rule.
+# Third continuation batch: heavy_hitters (Misra–Gries candidates +
+# exact verify), zipf_slope (corpus-health rank-frequency fit) and
+# exact_quantiles (counting-sort exact per-mille quantiles) displace
+# revenue_by_nation (join_broadcast keeps broadcast_classify [r4]),
+# events_hourly and anti_join_discard (join_semi keeps
+# exists_semi_join [r4]; neither carries a family-freshness
+# constraint of its own) — same rule, all three displaced queries
+# stay r1/r2-signed and locally re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -9240,6 +9459,9 @@ DRIVER_WINDOW = [
     "nb_confidence_calibration",  # LLM reliability bins (cont. r5)
     "minhash_jaccard_error",  # LLM sketch estimator-error audit (cont. r5)
     "tokenizer_fertility",    # LLM tokenizer-equity premium (cont. r5)
+    "heavy_hitters",          # LLM MG-sketch heavy hitters (cont. r5)
+    "zipf_slope",             # LLM Zipf corpus-health fit (cont. r5)
+    "exact_quantiles",        # LLM counting-sort exact quantiles (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     "cosine_topk",            # LLM brute-force cosine top-k
@@ -9253,9 +9475,6 @@ DRIVER_WINDOW = [
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
     "quality_scores",         # LLM heuristic quality gate
     "token_stats",            # §2.4 per-page token counters
-    "revenue_by_nation",      # §2.3/§2.4 broadcast dim join + agg
-    "events_hourly",          # §2.4 time-bucketed agg
-    "anti_join_discard",      # §2.2/§2.3 anti-join probe
     "lang_id_confusion",      # LLM language-ID confusion matrix
     "kmeans_refine",          # LLM Lloyd refinement step
     "retention_cohorts",      # §2.5 cohort windows

@@ -378,6 +378,36 @@ def main() -> None:
         "never a window over the unpartitioned vocabulary.",
     )
 
+    add(
+        "heavy_hitters (MG sketch candidates + exact verify, cont. r5)",
+        REGISTRY["heavy_hitters"][0](spark, SF),
+        "The full term relation NEVER shuffles: pass 1 is a shuffle-free\n"
+        "MapInPandas Misra–Gries fold (<=256 candidates per partition),\n"
+        "pass 2 probes with the candidate set BROADCAST and collapses\n"
+        "every non-candidate into one null group BEFORE the exchange, so\n"
+        "the shuffle carries <=|candidates|+1 rows per map task; the\n"
+        "exact-threshold filter makes the output partition-independent.",
+    )
+
+    add(
+        "zipf_slope (rank-frequency corpus-health fit, cont. r5)",
+        REGISTRY["zipf_slope"][0](spark, SF),
+        "Head selection is TakeOrderedAndProject (per-partition partial\n"
+        "top-k — the doubts pattern), never a global sort; the one\n"
+        "unpartitioned row_number window sits ABOVE the limit so it only\n"
+        "ever sees <=512 rows; regr_* aggregates partially map-side.",
+    )
+
+    add(
+        "exact_quantiles (counting-sort exact per-mille quantiles, cont. r5)",
+        REGISTRY["exact_quantiles"][0](spark, SF),
+        "Histogram the bounded VALUE DOMAIN once (checkpointed — both\n"
+        "the cumulative window and the total read the same materialized\n"
+        "RDD, zero re-scans); the cumulative window runs over |distinct\n"
+        "lengths| rows, never |docs|; the 3-row quantile-target side of\n"
+        "the >= join broadcasts.  Integer arithmetic end to end.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

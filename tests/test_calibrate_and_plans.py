@@ -352,3 +352,57 @@ def test_tokenizer_fertility_plan_partial_aggs(spark, sf001):
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             assert "partial_" in lines[i + 1], lines[i : i + 2]
+
+
+def test_heavy_hitters_plan_shape(spark, sf001):
+    """heavy_hitters must never shuffle the full term relation: the
+    candidate probe is a BroadcastHashJoin (candidate set broadcast,
+    corpus side map-only), the exact counts partially aggregate
+    map-side, and the total returns as a 1-row broadcast cross join.
+    The only window-free global structures allowed are the
+    SinglePartition exchanges fed by partial aggregates."""
+    plan = _plan(REGISTRY["heavy_hitters"][0](spark, sf001))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_" in lines[i + 1], lines[i : i + 2]
+
+
+def test_zipf_slope_plan_top_k_and_bounded_window(spark, sf001):
+    """zipf_slope's head selection must be TakeOrderedAndProject
+    (per-partition partial top-k — the feedback.py:38 doubts pattern),
+    NEVER a global Sort of the term relation; the one unpartitioned
+    row_number window sits strictly ABOVE the limit, so it only ever
+    sees <=512 rows; the regression aggregate partially aggregates."""
+    plan = _plan(REGISTRY["zipf_slope"][0](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_regr_slope" in plan
+    lines = plan.splitlines()
+    w = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    t = next(
+        i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln
+    )
+    assert w < t, "window must consume the bounded top-k, not feed it"
+    # no global Sort below the limit (the limit IS the order producer)
+    assert not any("Sort " in ln for ln in lines[t:]), lines[t:]
+
+
+def test_exact_quantiles_plan_single_scan(spark, sf001):
+    """exact_quantiles histograms the bounded value domain once — ONE
+    parquet scan (the checkpointed histogram feeds both the cumulative
+    window and the total), the cumulative window runs over the
+    histogram relation (never |docs|), the 3-row quantile-target side
+    broadcasts, and the domain aggregate partially aggregates
+    map-side."""
+    df = REGISTRY["exact_quantiles"][0](spark, sf001)
+    plan = _plan(df)
+    # the parquet scan lives inside the checkpointed histogram subtree
+    # and runs once; BOTH consumers (cumulative + total) read the same
+    # materialized RDD — zero re-scans in the final plan
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("BroadcastExchange") == 2  # total row + 3 targets
+    assert "partial_sum" in plan  # the total aggregate combines map-side

@@ -168,6 +168,9 @@ def test_driver_window_invariants():
         "llm_calibration": {"nb_confidence_calibration"},
         "llm_sketch_error": {"minhash_jaccard_error"},
         "llm_tokenizer_equity": {"tokenizer_fertility", "bpe_token_stats"},
+        "llm_heavy_hitters": {"heavy_hitters"},
+        "llm_zipf": {"zipf_slope"},
+        "llm_exact_quantiles": {"exact_quantiles"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -258,6 +261,15 @@ EDGE_QUERIES = [
     # audit must survive zero-token docs via the summed-count
     # greatest() guards
     "minhash_jaccard_error", "tokenizer_fertility",
+    # third continuation batch: empty / whitespace-only docs must
+    # contribute zero tokens to the MG sketch and the Zipf head (the
+    # mapInPandas fold sees empty Arrow batches; Series.add on an
+    # empty value_counts must not poison dtypes), the 8x "dup" run and
+    # the 4x-duplicated fox sentence must clear the exact n*30 > total
+    # gate identically in both engines, and the counting-sort
+    # quantiles must pick the same n_chars under duplicate lengths
+    # (four docs share n_chars=60 — one histogram row, cum jumps by 4)
+    "heavy_hitters", "zipf_slope", "exact_quantiles",
 ]
 
 

@@ -420,3 +420,77 @@ def test_revisit_schedule_exact_and_single_exchange(spark):
     assert (s["n_cmp"], s["n_chg"], s["lambda_mnat"]) == (0, 0, 0)
     assert s["tier"] == "cold" and s["revisit_h"] == 8760
     assert got["hot"]["n_cmp"] == 399 and got["hot"]["n_chg"] == 399
+
+
+def test_heavy_hitters_survive_mg_truncation(spark, tmp_path):
+    """The MG candidate pass must never drop a TRUE heavy hitter, even
+    when the per-partition vocabulary (20k noise tokens) overflows the
+    256-counter summary many times over and the hitter is spread one
+    occurrence per document across every partition (the thin-spread
+    adversary).  A near-miss token sitting just under the exact
+    n*HH_K > N gate must NOT appear (the sketch may propose it; the
+    exact verify must kill it).  Eight parquet part files force a
+    multi-partition scan so the per-partition summaries and the
+    candidate union are both exercised, and the output is held to the
+    same DuckDB oracle the driver runs."""
+    import duckdb
+
+    from clara_ocr_spark.oracle import compare
+    from clara_ocr_spark.queries import HH_K, HH_MG, REGISTRY
+
+    n_noise, n_heavy, n_near = 20_000, 800, 700
+    total = n_noise + n_heavy + n_near
+    assert n_heavy * HH_K > total >= n_near * HH_K  # fixture honest
+    assert n_noise // 8 > HH_MG  # truncation engages in every file
+
+    docs, did = [], 0
+
+    def add(text):
+        nonlocal did
+        docs.append((did, text, "en", "src%d" % (did % 4), len(text)))
+        did += 1
+
+    noise = iter("n%05d" % i for i in range(n_noise))
+    for i in range(2_000):
+        words = [next(noise) for _ in range(10)]
+        if i < n_heavy:
+            words.append("hvy")
+        if i < n_near:
+            words.append("mid")
+        add(" ".join(words))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "hh_sf"
+    (d / "documents.parquet").mkdir(parents=True)
+    cols = list(zip(*docs))
+    for p in range(8):  # 8 part files -> 8 scan partitions
+        sl = slice(p * 250, (p + 1) * 250)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(cols[0][sl], pa.int64()),
+                    "text": list(cols[1][sl]),
+                    "lang": list(cols[2][sl]),
+                    "source": list(cols[3][sl]),
+                    "n_chars": pa.array(cols[4][sl], pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet" / f"part-{p}.parquet"),
+        )
+
+    fn, sql = REGISTRY["heavy_hitters"]
+    out = {r["token"]: r for r in fn(spark, str(d)).collect()}
+    assert "hvy" in out and out["hvy"]["n"] == n_heavy
+    assert out["hvy"]["per_mille"] == 1000 * n_heavy // total
+    assert "mid" not in out
+    assert all(t.startswith("hvy") for t in out)  # no noise survives
+
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    compare(spark, str(d), fn, sql, con=con)
+    con.close()
