@@ -142,6 +142,9 @@ HEADLINE = [
     "heavy_hitters",  # added r5: MG-sketch heavy hitters, exact verify
     "zipf_slope",  # added r5: Zipf rank-frequency corpus-health fit
     "exact_quantiles",  # added r5: counting-sort exact per-mille quantiles
+    "pmi_collocations",  # added r5: milli-nat PMI bigram collocation head
+    "winnow_fingerprints",  # added r5: MOSS winnowing fingerprint selection
+    "ks_drift",  # added r5: exact two-sample KS length-distribution drift
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

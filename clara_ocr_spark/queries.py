@@ -9285,6 +9285,339 @@ def exact_quantiles(spark, sf_dir):
     )
 
 
+#: pmi_collocations: minimum pair frequency admitted to the PMI
+#: ranking (rarer pairs have unstable PMI — the classic "PMI loves
+#: hapaxes" failure) and the size of the reported head.
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 64
+
+
+@q(
+    "pmi_collocations",
+    f"""
+    with tok as (select {_TOK_DUCK.format(x='lower(text)')} as ws
+                 from documents),
+    bg as (select ws[i] as w1, ws[i+1] as w2
+           from tok, unnest(generate_series(1, len(ws)-1)) as g(i)),
+    c as (select w1, w2, count(*) as n_pair from bg group by w1, w2),
+    m1 as (select w1, cast(sum(n_pair) as bigint) as c1 from c group by w1),
+    m2 as (select w2, cast(sum(n_pair) as bigint) as c2 from c group by w2),
+    n as (select cast(sum(n_pair) as bigint) as nb from c),
+    p as (select c.w1, c.w2, c.n_pair,
+                 cast(round(ln((c.n_pair * n.nb * 1.0) / (m1.c1 * m2.c2))
+                            * 1000) as bigint) as pmi_m
+          from c join m1 using (w1) join m2 using (w2) cross join n
+          where c.n_pair >= {PMI_MIN_PAIR})
+    select * from p order by pmi_m desc, w1, w2 limit {PMI_TOP_K}
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Top-{PMI_TOP_K} bigram collocations by pointwise mutual
+    information — the corpus-linguistics primitive behind multi-word
+    vocabulary entries, tokenizer merge seeding and boilerplate
+    phrase discovery (a navigation bar is a set of very-high-PMI
+    bigrams repeated across a host).  PMI is computed over the bigram
+    relation's own marginals (c1 = count as left word, c2 = count as
+    right word, N = total bigrams), add-nothing, gated at n_pair >=
+    {PMI_MIN_PAIR} and quantized to integer milli-nats (the
+    snapshot_drift_kl discipline).  Reference analogue: the
+    transliteration-context vote weighting of review_tr
+    (revision.c:1175-1209) — co-occurrence statistics elect preferred
+    readings.
+
+    Scale shape: bigrams come from zip_with over the token array
+    (slice vs slice-shifted-by-one) — NEVER a positional self-join of
+    the exploded token relation; one (w1,w2)-keyed partial-aggregating
+    groupBy produces the bigram counts, which are checkpointed
+    (vocab^~1.4-bounded, tiny next to the corpus) so the corpus scans
+    ONCE and the three marginal re-aggregations (c1, c2, N) read the
+    materialized counts; the 1-row N broadcasts (domain_mix_weights
+    pattern); the head is orderBy().limit() — TakeOrderedAndProject,
+    never a global sort.  Exactness: counts are integers, the single
+    ln() per pair sees a ratio of exactly-representable products
+    (< 2^53 up to ~10^15 bigrams), milli-nat rounding matches both
+    engines."""
+    d = _t(spark, sf_dir, "documents")
+    ws = _tokens(F.lower(F.col("text")))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        # bigram-vocab-bounded; FOUR consumers (marginals, total,
+        # ranked head) — materialize so the corpus scans once
+        .localCheckpoint(eager=False)
+    )
+    m1 = c.groupBy("w1").agg(F.sum("n_pair").cast("bigint").alias("c1"))
+    m2 = c.groupBy("w2").agg(F.sum("n_pair").cast("bigint").alias("c2"))
+    n = c.agg(F.sum("n_pair").cast("bigint").alias("nb"))
+    pmi_m = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("nb")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        )
+        * 1000
+    ).cast("bigint")
+    return (
+        c.filter(F.col("n_pair") >= PMI_MIN_PAIR)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "n_pair", pmi_m.alias("pmi_m"))
+        .orderBy(F.desc("pmi_m"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+#: winnow_fingerprints: k-gram width (MOSS default region: 5-10 chars
+#: of normalized text) and winnowing window w — guarantee: any match
+#: of length >= WIN_W + WIN_K - 1 = 11 normalized chars shares at
+#: least one selected fingerprint; expected density 2/(w+1) = 400
+#: per-mille (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — public).
+WIN_K = 8
+WIN_W = 4
+#: composite-key radix: ck = h30 * 2^32 + (2^32 - 1 - pos), so a
+#: single window MIN yields (min hash, rightmost position on ties) —
+#: the paper's tie-break — and both components decode exactly.
+_WIN_R = 4294967296
+
+
+@q(
+    "winnow_fingerprints",
+    f"""
+    with nm as (select doc_id,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                         as norm
+                from documents),
+    g as (select doc_id, length(norm) - {WIN_K} + 1 as n_g, i,
+                 ({H60_DUCK.format(x=f'substr(norm, i, {WIN_K})')})
+                   % 1073741824 as h30
+          from nm,
+               unnest(generate_series(1, length(norm) - {WIN_K} + 1))
+                 as t(i)
+          where length(norm) >= {WIN_K}),
+    c as (select doc_id, n_g, i,
+                 h30 * {_WIN_R} + ({_WIN_R - 1} - i) as ck from g),
+    w as (select doc_id, n_g, i,
+                 min(ck) over (partition by doc_id order by i
+                               rows between current row
+                               and {WIN_W - 1} following) as cmin
+          from c),
+    sel as (select distinct doc_id, n_g,
+                   cmin // {_WIN_R} as fp_hash,
+                   {_WIN_R - 1} - (cmin % {_WIN_R}) as fp_pos
+            from w where i <= greatest(1, n_g - {WIN_W} + 1))
+    select doc_id, cast(max(n_g) as bigint) as n_grams,
+           cast(count(*) as bigint) as n_sel,
+           cast((1000 * count(*)) // max(n_g) as bigint) as density_pm,
+           cast(sum(fp_hash) as bigint) as fp_checksum
+    from sel group by doc_id
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the plagiarism-detection standard): hash every
+    {WIN_K}-char k-gram of the whitespace-normalized text, slide a
+    window of {WIN_W} hashes, keep each window's minimum (rightmost
+    position on ties).  The selected set is position-robust — any
+    shared substring of >= WIN_W + WIN_K - 1 = 11 normalized chars
+    between two documents is GUARANTEED to share a fingerprint, the
+    local property total-document hashes (doc_fingerprints) lack.
+    Emitted per doc: k-gram count, selected count, density (expected
+    2/(w+1) = 400 per-mille) and the exact
+    fingerprint-set checksum, which pins the selected SET cross-
+    engine without a collection column.  Reference analogue: the
+    skeleton-pattern fingerprints classify compares
+    (pattern.c:167-208) — position-tolerant shape signatures, not
+    whole-bitmap equality.
+
+    Scale shape: fully doc-local — the ONE window min is partitioned
+    by doc_id (never an unpartitioned frame), so the job is
+    embarrassingly parallel at any corpus size; the rightmost-min
+    tie-break rides a composite key (h30 * 2^32 + (2^32-1-i), one
+    MIN instead of a per-window argmax subplan; positions < 2^32 =
+    4 GiB docs); distinct + per-doc rollup partially aggregate
+    map-side.  Verified char-for-char against a brute-force
+    per-window rightmost-argmin in tests (and the guarantee property
+    under shared substrings at shifted offsets)."""
+    sel = winnow_select(_t(spark, sf_dir, "documents"))
+    return sel.groupBy("doc_id").agg(
+        F.max("n_g").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sel"),
+        F.expr("(1000 * count(1)) div max(n_g)")
+        .cast("bigint")
+        .alias("density_pm"),
+        F.sum("fp_hash").cast("bigint").alias("fp_checksum"),
+    )
+
+
+def winnow_select(d: DataFrame) -> DataFrame:
+    """The winnowing selection itself: (doc_id, n_g, fp_hash, fp_pos)
+    — one row per selected fingerprint.  Exposed separately so the
+    guarantee property (any >= WIN_W+WIN_K-1-char shared normalized
+    substring shares a fingerprint HASH) is testable on the real
+    selected sets, and so downstream near-dup joins can bucket on
+    fp_hash directly."""
+    nm = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.lower(F.col("text"))), r"\s+", " "
+        ).alias("norm"),
+    ).filter(F.length("norm") >= WIN_K)
+    g = nm.select(
+        "doc_id",
+        (F.length("norm") - WIN_K + 1).alias("n_g"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("norm") - WIN_K + 1)
+        ).alias("i"),
+        "norm",
+    ).select(
+        "doc_id",
+        "n_g",
+        "i",
+        (
+            spark_hash60(F.expr(f"substring(norm, i, {WIN_K})"))
+            % 1073741824
+        ).alias("h30"),
+    )
+    c = g.select(
+        "doc_id",
+        "n_g",
+        "i",
+        (
+            F.col("h30") * _WIN_R + (F.lit(_WIN_R - 1) - F.col("i"))
+        ).alias("ck"),
+    )
+    w = c.withColumn(
+        "cmin",
+        F.min("ck").over(
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.currentRow, WIN_W - 1)
+        ),
+    )
+    return (
+        w.filter(
+            F.col("i") <= F.greatest(F.lit(1), F.col("n_g") - WIN_W + 1)
+        )
+        .select(
+            "doc_id",
+            "n_g",
+            F.expr(f"cmin div {_WIN_R}").alias("fp_hash"),
+            (F.lit(_WIN_R - 1) - F.col("cmin") % _WIN_R).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+@q(
+    "ks_drift",
+    """
+    with h as (select n_chars as v,
+                      cast(sum(case when doc_id % 2 = 0 then 1 else 0 end)
+                           as bigint) as ca,
+                      cast(sum(case when doc_id % 2 = 1 then 1 else 0 end)
+                           as bigint) as cb
+               from documents group by n_chars),
+    s as (select v, sum(ca) over (order by v) as cum_a,
+                 sum(cb) over (order by v) as cum_b from h),
+    tot as (select cast(sum(ca) as bigint) as na,
+                   cast(sum(cb) as bigint) as nb from h),
+    d as (select v, na, nb, abs(cum_a * nb - cum_b * na) as diff
+          from s cross join tot),
+    m as (select max(diff) as maxdiff from d)
+    select na as n_a, nb as n_b,
+           cast((1000 * maxdiff) // (na * nb) as bigint) as d_pm,
+           cast(min(v) as bigint) as v_at_max
+    from d cross join m
+    where diff = maxdiff
+    group by na, nb, maxdiff
+    """,
+)
+def ks_drift(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov distance between the
+    doc-length distributions of two crawl snapshots (doc_id parity —
+    the snapshot_drift_kl slicing): D = max |ECDF_a - ECDF_b|,
+    reported in per-mille plus the length at which the distributions
+    diverge most.  The distributional sibling of snapshot_drift_kl
+    (terms): KL catches vocabulary drift, KS catches shape drift
+    (a snapshot suddenly full of stub pages moves v_at_max and d_pm
+    before any term statistic does).  Reference analogue: the
+    global-vs-local threshold comparison of h_thr_stat
+    (preproc.c:186-214) — two histograms compared to decide if a page
+    deviates from the book.
+
+    Scale shape: the counting-sort ECDF plan (exact_quantiles) — one
+    map-side-partial groupBy on the bounded length domain (the corpus
+    scans ONCE; the histogram is checkpointed), cumulative windows
+    over the |distinct lengths| relation (never |docs|), totals as a
+    broadcast 1-row cross join, and the argmax row via a broadcast
+    1-row max joined back (never a global sort).  Integer arithmetic
+    end to end: the cross-multiplied |cum_a*nb - cum_b*na| avoids
+    float ECDFs entirely (exact below ~3*10^9 docs per slice; past
+    that, quantize the ECDFs per-mille first — same plan shape)."""
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        # bounded by |distinct n_chars|; consumers: cumulative
+        # windows + totals — materialize so the corpus scans once
+        .localCheckpoint(eager=False)
+    )
+    cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = h.withColumn("cum_a", F.sum("ca").over(cum)).withColumn(
+        "cum_b", F.sum("cb").over(cum)
+    )
+    tot = h.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    dd = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "na",
+            "nb",
+            F.abs(
+                F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            ).alias("diff"),
+        )
+        # bounded; TWO consumers (max + argmax filter) — materialize
+        # so the cumulative windows run once
+        .localCheckpoint(eager=False)
+    )
+    maxd = dd.agg(F.max("diff").alias("maxdiff"))
+    return (
+        dd.crossJoin(F.broadcast(maxd))
+        .filter(F.col("diff") == F.col("maxdiff"))
+        .groupBy("na", "nb", "maxdiff")
+        .agg(F.min("v").cast("bigint").alias("v_at_max"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr("(1000 * maxdiff) div (na * nb)")
+            .cast("bigint")
+            .alias("d_pm"),
+            "v_at_max",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -9430,6 +9763,14 @@ def exact_quantiles(spark, sf_dir):
 # exists_semi_join [r4]; neither carries a family-freshness
 # constraint of its own) — same rule, all three displaced queries
 # stay r1/r2-signed and locally re-verified at two scales every run.
+# Fourth continuation batch: pmi_collocations (milli-nat PMI bigram
+# head), winnow_fingerprints (MOSS winnowing fingerprint selection)
+# and ks_drift (exact two-sample KS over the length distribution)
+# displace funnel_conversion (window_order keeps argmax_per_group
+# [r4]), rolling_value_range and top_sources_by_chars (neither
+# carries a family-freshness constraint of its own) — same rule, all
+# three displaced queries stay r1/r2-signed and locally re-verified
+# at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -9462,16 +9803,16 @@ DRIVER_WINDOW = [
     "heavy_hitters",          # LLM MG-sketch heavy hitters (cont. r5)
     "zipf_slope",             # LLM Zipf corpus-health fit (cont. r5)
     "exact_quantiles",        # LLM counting-sort exact quantiles (cont. r5)
+    "pmi_collocations",       # LLM PMI bigram collocation head (cont. r5)
+    "winnow_fingerprints",    # LLM MOSS winnowing selection (cont. r5)
+    "ks_drift",               # LLM exact two-sample KS drift (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     "cosine_topk",            # LLM brute-force cosine top-k
     "ngram_jaccard_pairs",    # LLM n-gram Jaccard near-dup
     "bpe_token_stats",        # LLM BPE-ish token counting
-    "funnel_conversion",      # §2.5 funnel windows
-    "rolling_value_range",    # §2.5 rolling range
     "doc_fingerprints",       # LLM rolling-hash fingerprints
     "embedding_lsh_buckets",  # LLM hyperplane-LSH buckets
-    "top_sources_by_chars",   # §2.5 multi-key ordering
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
     "quality_scores",         # LLM heuristic quality gate
     "token_stats",            # §2.4 per-page token counters

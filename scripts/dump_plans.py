@@ -408,6 +408,38 @@ def main() -> None:
         "the >= join broadcasts.  Integer arithmetic end to end.",
     )
 
+    add(
+        "pmi_collocations (milli-nat PMI bigram head, cont. r5)",
+        REGISTRY["pmi_collocations"][0](spark, SF),
+        "Bigrams come from zip_with over the token array (slice vs\n"
+        "slice-shifted) — never a positional self-join; the bigram\n"
+        "counts are checkpointed so the corpus scans ONCE and the\n"
+        "marginals/total re-aggregate the materialized counts; the\n"
+        "1-row N broadcasts; the head is TakeOrderedAndProject.",
+    )
+
+    add(
+        "winnow_fingerprints (MOSS winnowing selection, cont. r5)",
+        REGISTRY["winnow_fingerprints"][0](spark, SF),
+        "Fully doc-local: ONE exchange in the whole plan (the doc_id\n"
+        "hash partitioning feeding the window); the rightmost-min\n"
+        "tie-break rides a composite key (h30*2^32 + (2^32-1-i)) so a\n"
+        "single window MIN replaces a per-window argmax subplan; the\n"
+        "distinct and the per-doc rollup reuse the window's\n"
+        "clustering, so neither re-shuffles.",
+    )
+
+    add(
+        "ks_drift (exact two-sample KS length drift, cont. r5)",
+        REGISTRY["ks_drift"][0](spark, SF),
+        "The counting-sort ECDF plan: one map-side-partial groupBy on\n"
+        "the bounded length domain (corpus scans once; histogram\n"
+        "checkpointed), cumulative windows over |distinct lengths|\n"
+        "rows, totals and the 1-row max as broadcast cross joins —\n"
+        "the argmax row is found by a broadcast join back, never a\n"
+        "global sort.  Integer cross-multiplied ECDFs end to end.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

@@ -406,3 +406,49 @@ def test_exact_quantiles_plan_single_scan(spark, sf001):
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert plan.count("BroadcastExchange") == 2  # total row + 3 targets
     assert "partial_sum" in plan  # the total aggregate combines map-side
+
+
+def test_pmi_collocations_plan_shape(spark, sf001):
+    """pmi_collocations must scan the corpus ONCE (the checkpointed
+    bigram-count relation feeds all four consumers — filter side, two
+    marginals, total), take its head via TakeOrderedAndProject (never
+    a global sort), broadcast the 1-row total, and partially
+    aggregate every marginal map-side.  No window anywhere."""
+    plan = _plan(REGISTRY["pmi_collocations"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_" in lines[i + 1], lines[i : i + 2]
+
+
+def test_winnow_fingerprints_plan_single_exchange(spark, sf001):
+    """winnow_fingerprints is fully doc-local: the ONE exchange in the
+    whole plan is the doc_id hash partitioning feeding the window —
+    the downstream distinct and per-doc rollup reuse that clustering
+    (doc_id is a subset of their grouping keys), so neither re-
+    shuffles.  The window must be partitioned by doc_id (never an
+    unpartitioned frame) and the scan must prune to (doc_id, text)."""
+    plan = _plan(REGISTRY["winnow_fingerprints"][0](spark, sf001))
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(doc_id" in plan
+    assert "windowspecdefinition(doc_id" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_ks_drift_plan_single_scan(spark, sf001):
+    """ks_drift histograms the bounded length domain once: the final
+    plan reads the checkpointed diff relation twice (max + argmax
+    filter) and never re-touches parquet; the 1-row max broadcasts;
+    the single-partition exchange is fed by a partial aggregate."""
+    plan = _plan(REGISTRY["ks_drift"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "BroadcastExchange" in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_" in lines[i + 1], lines[i : i + 2]

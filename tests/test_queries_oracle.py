@@ -171,6 +171,9 @@ def test_driver_window_invariants():
         "llm_heavy_hitters": {"heavy_hitters"},
         "llm_zipf": {"zipf_slope"},
         "llm_exact_quantiles": {"exact_quantiles"},
+        "llm_collocations": {"pmi_collocations"},
+        "llm_winnow": {"winnow_fingerprints", "doc_fingerprints"},
+        "llm_ks_drift": {"ks_drift", "snapshot_drift_kl"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -270,6 +273,15 @@ EDGE_QUERIES = [
     # quantiles must pick the same n_chars under duplicate lengths
     # (four docs share n_chars=60 — one histogram row, cum jumps by 4)
     "heavy_hitters", "zipf_slope", "exact_quantiles",
+    # fourth continuation batch: empty / whitespace-only docs must
+    # contribute zero bigrams (zip_with over the sliced empty array)
+    # and zero k-grams (norm shorter than WIN_K is excluded in BOTH
+    # engines); docs of exactly WIN_K normalized chars produce one
+    # k-gram and one (shrunken-window) fingerprint; duplicate n_chars
+    # across slices must land in one KS histogram row with both
+    # slice counters; the 8x "dup" run and 4x fox sentence must rank
+    # identically under the exact PMI milli-nat quantization
+    "pmi_collocations", "winnow_fingerprints", "ks_drift",
 ]
 
 
@@ -290,6 +302,9 @@ def edge_dir(tmp_path_factory):
         (4, "héllo wörld ação coração métrica über naïve few more words",
          "pt", "src2", 59),
         (5, "dup dup dup dup dup dup dup dup", "en", "src2", 31),
+        # exactly WIN_K=8 normalized chars: one k-gram, one shrunken
+        # winnowing window, one fingerprint — in BOTH engines
+        (6, "abcdefgh", "en", "src3", 8),
         # identical NON-empty pair INSIDE the minhash_jaccard_error
         # doc_id < 40 audit bound (the 97/194 twins below are outside
         # it): est_pm=1000 must also come from a real gram signature,

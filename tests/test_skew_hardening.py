@@ -494,3 +494,111 @@ def test_heavy_hitters_survive_mg_truncation(spark, tmp_path):
     )
     compare(spark, str(d), fn, sql, con=con)
     con.close()
+
+
+def test_winnow_matches_bruteforce(spark, sf001):
+    """The composite-key window formulation (min over h30 * 2^32 +
+    (2^32-1-i)) must select EXACTLY the per-window rightmost-argmin
+    fingerprints of the SIGMOD-2003 definition.  Brute-force every
+    window of every sf0.001 document in Python (slide w=4 over the
+    k-gram hash sequence, take the min, break ties to the RIGHT) and
+    hold the Spark output to the triple (n_grams, n_sel, checksum) —
+    the checksum pins the selected set, not just its size."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from clara_ocr_spark.queries import REGISTRY, WIN_K, WIN_W
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "select doc_id, text from "
+        f"read_parquet('{sf001}/documents.parquet')"
+    ).fetchall()
+    con.close()
+
+    def brute(text):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        n_g = len(norm) - WIN_K + 1
+        if n_g < 1:
+            return None
+        hs = [
+            int(
+                hashlib.md5(norm[i : i + WIN_K].encode()).hexdigest()[:15],
+                16,
+            )
+            % 1073741824
+            for i in range(n_g)
+        ]
+        sel = set()
+        for j in range(max(1, n_g - WIN_W + 1)):
+            win = hs[j : j + WIN_W]
+            m = min(win)
+            ridx = max(k for k, h in enumerate(win) if h == m) + j
+            sel.add((ridx, m))
+        return n_g, len(sel), sum(h for _, h in sel)
+
+    exp = {d: brute(t) for d, t in rows if brute(t) is not None}
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_sel"], r["fp_checksum"])
+        for r in REGISTRY["winnow_fingerprints"][0](spark, sf001).collect()
+    }
+    assert got == exp
+
+
+def test_winnow_guarantee_shared_substring(spark, tmp_path):
+    """The winnowing GUARANTEE (Schleimer et al. 2003): any shared
+    normalized substring of length >= WIN_W + WIN_K - 1 = 11 chars
+    between two documents shares at least one selected fingerprint
+    HASH — regardless of where the substring sits in each document.
+    Embed one 40-char needle at five different offsets inside five
+    otherwise-disjoint documents and assert every pair of selected
+    sets intersects on fp_hash; a needle-free control document must
+    NOT share a hash with any needle document."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import winnow_select
+
+    needle = "the winnowing guarantee holds for this"
+    assert len(needle) == 38 >= 11
+    pads = [
+        "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj",
+        "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq",
+        "0000 1111 2222 3333 4444 5555 6666 7777 8888 9999",
+        "mmmm nnnn oooo pppp",
+        "",
+    ]
+    docs = [
+        (i, f"{pads[i][:8 * i]} {needle} {pads[i][8 * i:]}".strip())
+        for i in range(5)
+    ]
+    docs.append((5, "totally unrelated control text with no shared run"))
+    d = tmp_path / "winnow_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["src0"] * len(docs),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in docs], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    sel = winnow_select(
+        spark.read.parquet(str(d / "documents.parquet"))
+    ).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    for a in range(5):
+        for b in range(a + 1, 5):
+            assert by_doc[a] & by_doc[b], (a, b)
+    for a in range(5):
+        assert not (by_doc[a] & by_doc[5]), a
