@@ -145,6 +145,9 @@ HEADLINE = [
     "pmi_collocations",  # added r5: milli-nat PMI bigram collocation head
     "winnow_fingerprints",  # added r5: MOSS winnowing fingerprint selection
     "ks_drift",  # added r5: exact two-sample KS length-distribution drift
+    "winnow_near_dup",  # added r5: MOSS fingerprint match step
+    "good_turing_mass",  # added r5: Good-Turing missing mass + Chao1
+    "ccnet_tertiles",  # added r5: CCNet exact perplexity tertiles
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -9387,13 +9387,14 @@ WIN_W = 4
 _WIN_R = 4294967296
 
 
-@q(
-    "winnow_fingerprints",
-    f"""
-    with nm as (select doc_id,
-                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
-                         as norm
-                from documents),
+#: The winnowing selection as a DuckDB CTE chain — shared by the
+#: winnow_fingerprints oracle and the winnow_near_dup oracle so the
+#: two can never drift apart.
+_WINNOW_SEL_DUCK = f"""
+    nm as (select doc_id,
+                  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                    as norm
+           from documents),
     g as (select doc_id, length(norm) - {WIN_K} + 1 as n_g, i,
                  ({H60_DUCK.format(x=f'substr(norm, i, {WIN_K})')})
                    % 1073741824 as h30
@@ -9411,7 +9412,13 @@ _WIN_R = 4294967296
     sel as (select distinct doc_id, n_g,
                    cmin // {_WIN_R} as fp_hash,
                    {_WIN_R - 1} - (cmin % {_WIN_R}) as fp_pos
-            from w where i <= greatest(1, n_g - {WIN_W} + 1))
+            from w where i <= greatest(1, n_g - {WIN_W} + 1))"""
+
+
+@q(
+    "winnow_fingerprints",
+    f"""
+    with {_WINNOW_SEL_DUCK}
     select doc_id, cast(max(n_g) as bigint) as n_grams,
            cast(count(*) as bigint) as n_sel,
            cast((1000 * count(*)) // max(n_g) as bigint) as density_pm,
@@ -9618,6 +9625,320 @@ def ks_drift(spark, sf_dir):
     )
 
 
+#: winnow_near_dup: fingerprints shared by more than FP_MAX_DF docs
+#: are dropped before pairing (boilerplate fingerprints are not dup
+#: signal, and an f-doc fingerprint generates f^2 candidate pairs —
+#: the cap bounds every bucket, the MOSS common-fingerprint filter);
+#: pairs are reported at containment >= NEAR_DUP_MIN_PM per-mille.
+FP_MAX_DF = 16
+NEAR_DUP_MIN_PM = 500
+
+
+@q(
+    "winnow_near_dup",
+    f"""
+    with {_WINNOW_SEL_DUCK},
+    hs as (select distinct doc_id, fp_hash from sel),
+    df as (select fp_hash, count(*) as nd from hs group by fp_hash),
+    kept as (select hs.doc_id, hs.fp_hash from hs
+             join df using (fp_hash) where df.nd <= {FP_MAX_DF}),
+    m as (select doc_id, count(*) as n_fp from kept group by doc_id),
+    p as (select a.doc_id as doc_a, b.doc_id as doc_b,
+                 count(*) as shared
+          from kept a join kept b
+            on a.fp_hash = b.fp_hash and a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id),
+    sc as (select p.doc_a, p.doc_b, cast(p.shared as bigint) as shared,
+                  cast((1000 * p.shared) // least(ma.n_fp, mb.n_fp)
+                       as bigint) as containment_pm
+           from p join m ma on p.doc_a = ma.doc_id
+                 join m mb on p.doc_b = mb.doc_id)
+    select * from sc where containment_pm >= {NEAR_DUP_MIN_PM}
+    """,
+)
+def winnow_near_dup(spark, sf_dir):
+    """The MOSS match step over winnowing fingerprints: documents
+    whose selected fingerprint sets overlap by >= {NEAR_DUP_MIN_PM}
+    per-mille of the smaller set are near-duplicate pairs — the
+    local-substring analogue of MinHash-Jaccard (lsh_band_buckets),
+    sensitive to shared RUNS rather than shared vocabulary, so it
+    catches quote-level and template-level duplication whole-doc
+    sketches dilute away.  Reference analogue: the candidate pairing
+    of classify — per-pattern fingerprints bucket candidate symbols
+    before the expensive bitmap compare (pattern.c:167-208).
+
+    Scale shape: the fingerprint relation comes from winnow_select
+    (one doc_id-partitioned window — per-doc work only) and is
+    checkpointed (fingerprint-space-bounded) so the corpus scans
+    ONCE; fingerprints with document frequency > {FP_MAX_DF} are
+    dropped BEFORE the self-join (the LSH hot-bucket discipline:
+    an f-doc fingerprint contributes f^2 pairs, so the df cap bounds
+    every join bucket and makes the pair relation linear in the
+    corpus); the pair rollup and both size joins partially aggregate
+    map-side.  All scoring is integer per-mille."""
+    sel = winnow_select(_t(spark, sf_dir, "documents"))
+    hs = (
+        sel.select("doc_id", "fp_hash")
+        .distinct()
+        # fingerprint-space-bounded; consumers: df gate, pair join
+        # (twice), per-doc sizes — materialize so the corpus-side
+        # winnowing window runs once
+        .localCheckpoint(eager=False)
+    )
+    df = hs.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("nd"))
+    kept = (
+        hs.join(df.filter(F.col("nd") <= FP_MAX_DF), "fp_hash")
+        .select("doc_id", "fp_hash")
+        .localCheckpoint(eager=False)
+    )
+    m = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    p = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        p.join(
+            m.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_fp").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            m.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_fp").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.expr("(1000 * shared) div least(n_a, n_b)")
+            .cast("bigint")
+            .alias("containment_pm"),
+        )
+        .filter(F.col("containment_pm") >= NEAR_DUP_MIN_PM)
+    )
+
+
+@q(
+    "good_turing_mass",
+    f"""
+    with tok as (select lang, {_TOK_DUCK.format(x='lower(text)')} as ws
+                 from documents),
+    t as (select lang, ws[i] || ' ' || ws[i+1] as w
+          from tok, unnest(generate_series(1, len(ws)-1)) as g(i)),
+    c as (select lang, w, count(*) as n from t group by lang, w),
+    gt as (select lang,
+                  cast(count(*) as bigint) as v,
+                  cast(sum(n) as bigint) as n_tokens,
+                  cast(sum(case when n = 1 then 1 else 0 end) as bigint)
+                    as n1,
+                  cast(sum(case when n = 2 then 1 else 0 end) as bigint)
+                    as n2
+           from c group by lang)
+    select lang, v, n_tokens, n1, n2,
+           cast((1000 * n1) // n_tokens as bigint) as p0_pm,
+           cast(case when n2 > 0 then v + (n1 * n1) // (2 * n2)
+                     else v + (n1 * (n1 - 1)) // 2 end as bigint) as chao1
+    from gt order by lang
+    """,
+)
+def good_turing_mass(spark, sf_dir):
+    """Good–Turing missing-mass and Chao1 richness estimates per
+    language over bigram TYPES — the "is this crawl exhausted?"
+    estimator: p0 = N1/N (the Good–Turing probability that the next
+    bigram drawn is unseen — high p0 means the crawl is still
+    discovering the language) and Chao1 = V + N1^2/(2*N2) (the
+    lower-bound estimate of the true type count; Chao 1984, public),
+    with the bias-corrected N1*(N1-1)/2 form when N2 = 0.  Bigram
+    types rather than unigrams because a bounded vocabulary saturates
+    unigram N1 to zero while the pair space keeps discriminating.
+    Reference analogue: the pattern-library saturation check — new
+    symbols stop creating new patterns as the book's alphabet is
+    learned (pattern.c insertion-vs-hit counters).
+
+    Scale shape: one zip_with bigram explode (never a positional
+    self-join) into a (lang, type)-keyed partial-aggregating groupBy;
+    the count-of-counts rollup then aggregates the TYPE relation
+    (vocab^~1.4-bounded, tiny next to the corpus), also map-side
+    partial.  Two shuffles total, both count-only.  Integer
+    arithmetic end to end — p0 in per-mille, Chao1 floored."""
+    d = _t(spark, sf_dir, "documents")
+    ws = _tokens(F.lower(F.col("text")))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    t = d.select("lang", F.explode(pairs).alias("w"))
+    c = t.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+    gt = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return gt.select(
+        "lang",
+        "v",
+        "n_tokens",
+        "n1",
+        "n2",
+        F.expr("(1000 * n1) div n_tokens").cast("bigint").alias("p0_pm"),
+        F.when(
+            F.col("n2") > 0,
+            F.col("v") + F.expr("(n1 * n1) div (2 * n2)"),
+        )
+        .otherwise(F.col("v") + F.expr("(n1 * (n1 - 1)) div 2"))
+        .cast("bigint")
+        .alias("chao1"),
+    )
+
+
+@q(
+    "ccnet_tertiles",
+    f"""
+    with tok as (select doc_id, lang,
+                        {_TOK_DUCK.format(x='lower(text)')} as ws
+                 from documents),
+    ref as (select ws from tok where doc_id % 5 = 0),
+    ev as (select doc_id, lang, ws from tok where doc_id % 5 <> 0),
+    runi as (select w, count(*) as cu
+             from (select unnest(ws) as w from ref) group by w),
+    vocab as (select count(*) as v from runi),
+    rbig as (select w1, w2, count(*) as cb
+             from (select ws[i-1] as w1, ws[i] as w2
+                   from ref,
+                        unnest(generate_series(2, len(ws))) as g(i))
+             group by w1, w2),
+    pairs as (select e.doc_id, e.lang, e.ws[i-1] as w1, e.ws[i] as w2
+              from ev e,
+                   unnest(generate_series(2, len(e.ws))) as g(i)),
+    scored as (select p.doc_id, p.lang,
+                      ln((coalesce(b.cb, 0) + 0.1)
+                         / (coalesce(u.cu, 0) + 0.1 * v.v)) as lp
+               from pairs p
+               left join rbig b on p.w1 = b.w1 and p.w2 = b.w2
+               left join runi u on p.w1 = u.w
+               cross join vocab v),
+    perdoc as (select doc_id, lang,
+                      cast(round(round(-avg(lp), 6) * 1000) as bigint)
+                        as nll_m
+               from scored group by doc_id, lang),
+    h as (select lang, nll_m, count(*) as c
+          from perdoc group by lang, nll_m),
+    s as (select lang, nll_m, c,
+                 sum(c) over (partition by lang order by nll_m) as cum
+          from h),
+    tot as (select lang, cast(sum(c) as bigint) as n
+            from h group by lang),
+    thr as (select s.lang,
+                   min(case when s.cum >= (t.n + 2) // 3
+                            then s.nll_m end) as thr1,
+                   min(case when s.cum >= (2 * t.n + 2) // 3
+                            then s.nll_m end) as thr2
+            from s join tot t using (lang) group by s.lang),
+    b as (select h.lang, h.nll_m, h.c,
+                 case when h.nll_m <= thr.thr1 then 'head'
+                      when h.nll_m <= thr.thr2 then 'middle'
+                      else 'tail' end as bucket
+          from h join thr using (lang))
+    select lang, bucket, cast(sum(c) as bigint) as n_docs,
+           cast(sum(nll_m * c) // sum(c) as bigint) as avg_nll_m
+    from b group by lang, bucket
+    """,
+)
+def ccnet_tertiles(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", 2020 — public): per language, documents are split into
+    EXACT perplexity tertiles under the trained bigram LM
+    (bigram_nll, the ngram_lm_score model) — head = cleanest third,
+    tail = candidates for discard.  Tertile thresholds are exact, not
+    approximate: the integer milli-nat score domain is histogrammed
+    and the smallest score whose cumulative count reaches ceil(N/3) /
+    ceil(2N/3) becomes the cut (ties share a bucket, so the split is
+    deterministic and engine-identical).  Reference analogue: the
+    three-way certainty partition of the doubts pipeline — confident
+    / review / discard (clara.c:3447-3487 tiers by vote margin).
+
+    Scale shape: scoring is the ngram_lm_score plan (model trained by
+    two partial-aggregating groupBys over the reference slice, eval
+    bigrams joined by equi key); the tertile machinery then runs
+    ENTIRELY on the bounded (lang, milli-nat) histogram — counting-
+    sort exact quantiles (exact_quantiles), with the cumulative
+    window PARTITIONED by lang, per-lang totals and thresholds riding
+    broadcast joins (each |langs|-row), and the final rollup map-side
+    partial.  No corpus-sized sort or unpartitioned window anywhere."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    ref = d.filter(F.col("doc_id") % 5 == 0)
+    ev = d.filter(F.col("doc_id") % 5 != 0)
+    perdoc = bigram_nll(ev, ref, ["doc_id", "lang"]).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("nll") * 1000).cast("bigint").alias("nll_m"),
+    )
+    h = (
+        perdoc.groupBy("lang", "nll_m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # bounded by |langs| x |distinct milli-nat scores|; consumers:
+        # cumulative window, totals, bucket assignment — materialize
+        # so the LM scoring join runs once
+        .localCheckpoint(eager=False)
+    )
+    s = h.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy("nll_m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = h.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    thr = (
+        s.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"), F.col("nll_m")
+                )
+            ).alias("thr1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                    F.col("nll_m"),
+                )
+            ).alias("thr2"),
+        )
+    )
+    b = h.join(F.broadcast(thr), "lang").select(
+        "lang",
+        "nll_m",
+        "c",
+        F.when(F.col("nll_m") <= F.col("thr1"), F.lit("head"))
+        .when(F.col("nll_m") <= F.col("thr2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.expr("sum(nll_m * c) div sum(c)")
+        .cast("bigint")
+        .alias("avg_nll_m"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -9771,6 +10092,13 @@ def ks_drift(spark, sf_dir):
 # carries a family-freshness constraint of its own) — same rule, all
 # three displaced queries stay r1/r2-signed and locally re-verified
 # at two scales every run.
+# Fifth continuation batch: winnow_near_dup (MOSS match step over
+# shared fingerprints), good_turing_mass (Good–Turing missing mass +
+# Chao1 richness) and ccnet_tertiles (exact per-language perplexity
+# tertiles) displace retention_cohorts, top_suppliers_per_nation and
+# token_stats (none carries a family-freshness constraint of its
+# own) — same rule, all three displaced queries stay r1/r2-signed
+# and locally re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -9806,6 +10134,9 @@ DRIVER_WINDOW = [
     "pmi_collocations",       # LLM PMI bigram collocation head (cont. r5)
     "winnow_fingerprints",    # LLM MOSS winnowing selection (cont. r5)
     "ks_drift",               # LLM exact two-sample KS drift (cont. r5)
+    "winnow_near_dup",        # LLM MOSS fingerprint match step (cont. r5)
+    "good_turing_mass",       # LLM Good–Turing / Chao1 estimates (cont. r5)
+    "ccnet_tertiles",         # LLM CCNet exact perplexity tertiles (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     "cosine_topk",            # LLM brute-force cosine top-k
@@ -9815,11 +10146,8 @@ DRIVER_WINDOW = [
     "embedding_lsh_buckets",  # LLM hyperplane-LSH buckets
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
     "quality_scores",         # LLM heuristic quality gate
-    "token_stats",            # §2.4 per-page token counters
     "lang_id_confusion",      # LLM language-ID confusion matrix
     "kmeans_refine",          # LLM Lloyd refinement step
-    "retention_cohorts",      # §2.5 cohort windows
-    "top_suppliers_per_nation",  # §2.5 pattern-list multi-key order
     # -- (c) backfill: oldest remaining (r3-signed), one per family ---
     # (interval_overlap / cube_metrics / regex_extract_props rotated
     # OUT late-r5 to make room for the three new never-signed r5

@@ -440,6 +440,36 @@ def main() -> None:
         "global sort.  Integer cross-multiplied ECDFs end to end.",
     )
 
+    add(
+        "winnow_near_dup (MOSS fingerprint match step, cont. r5)",
+        REGISTRY["winnow_near_dup"][0](spark, SF),
+        "The corpus-side winnowing window runs ONCE (fingerprint and\n"
+        "df-capped relations both checkpointed — the final plan reads\n"
+        "materialized RDDs only); fingerprints above the df cap are\n"
+        "dropped BEFORE the self-join (hot-bucket discipline: an f-doc\n"
+        "fingerprint contributes f^2 pairs), so every join bucket is\n"
+        "bounded and the pair relation is linear in the corpus.",
+    )
+
+    add(
+        "good_turing_mass (Good-Turing / Chao1 estimates, cont. r5)",
+        REGISTRY["good_turing_mass"][0](spark, SF),
+        "Two count-only shuffles: the (lang, type)-keyed partial\n"
+        "groupBy over the zip_with bigram explode, then the per-lang\n"
+        "count-of-counts rollup over the bounded TYPE relation.  No\n"
+        "window, no single-partition exchange anywhere.",
+    )
+
+    add(
+        "ccnet_tertiles (CCNet exact perplexity tertiles, cont. r5)",
+        REGISTRY["ccnet_tertiles"][0](spark, SF),
+        "Scoring is the ngram_lm_score plan; the tertile machinery\n"
+        "then runs ENTIRELY on the bounded checkpointed (lang,\n"
+        "milli-nat) histogram — counting-sort exact quantiles with\n"
+        "the cumulative window PARTITIONED by lang, per-lang totals\n"
+        "and thresholds riding |langs|-row broadcasts.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

@@ -452,3 +452,46 @@ def test_ks_drift_plan_single_scan(spark, sf001):
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             assert "partial_" in lines[i + 1], lines[i : i + 2]
+
+
+def test_winnow_near_dup_plan_shape(spark, sf001):
+    """winnow_near_dup runs the corpus-side winnowing window exactly
+    once (both the fingerprint relation and the df-capped kept
+    relation are checkpointed, so the final plan reads materialized
+    RDDs only — kept twice for the pair join sides and twice for the
+    size joins) and the pair machinery is pure join/aggregate — no
+    window, no single-partition exchange."""
+    plan = _plan(REGISTRY["winnow_near_dup"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_good_turing_plan_two_count_shuffles(spark, sf001):
+    """good_turing_mass is two count-only shuffles: the (lang, type)
+    partial-aggregating groupBy and the per-lang count-of-counts
+    rollup — no window, no single-partition exchange, and the scan
+    prunes to (lang, text)."""
+    plan = _plan(REGISTRY["good_turing_mass"][0](spark, sf001))
+    assert plan.count("FileScan") == 1, plan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan or \
+        "ReadSchema: struct<lang:string,text:string>" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_ccnet_tertiles_plan_lang_partitioned(spark, sf001):
+    """ccnet_tertiles' tertile machinery runs entirely on the bounded
+    checkpointed (lang, milli-nat) histogram — three materialized-RDD
+    reads (cumulative window, totals, bucket assignment), never a
+    parquet re-scan; the ONE window is partitioned by lang; totals
+    and thresholds broadcast."""
+    plan = _plan(REGISTRY["ccnet_tertiles"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
+    assert "windowspecdefinition(lang" in plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan

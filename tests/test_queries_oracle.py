@@ -172,8 +172,12 @@ def test_driver_window_invariants():
         "llm_zipf": {"zipf_slope"},
         "llm_exact_quantiles": {"exact_quantiles"},
         "llm_collocations": {"pmi_collocations"},
-        "llm_winnow": {"winnow_fingerprints", "doc_fingerprints"},
+        "llm_winnow": {"winnow_fingerprints", "winnow_near_dup",
+                       "doc_fingerprints"},
         "llm_ks_drift": {"ks_drift", "snapshot_drift_kl"},
+        "llm_winnow_match": {"winnow_near_dup"},
+        "llm_good_turing": {"good_turing_mass"},
+        "llm_ccnet": {"ccnet_tertiles", "ngram_lm_score"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -282,6 +286,15 @@ EDGE_QUERIES = [
     # slice counters; the 8x "dup" run and 4x fox sentence must rank
     # identically under the exact PMI milli-nat quantization
     "pmi_collocations", "winnow_fingerprints", "ks_drift",
+    # fifth continuation batch: the WIN_K-exact doc has one
+    # fingerprint (n_fp=1) so any shared hash would clear the 500
+    # per-mille containment gate — both engines must agree on the
+    # empty/non-empty pair set; bigram types over empty / single-token
+    # docs contribute nothing to N1/N2 (zip_with over empty slices);
+    # the N2=0 language must take the bias-corrected Chao1 branch in
+    # BOTH engines; single-doc languages collapse all three tertiles
+    # into 'head' identically
+    "winnow_near_dup", "good_turing_mass", "ccnet_tertiles",
 ]
 
 
