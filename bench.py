@@ -148,6 +148,9 @@ HEADLINE = [
     "winnow_near_dup",  # added r5: MOSS fingerprint match step
     "good_turing_mass",  # added r5: Good-Turing missing mass + Chao1
     "ccnet_tertiles",  # added r5: CCNet exact perplexity tertiles
+    "burst_detect",  # added r5: Kleinberg-style burst flags
+    "session_gap_quantiles",  # added r5: exact inter-event gap quantiles
+    "pca_power_iter",  # added r5: lead-PC power-iteration step
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -9939,6 +9939,289 @@ def ccnet_tertiles(spark, sf_dir):
     )
 
 
+#: burst_detect: trailing window length (previous W observed activity
+#: days) and the flag threshold — a day is bursty when its count
+#: exceeds BURST_MIN_PM/1000 x the trailing mean, i.e. when
+#: W*1000*n/trail_sum >= BURST_MIN_PM (integer cross-multiplied).
+BURST_W = 3
+BURST_MIN_PM = 1500
+
+
+@q(
+    "burst_detect",
+    f"""
+    with d as (select event_type, cast(ts as date) as day0, count(*) as n
+               from events group by 1, 2),
+    w as (select event_type, day0, n,
+                 sum(n) over (partition by event_type order by day0
+                              rows between {BURST_W} preceding
+                              and 1 preceding) as trail,
+                 count(*) over (partition by event_type order by day0
+                                rows between {BURST_W} preceding
+                                and 1 preceding) as nw
+          from d)
+    select event_type, strftime(day0, '%Y-%m-%d') as day,
+           cast(n as bigint) as n, cast(trail as bigint) as trail_n,
+           cast(({BURST_W * 1000} * n) // trail as bigint) as burst_pm
+    from w
+    where nw = {BURST_W}
+      and ({BURST_W * 1000} * n) // trail >= {BURST_MIN_PM}
+    """,
+)
+def burst_detect(spark, sf_dir):
+    """Kleinberg-style burst flagging over the event stream (Kleinberg,
+    "Bursty and Hierarchical Structure in Streams", KDD 2002 — the
+    two-state automaton collapsed to its decision rule): a (type, day)
+    is bursty when its count exceeds {BURST_MIN_PM} per-mille of the
+    trailing {BURST_W}-observed-day mean — the crawl-ops primitive
+    behind "this host/term/error suddenly spiked" alerts, and the
+    batch twin of the streaming windowed counts.  Integer
+    cross-multiplied comparison (W*1000*n vs threshold*trail), so the
+    flag is exact in both engines.  Reference analogue: the activity
+    spike handling of the acts ledger — bursts of operator
+    corrections cluster in revision time (revision.c act batches).
+
+    Scale shape: one map-side-partial groupBy to the (type, day)
+    relation — the corpus never reaches a window; the trailing
+    window then runs over that BOUNDED relation partitioned by
+    event_type (at web scale the key is a host or term, so the
+    window parallelism is keyed, never global); missing days cost
+    nothing (the frame is over OBSERVED days — the semantics are
+    "vs the previous {BURST_W} active days")."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day0"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day0")
+        .rowsBetween(-BURST_W, -1)
+    )
+    w = d.withColumn("trail", F.sum("n").over(tw)).withColumn(
+        "nw", F.count("n").over(tw)
+    )
+    return (
+        w.filter(F.col("nw") == BURST_W)
+        .filter(
+            F.expr(f"({BURST_W * 1000} * n) div trail")
+            >= BURST_MIN_PM
+        )
+        .select(
+            "event_type",
+            F.date_format("day0", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("trail").cast("bigint").alias("trail_n"),
+            F.expr(f"({BURST_W * 1000} * n) div trail")
+            .cast("bigint")
+            .alias("burst_pm"),
+        )
+    )
+
+
+@q(
+    "session_gap_quantiles",
+    """
+    with o as (select user_id, event_type, ts, event_id,
+                      lag(ts) over (partition by user_id
+                                    order by ts, event_id) as prev
+               from events),
+    g as (select event_type,
+                 (epoch_us(ts) - epoch_us(prev)) // 1000000 as gap_s
+          from o where prev is not null),
+    h as (select event_type, gap_s, count(*) as c from g group by 1, 2),
+    s as (select event_type, gap_s, c,
+                 sum(c) over (partition by event_type
+                              order by gap_s) as cum
+          from h),
+    tot as (select event_type, cast(sum(c) as bigint) as n
+            from h group by 1),
+    p as (select unnest([500, 900]) as pm)
+    select s.event_type, p.pm, cast(min(s.gap_s) as bigint) as gap_s
+    from s join tot using (event_type)
+         join p on s.cum >= (p.pm * tot.n + 999) // 1000
+    group by s.event_type, p.pm
+    """,
+)
+def session_gap_quantiles(spark, sf_dir):
+    """EXACT p50/p90 of same-user inter-event gaps per event type —
+    the empirical basis for the sessionization threshold: the
+    1800-second cut in `sessionize` is a config constant; this query
+    is how a real pipeline would derive it from the data (pick the
+    knee between the intra-session and inter-session gap modes).
+    Gaps are integer seconds from exact epoch microseconds
+    ((unix_micros(ts) - unix_micros(prev)) div 1e6 — identical floor
+    semantics in both engines, no timestamp-truncation ambiguity).
+    Reference analogue: the inter-symbol gap statistics that
+    calibrate word building — the space-vs-kern threshold is fit from
+    the observed gap distribution (html.c word-building heuristics).
+
+    Scale shape: the lag window is partitioned by user_id (the
+    sessionize partition — never an unpartitioned frame); the
+    quantile machinery is the counting-sort plan (exact_quantiles /
+    ccnet_tertiles) over the BOUNDED (type, gap-second) histogram,
+    checkpointed so the corpus-side window runs once; per-type totals
+    and the 2-row per-mille targets ride broadcast joins."""
+    o = _t(spark, sf_dir, "events").withColumn(
+        "prev",
+        F.lag("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # cast is wall-time-stable because get_spark pins the session to
+    # UTC (and DuckDB's epoch_us reads the same wall time)
+    g = o.filter(F.col("prev").isNotNull()).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - unix_micros(cast(prev as timestamp))) div 1000000"
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    h = (
+        g.groupBy("event_type", "gap_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # bounded by |types| x |distinct gap seconds|; consumers:
+        # cumulative window + totals — materialize so the user-keyed
+        # lag window runs once
+        .localCheckpoint(eager=False)
+    )
+    s = h.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("gap_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = spark.range(1).select(
+        F.explode(F.array(F.lit(500), F.lit(900))).alias("pm")
+    )
+    return (
+        s.join(F.broadcast(tot), "event_type")
+        .join(
+            F.broadcast(p),
+            F.col("cum") >= F.expr("(pm * n + 999) div 1000"),
+        )
+        .groupBy("event_type", "pm")
+        .agg(F.min("gap_s").cast("bigint").alias("gap_s"))
+    )
+
+
+@q(
+    "pca_power_iter",
+    """
+    with rs as (select vec_id, embedding, list_sum(embedding) as rowsum
+                from embeddings),
+    gl as (select count(*) as n, sum(rowsum) as srs from rs),
+    dt as (select vec_id, embedding,
+                  (rowsum - (gl.srs / gl.n)) / 8.0 as dot
+           from rs cross join gl),
+    ds as (select sum(dot) as dotsum from dt),
+    x as (select g.d, dt.embedding[g.d] as x, dt.dot
+          from dt,
+               unnest(generate_series(1, len(dt.embedding))) as g(d)),
+    pd as (select d, sum(x * dot) as sxd, sum(x) as sx
+           from x group by d),
+    v1 as (select pd.d, pd.sxd - (pd.sx / gl.n) * ds.dotsum as v
+           from pd cross join gl cross join ds),
+    nrm as (select sqrt(sum(v * v)) as nv from v1),
+    sgn as (select case when v >= 0 then 1.0 else -1.0 end as s
+            from v1 order by abs(v) desc, d limit 1)
+    select cast(v1.d as bigint) as dim,
+           round(v1.v * sgn.s / nrm.nv, 6) as loading
+    from v1 cross join nrm cross join sgn
+    """,
+)
+def pca_power_iter(spark, sf_dir):
+    """One DETERMINISTIC power-iteration step toward the lead
+    principal component of the mean-centered embedding matrix:
+    v1 = X̃ᵀ(X̃ v0) from the fixed start v0 = 1/8·1 (unit, no RNG),
+    normalized and sign-fixed by the largest-|loading| dimension —
+    the embedding-quality primitive behind anisotropy audits ("is one
+    direction eating the space?", Mu & Viswanath 2018's dominant
+    component) and the initialization of PCA-whitening for ANN.
+    Verified digit-for-digit against the straight NumPy matvec and
+    against the power-iteration invariant (a step never decreases
+    the Rayleigh quotient) in tests; convergence to the eigenvector
+    is the caller's loop — each step of it is this query.
+    Reference analogue: the principal-axis fit of bl_geo — the
+    baseline direction is the dominant eigenvector of the symbol
+    point cloud (clara.c least-squares baseline).
+
+    Scale shape: TWO corpus passes, both map-side partial — pass 1
+    computes per-row sums (dot = (rowsum - mean·1)/8 needs only the
+    1-row global (n, Σrowsum) broadcast — the v0 = 1/8·1 start makes
+    the matvec a ROW-SUM, never a 64-way join), pass 2 posexplodes
+    (dim, x, dot) into a 64-row partial-aggregating groupBy.  All
+    remaining algebra (centering correction, norm, sign election)
+    runs on the checkpointed 64-row loading relation with 1-row
+    broadcasts.  The dotsum correction term is carried explicitly
+    rather than assumed zero, so float cancellation is identical in
+    both engines."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    rs = e.withColumn(
+        "rowsum", F.aggregate("emb", F.lit(0.0), lambda a, v: a + v)
+    )
+    gl = rs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rowsum").alias("srs")
+    )
+    dt = rs.crossJoin(F.broadcast(gl)).select(
+        "emb",
+        ((F.col("rowsum") - F.col("srs") / F.col("n")) / 8.0).alias(
+            "dot"
+        ),
+    )
+    ds = dt.agg(F.sum("dot").alias("dotsum"))
+    x = dt.select("dot", F.posexplode("emb").alias("d0", "x")).select(
+        (F.col("d0") + 1).alias("d"), "x", "dot"
+    )
+    pd_ = x.groupBy("d").agg(
+        F.sum(F.col("x") * F.col("dot")).alias("sxd"),
+        F.sum("x").alias("sx"),
+    )
+    v1 = (
+        pd_.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(ds))
+        .select(
+            "d",
+            (
+                F.col("sxd") - (F.col("sx") / F.col("n")) * F.col("dotsum")
+            ).alias("v"),
+        )
+        # 64 rows; consumers: norm, sign election, final projection —
+        # materialize so the corpus-side explode runs once
+        .localCheckpoint(eager=False)
+    )
+    nrm = v1.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    sgn = (
+        v1.orderBy(F.abs(F.col("v")).desc(), "d")
+        .limit(1)
+        .select(
+            F.when(F.col("v") >= 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("s")
+        )
+    )
+    return (
+        v1.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("d").cast("bigint").alias("dim"),
+            F.round(
+                F.col("v") * F.col("s") / F.col("nv"), 6
+            ).alias("loading"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -10099,6 +10382,15 @@ def ccnet_tertiles(spark, sf_dir):
 # token_stats (none carries a family-freshness constraint of its
 # own) — same rule, all three displaced queries stay r1/r2-signed
 # and locally re-verified at two scales every run.
+# Sixth continuation batch: burst_detect (Kleinberg-style burst
+# flags), session_gap_quantiles (exact inter-event gap quantiles —
+# the empirical sessionize threshold) and pca_power_iter
+# (deterministic lead-PC power-iteration step) displace cosine_topk,
+# ngram_jaccard_pairs and quality_scores (llm_quality keeps
+# token_entropy [r4] and c4_gopher_rules [window]; the other two
+# carry no family-freshness constraint) — same rule, all three
+# displaced queries stay r1/r2-signed and locally re-verified at two
+# scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -10137,15 +10429,15 @@ DRIVER_WINDOW = [
     "winnow_near_dup",        # LLM MOSS fingerprint match step (cont. r5)
     "good_turing_mass",       # LLM Good–Turing / Chao1 estimates (cont. r5)
     "ccnet_tertiles",         # LLM CCNet exact perplexity tertiles (cont. r5)
+    "burst_detect",           # §2.5 Kleinberg burst flags (cont. r5)
+    "session_gap_quantiles",  # §2.5 exact gap quantiles (cont. r5)
+    "pca_power_iter",         # LLM lead-PC power iteration (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
-    "cosine_topk",            # LLM brute-force cosine top-k
-    "ngram_jaccard_pairs",    # LLM n-gram Jaccard near-dup
     "bpe_token_stats",        # LLM BPE-ish token counting
     "doc_fingerprints",       # LLM rolling-hash fingerprints
     "embedding_lsh_buckets",  # LLM hyperplane-LSH buckets
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
-    "quality_scores",         # LLM heuristic quality gate
     "lang_id_confusion",      # LLM language-ID confusion matrix
     "kmeans_refine",          # LLM Lloyd refinement step
     # -- (c) backfill: oldest remaining (r3-signed), one per family ---

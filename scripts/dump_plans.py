@@ -470,6 +470,36 @@ def main() -> None:
         "and thresholds riding |langs|-row broadcasts.",
     )
 
+    add(
+        "burst_detect (Kleinberg-style burst flags, cont. r5)",
+        REGISTRY["burst_detect"][0](spark, SF),
+        "The corpus reduces to the (type, day) relation with a\n"
+        "map-side-partial groupBy BEFORE any window; the trailing\n"
+        "window is partitioned by event_type (a host/term key at web\n"
+        "scale — never an unpartitioned frame); the scan prunes to\n"
+        "(ts, event_type); integer cross-multiplied flag.",
+    )
+
+    add(
+        "session_gap_quantiles (exact gap quantiles, cont. r5)",
+        REGISTRY["session_gap_quantiles"][0](spark, SF),
+        "The user-keyed lag window runs ONCE (the (type, gap-second)\n"
+        "histogram is checkpointed); the counting-sort quantile\n"
+        "machinery then runs on the bounded histogram with the\n"
+        "cumulative window partitioned by event_type and the totals +\n"
+        "2-row per-mille targets broadcast.",
+    )
+
+    add(
+        "pca_power_iter (lead-PC power-iteration step, cont. r5)",
+        REGISTRY["pca_power_iter"][0](spark, SF),
+        "TWO corpus passes, both map-side partial (the v0 = 1/8*ones\n"
+        "start makes the matvec a ROW-SUM — never a 64-way join);\n"
+        "the remaining algebra (centering correction, norm, sign\n"
+        "election) runs on the checkpointed 64-row loading relation\n"
+        "with 1-row broadcasts.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

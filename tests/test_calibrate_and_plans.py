@@ -495,3 +495,44 @@ def test_ccnet_tertiles_plan_lang_partitioned(spark, sf001):
     assert "windowspecdefinition(lang" in plan
     assert plan.count("BroadcastExchange") == 2, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_burst_detect_plan_keyed_window(spark, sf001):
+    """burst_detect reduces the corpus to the (type, day) relation
+    with a map-side-partial groupBy BEFORE any window; the trailing
+    window is partitioned by event_type (never an unpartitioned
+    frame); the scan prunes to (ts, event_type); no single-partition
+    exchange anywhere."""
+    plan = _plan(REGISTRY["burst_detect"][0](spark, sf001))
+    assert plan.count("FileScan") == 1, plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in plan
+    assert "windowspecdefinition(event_type" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_count" in plan
+
+
+def test_session_gap_quantiles_plan_shape(spark, sf001):
+    """session_gap_quantiles runs the user-keyed lag window once (the
+    (type, gap) histogram is checkpointed; the final plan reads it
+    for the cumulative window and the totals), keeps the cumulative
+    window partitioned by event_type, and broadcasts the per-type
+    totals and the 2-row per-mille targets."""
+    plan = _plan(REGISTRY["session_gap_quantiles"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "windowspecdefinition(event_type" in plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pca_power_iter_plan_bounded_algebra(spark, sf001):
+    """pca_power_iter's final plan runs entirely on the checkpointed
+    64-row loading relation (norm, sign election, projection — three
+    materialized-RDD reads; the two corpus passes live inside the
+    checkpoint's lineage and run once at materialization); no window
+    anywhere; the two 1-row factors broadcast."""
+    plan = _plan(REGISTRY["pca_power_iter"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastExchange") == 2, plan

@@ -178,6 +178,9 @@ def test_driver_window_invariants():
         "llm_winnow_match": {"winnow_near_dup"},
         "llm_good_turing": {"good_turing_mass"},
         "llm_ccnet": {"ccnet_tertiles", "ngram_lm_score"},
+        "llm_burst": {"burst_detect"},
+        "llm_session_gap": {"session_gap_quantiles", "sessionize"},
+        "llm_pca": {"pca_power_iter"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -385,6 +388,12 @@ EDGE_EVENT_QUERIES = [
     "stream_dedup_replay",  # unique ids in fixture: oracle stays exact
     "url_trap_audit",  # late r4: sparse ids; param-free url
     #   collisions across distinct ids exercise the distinct-dedup
+    # sixth continuation batch: identical-ts rows (user 2) exercise
+    # the lag tie-break (gap_s = 0 must land one histogram row in
+    # both engines); the 3-day fixture leaves every type short of the
+    # BURST_W trailing window, so burst_detect must return EMPTY in
+    # both engines rather than flag a partial window
+    "burst_detect", "session_gap_quantiles",
 ]
 
 

@@ -602,3 +602,47 @@ def test_winnow_guarantee_shared_substring(spark, tmp_path):
             assert by_doc[a] & by_doc[b], (a, b)
     for a in range(5):
         assert not (by_doc[a] & by_doc[5]), a
+
+
+def test_pca_power_iter_matches_numpy(spark, sf001):
+    """The SQL power-iteration step must agree with the straight
+    NumPy computation v1 = centered(X)^T (centered(X) @ (1/8)) —
+    normalized, sign fixed by the largest-|loading| dimension — to
+    the full 6 quantized decimals, AND satisfy the power-iteration
+    invariant: one step never decreases the Rayleigh quotient
+    (variance captured along the vector), so R(v1) >= R(v0).  (One
+    step from a fixed start is NOT asserted to reach the top
+    eigenvector — on this corpus the 1/8*ones start is nearly
+    orthogonal to it; convergence is the caller's loop, each step of
+    which is this query.)"""
+    import duckdb
+    import numpy as np
+
+    from clara_ocr_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    X = np.vstack(
+        con.sql(
+            "select embedding from "
+            f"read_parquet('{sf001}/embeddings.parquet') order by vec_id"
+        ).df()["embedding"]
+    )
+    con.close()
+    Xc = X - X.mean(0)
+    v1 = Xc.T @ (Xc @ (np.ones(X.shape[1]) / 8.0))
+    v1 = v1 / np.linalg.norm(v1)
+    i = int(np.argmax(np.abs(v1)))
+    v1 = v1 if v1[i] >= 0 else -v1
+
+    got = {
+        r["dim"]: r["loading"]
+        for r in REGISTRY["pca_power_iter"][0](spark, sf001).collect()
+    }
+    exp = {d + 1: round(float(v1[d]), 6) for d in range(X.shape[1])}
+    assert got == exp
+
+    C = np.cov(Xc.T)
+    v0 = np.ones(X.shape[1]) / 8.0
+    r0 = float(v0 @ C @ v0)
+    r1 = float(v1 @ C @ v1)
+    assert r1 >= r0, (r1, r0)
