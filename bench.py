@@ -151,6 +151,9 @@ HEADLINE = [
     "burst_detect",  # added r5: Kleinberg-style burst flags
     "session_gap_quantiles",  # added r5: exact inter-event gap quantiles
     "pca_power_iter",  # added r5: lead-PC power-iteration step
+    "unimax_quota",  # added r5: UniMax water-filling quotas
+    "heaps_law_fit",  # added r5: Heaps vocabulary-growth fit
+    "kcore_peel",  # added r5: median-k core peeling
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -10222,6 +10222,358 @@ def pca_power_iter(spark, sf_dir):
     )
 
 
+#: unimax_quota: maximum epochs any language may repeat (the UniMax
+#: cap), with the budget fixed at ONE corpus pass (sum of available
+#: tokens) so head languages are downsampled below a full epoch and
+#: tail languages repeat up to the cap.
+UNIMAX_EPOCHS = 4
+
+
+@q(
+    "unimax_quota",
+    f"""
+    with t as (select lang, len({_TOK_DUCK.format(x='lower(text)')}) as nt
+               from documents),
+    nl as (select lang, cast(sum(nt) as bigint) as n_avail
+           from t group by lang),
+    g as (select cast(sum(n_avail) as bigint) as b,
+                 cast(count(*) as bigint) as l from nl),
+    s as (select nl.lang, nl.n_avail,
+                 {UNIMAX_EPOCHS} * nl.n_avail as cap,
+                 row_number() over (order by {UNIMAX_EPOCHS} * nl.n_avail,
+                                    nl.lang) as rn,
+                 sum({UNIMAX_EPOCHS} * nl.n_avail)
+                   over (order by {UNIMAX_EPOCHS} * nl.n_avail,
+                         nl.lang) as p
+          from nl),
+    f as (select s.*, g.b, g.l,
+                 case when s.cap * (g.l - s.rn + 1) + (s.p - s.cap) <= g.b
+                      then 1 else 0 end as capped
+          from s cross join g),
+    k as (select cast(sum(capped) as bigint) as k,
+                 cast(coalesce(sum(case when capped = 1 then cap end), 0)
+                      as bigint) as pk
+          from f),
+    q as (select f.lang, f.n_avail, f.cap, f.b, f.l, f.rn, f.capped,
+                 k.k, k.pk,
+                 case when f.capped = 1 then f.cap
+                      else (f.b - k.pk) // (f.l - k.k)
+                           + case when f.rn - k.k
+                                       <= (f.b - k.pk) % (f.l - k.k)
+                                  then 1 else 0 end
+                 end as quota
+          from f cross join k)
+    select lang, n_avail, cast(cap as bigint) as cap,
+           cast(quota as bigint) as quota,
+           cast((1000 * quota) // n_avail as bigint) as epochs_pm
+    from q
+    """,
+)
+def unimax_quota(spark, sf_dir):
+    """UniMax budget allocation (Chung et al., "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023 — public): given one corpus-pass of token
+    budget and a {UNIMAX_EPOCHS}-epoch repeat cap per language,
+    water-fill quotas so every language gets an equal share unless
+    its cap binds first — the principled alternative to temperature
+    sampling (domain_mix_weights).  The nominally SEQUENTIAL
+    water-filling loop is computed in closed form: sort languages by
+    cap, find the capped prefix via the exact integer test
+    cap_i*(L-i+1) + P_(i-1) <= B (provably prefix-monotone — a
+    later language can only pass if an earlier equal-cap one did),
+    then split the residue equally with the integer remainder going
+    to the smallest-cap languages — quotas sum to the budget EXACTLY.
+    Reference analogue: the per-book pattern-library budget — page
+    classes share a bounded library, common shapes capped so rare
+    shapes keep slots (pattern.c insertion policy).
+
+    Scale shape: one map-side-partial groupBy to per-language token
+    counts; EVERYTHING else (sort, prefix sums, capped test, residue
+    split) runs on the |languages|-row relation — the windows are
+    bounded by the language inventory at any corpus size; the 1-row
+    (budget, L) and (k, Pk) aggregates ride broadcast cross joins."""
+    d = _t(spark, sf_dir, "documents")
+    nl = (
+        d.select("lang", F.size(_tokens(F.lower(F.col("text")))).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("n_avail"))
+        # |languages| rows; consumers: totals + sorted fill —
+        # materialize so the corpus scans once
+        .localCheckpoint(eager=False)
+    )
+    g = nl.agg(
+        F.sum("n_avail").cast("bigint").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    cap = (F.col("n_avail") * UNIMAX_EPOCHS).alias("cap")
+    wo = Window.orderBy(F.col("cap"), F.col("lang"))
+    s = nl.select("lang", "n_avail", cap).select(
+        "lang",
+        "n_avail",
+        "cap",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)).alias("p"),
+    )
+    f = s.crossJoin(F.broadcast(g)).withColumn(
+        "capped",
+        F.when(
+            F.col("cap") * (F.col("l") - F.col("rn") + 1)
+            + (F.col("p") - F.col("cap"))
+            <= F.col("b"),
+            1,
+        ).otherwise(0),
+    )
+    k = f.agg(
+        F.sum("capped").cast("bigint").alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("pk"),
+    )
+    quota = F.when(F.col("capped") == 1, F.col("cap")).otherwise(
+        F.expr("(b - pk) div (l - k)")
+        + F.when(
+            F.col("rn") - F.col("k") <= F.expr("(b - pk) % (l - k)"), 1
+        ).otherwise(0)
+    )
+    return (
+        f.crossJoin(F.broadcast(k))
+        .withColumn("quota", quota)
+        .select(
+            "lang",
+            "n_avail",
+            F.col("cap").cast("bigint").alias("cap"),
+            F.col("quota").cast("bigint").alias("quota"),
+            F.expr("(1000 * quota) div n_avail")
+            .cast("bigint")
+            .alias("epochs_pm"),
+        )
+    )
+
+
+#: heaps_law_fit: number of crawl-order batches the corpus is cut
+#: into for the growth curve (doc_id div width, width sized so the
+#: batch count stays ~constant at any scale).
+HEAPS_BATCHES = 32
+
+
+@q(
+    "heaps_law_fit",
+    f"""
+    with mx as (select greatest(1, (max(doc_id) + 1) // {HEAPS_BATCHES})
+                  as width from documents),
+    nm as (select doc_id,
+                  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                    as norm
+           from documents),
+    g as (select nm.doc_id // mx.width as b,
+                 ({H60_DUCK.format(x=f'substr(nm.norm, i, {WIN_K})')})
+                   % 1073741824 as h30
+          from nm cross join mx,
+               unnest(generate_series(1, length(nm.norm) - {WIN_K} + 1))
+                 as t(i)
+          where length(nm.norm) >= {WIN_K}),
+    ft as (select h30, min(b) as fb from g group by h30),
+    nb as (select b, count(*) as ng from g group by b),
+    vb as (select fb as b, count(*) as nv from ft group by fb),
+    c as (select nb.b, sum(nb.ng) over (order by nb.b) as cum_n,
+                 sum(coalesce(vb.nv, 0)) over (order by nb.b) as cum_v
+          from nb left join vb using (b))
+    select cast(count(*) as bigint) as n_batches,
+           round(regr_slope(ln(cum_v), ln(cum_n)), 3) as beta,
+           round(regr_intercept(ln(cum_v), ln(cum_n)), 3) as lnk,
+           round(regr_r2(ln(cum_v), ln(cum_n)), 3) as r2
+    from c
+    """,
+)
+def heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(N) = K*N^beta over crawl
+    order (Heaps 1978 — public): cut the corpus into
+    ~{HEAPS_BATCHES} doc_id batches, count cumulative k-gram TYPES
+    vs cumulative k-gram tokens, and least-squares ln V on ln N —
+    the growth exponent beta is the "is the crawl still discovering
+    new content?" dial (beta falling toward 0 = saturation; the
+    within-run twin of good_turing_mass' missing-mass estimate).
+    Types are the winnowing {WIN_K}-char k-gram space (the bounded
+    word vocabulary saturates in one batch; the k-gram space keeps
+    growing).  Completes the corpus-health trio with zipf_slope
+    (rank-frequency) and good_turing_mass (unseen mass).
+
+    Scale shape: one k-gram explode into TWO map-side-partial
+    groupBys — first-batch per type (min(b), the type relation) and
+    grams per batch; the cumulative windows then run over the
+    ~{HEAPS_BATCHES}-row batch relation (bounded at any corpus
+    size), and the regression aggregates partially map-side.  The
+    one unpartitioned window frame sees n_batches rows, never the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    mx = d.agg(
+        F.greatest(
+            F.lit(1), F.expr(f"(max(doc_id) + 1) div {HEAPS_BATCHES}")
+        ).alias("width")
+    )
+    nm = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.lower(F.col("text"))), r"\s+", " "
+        ).alias("norm"),
+    ).filter(F.length("norm") >= WIN_K)
+    g = (
+        nm.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("doc_id div width").alias("b"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("norm") - WIN_K + 1)
+            ).alias("i"),
+            "norm",
+        )
+        .select(
+            "b",
+            (
+                spark_hash60(F.expr(f"substring(norm, i, {WIN_K})"))
+                % 1073741824
+            ).alias("h30"),
+        )
+        # consumed by BOTH groupBys (type first-batch + grams per
+        # batch) — materialize so the k-gram explode runs once
+        .localCheckpoint(eager=False)
+    )
+    ft = g.groupBy("h30").agg(F.min("b").alias("fb"))
+    nb = g.groupBy("b").agg(F.count(F.lit(1)).alias("ng"))
+    vb = ft.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        nb.join(vb, "b", "left")
+        .select("b", "ng", F.coalesce("nv", F.lit(0)).alias("nv"))
+        .withColumn("cum_n", F.sum("ng").over(cum))
+        .withColumn("cum_v", F.sum("nv").over(cum))
+    )
+    ln_v, ln_n = F.log(F.col("cum_v")), F.log(F.col("cum_n"))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.round(F.regr_slope(ln_v, ln_n), 3).alias("beta"),
+        F.round(F.regr_intercept(ln_v, ln_n), 3).alias("lnk"),
+        F.round(F.regr_r2(ln_v, ln_n), 3).alias("r2"),
+    )
+
+
+@q(
+    "kcore_peel",
+    """
+    with cs as (select distinct o.o_custkey as c, l.l_suppkey as s
+                from lineitem l join orders o
+                  on l.l_orderkey = o.o_orderkey),
+    e as (select 'C' || cast(c as varchar) as u,
+                 'S' || cast(s as varchar) as v from cs
+          union all
+          select 'S' || cast(s as varchar),
+                 'C' || cast(c as varchar) from cs),
+    d0 as (select u, count(*) as d from e group by u),
+    h as (select d, count(*) as c from d0 group by d),
+    tot as (select cast(sum(c) as bigint) as n from h),
+    kk as (select min(d) as k from
+           (select d, sum(c) over (order by d) as cum from h) s
+           cross join tot where 2 * s.cum >= tot.n),
+    n1 as (select u from d0 cross join kk where d0.d >= kk.k),
+    e1 as (select e.u, e.v from e
+           join n1 a on e.u = a.u join n1 b on e.v = b.u),
+    d1 as (select u, count(*) as d from e1 group by u),
+    n2 as (select d1.u from d1 cross join kk where d1.d >= kk.k),
+    e2 as (select e1.u, e1.v from e1
+           join n2 a on e1.u = a.u join n2 b on e1.v = b.u),
+    d2 as (select u, count(*) as d from e2 group by u),
+    n3 as (select d2.u from d2 cross join kk where d2.d >= kk.k),
+    e3 as (select e2.u, e2.v from e2
+           join n3 a on e2.u = a.u join n3 b on e2.v = b.u),
+    d3 as (select u, count(*) as d from e3 group by u)
+    select d3.u as node, cast(d3.d as bigint) as deg,
+           cast(kk.k as bigint) as k
+    from d3 cross join kk
+    """,
+)
+def kcore_peel(spark, sf_dir):
+    """Three rounds of k-core peeling (Seidman 1983 — public) over
+    the symmetrized customer<->supplier order graph, with k set to
+    the EXACT median initial degree (counting-sort over the bounded
+    degree histogram, so the cut is data-relative and discriminates
+    at every scale): repeatedly drop nodes with fewer than k distinct
+    neighbors and re-induce the subgraph — the dense-core audit
+    behind link-farm detection and crawl-frontier prioritization
+    (spam constellations die in the first peel; genuinely embedded
+    hosts survive).  Survivors are reported with their round-3
+    induced degree.  Reference analogue: clusterize's
+    largest-component selection (pgmblock.c:469-622) — keep the
+    densely connected structure, discard stragglers — iterated with
+    a degree threshold.
+
+    Scale shape: the distinct edge list is checkpointed once (the
+    lineitem x orders join never re-executes); each peel round is
+    one degree groupBy (map-side partial) plus two semi joins of the
+    edge list against the surviving-node set, re-checkpointed per
+    round so the plan stays O(1)-deep at any round count (the
+    pagerank_bipartite / dup_clusters iteration discipline); the
+    median-k machinery runs on the bounded degree histogram with
+    1-row broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = cs.select(
+        F.concat(F.lit("C"), F.col("c").cast("string")).alias("u"),
+        F.concat(F.lit("S"), F.col("s").cast("string")).alias("v"),
+    )
+    rev = cs.select(
+        F.concat(F.lit("S"), F.col("s").cast("string")).alias("u"),
+        F.concat(F.lit("C"), F.col("c").cast("string")).alias("v"),
+    )
+    e = fwd.unionAll(rev).localCheckpoint(eager=False)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    h = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    tot = h.agg(F.sum("c").cast("bigint").alias("n"))
+    kk = (
+        h.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("d").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("d").alias("k"))
+    )
+    for _ in range(3):
+        nodes = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("d") >= F.col("k"))
+            .select("u")
+        )
+        e = (
+            e.join(nodes, "u", "semi")
+            .join(nodes.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v")
+            # truncate lineage per round: the next degree groupBy and
+            # semi joins read the materialized round edges
+            .localCheckpoint(eager=False)
+        )
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.crossJoin(F.broadcast(kk)).select(
+        F.col("u").alias("node"),
+        F.col("d").cast("bigint").alias("deg"),
+        F.col("k").cast("bigint").alias("k"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -10391,6 +10743,14 @@ def pca_power_iter(spark, sf_dir):
 # carry no family-freshness constraint) — same rule, all three
 # displaced queries stay r1/r2-signed and locally re-verified at two
 # scales every run.
+# Seventh continuation batch: unimax_quota (UniMax water-filling in
+# closed form), heaps_law_fit (vocabulary-growth exponent) and
+# kcore_peel (median-k core peeling of the order graph) displace
+# bpe_token_stats (llm_tokenizer_equity keeps tokenizer_fertility
+# [window]), doc_fingerprints (llm_winnow keeps both winnow queries
+# [window]) and embedding_lsh_buckets (llm_embedding/llm_semdedup
+# keep semdedup_cells [r4]) — same rule, all three displaced queries
+# stay r1/r2-signed and locally re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -10432,11 +10792,11 @@ DRIVER_WINDOW = [
     "burst_detect",           # §2.5 Kleinberg burst flags (cont. r5)
     "session_gap_quantiles",  # §2.5 exact gap quantiles (cont. r5)
     "pca_power_iter",         # LLM lead-PC power iteration (cont. r5)
+    "unimax_quota",           # LLM UniMax water-filling quotas (cont. r5)
+    "heaps_law_fit",          # LLM Heaps vocabulary-growth fit (cont. r5)
+    "kcore_peel",             # web median-k core peeling (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
-    "bpe_token_stats",        # LLM BPE-ish token counting
-    "doc_fingerprints",       # LLM rolling-hash fingerprints
-    "embedding_lsh_buckets",  # LLM hyperplane-LSH buckets
     "ivf_topk_probe2",        # LLM IVF multi-probe ANN
     "lang_id_confusion",      # LLM language-ID confusion matrix
     "kmeans_refine",          # LLM Lloyd refinement step

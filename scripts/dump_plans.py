@@ -500,6 +500,37 @@ def main() -> None:
         "with 1-row broadcasts.",
     )
 
+    add(
+        "unimax_quota (UniMax water-filling quotas, cont. r5)",
+        REGISTRY["unimax_quota"][0](spark, SF),
+        "One map-side-partial groupBy to per-language token counts\n"
+        "(checkpointed — the corpus scans once); the nominally\n"
+        "SEQUENTIAL water-filling loop is computed in closed form on\n"
+        "the |languages|-row relation (sorted prefix sums, the exact\n"
+        "integer capped test, remainder split) — every window frame\n"
+        "is bounded by the language inventory.",
+    )
+
+    add(
+        "heaps_law_fit (vocabulary-growth exponent, cont. r5)",
+        REGISTRY["heaps_law_fit"][0](spark, SF),
+        "One k-gram explode (checkpointed) into two partial groupBys\n"
+        "(type first-batch, grams per batch); the cumulative windows\n"
+        "and the regression run over the ~32-row batch relation —\n"
+        "the unpartitioned frame is constant-size at any corpus\n"
+        "scale.",
+    )
+
+    add(
+        "kcore_peel (median-k core peeling, cont. r5)",
+        REGISTRY["kcore_peel"][0](spark, SF),
+        "The distinct edge list is checkpointed once; each peel round\n"
+        "is one degree groupBy plus two semi joins, re-checkpointed\n"
+        "per round so the plan stays O(1)-deep (the pagerank\n"
+        "iteration discipline); the median-k machinery runs on the\n"
+        "bounded degree histogram with 1-row broadcasts.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

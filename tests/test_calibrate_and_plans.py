@@ -536,3 +536,52 @@ def test_pca_power_iter_plan_bounded_algebra(spark, sf001):
     assert plan.count("Scan ExistingRDD") == 3, plan
     assert "Window" not in plan
     assert plan.count("BroadcastExchange") == 2, plan
+
+
+def test_unimax_quota_plan_single_scan(spark, sf001):
+    """unimax_quota reads the corpus once (the per-language token
+    relation is checkpointed; the sorted water-filling algebra —
+    windows, capped test, residue split — re-reads the materialized
+    |languages|-row RDD), so every window frame in the plan is
+    bounded by the language inventory, never the corpus."""
+    plan = _plan(REGISTRY["unimax_quota"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(cap" in plan
+
+
+def test_heaps_law_fit_plan_single_explode(spark, sf001):
+    """heaps_law_fit explodes the k-gram relation once (checkpointed;
+    both the type-first-batch and grams-per-batch groupBys read the
+    materialized RDD); the cumulative window runs over the bounded
+    batch relation; the final regression's single-partition exchange
+    is fed by a partial aggregate."""
+    plan = _plan(REGISTRY["heaps_law_fit"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "windowspecdefinition(b" in plan
+    assert "partial_regr_slope" in plan
+    # single-partition exchanges are allowed only for (a) partial-fed
+    # final aggregates and (b) the cumulative window over the bounded
+    # ~32-row batch relation (identified by its Project of b/ng/nv)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert "partial_" in nxt or "coalesce(nv" in nxt, (
+                lines[i : i + 2]
+            )
+
+
+def test_kcore_peel_plan_truncated_iterations(spark, sf001):
+    """kcore_peel's final plan reads materialized round edges (the
+    per-round checkpoints truncate the iteration lineage — the
+    pagerank discipline), never parquet; the only window is the
+    median-k cumulative sum over the bounded degree histogram; the
+    node sets semi-join without a sort-merge."""
+    plan = _plan(REGISTRY["kcore_peel"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
+    assert "windowspecdefinition(d" in plan
+    assert "SortMergeJoin" not in plan

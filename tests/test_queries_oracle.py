@@ -181,6 +181,9 @@ def test_driver_window_invariants():
         "llm_burst": {"burst_detect"},
         "llm_session_gap": {"session_gap_quantiles", "sessionize"},
         "llm_pca": {"pca_power_iter"},
+        "llm_unimax": {"unimax_quota", "domain_mix_weights"},
+        "llm_heaps": {"heaps_law_fit"},
+        "web_kcore": {"kcore_peel", "pagerank_bipartite"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -298,6 +301,12 @@ EDGE_QUERIES = [
     # BOTH engines; single-doc languages collapse all three tertiles
     # into 'head' identically
     "winnow_near_dup", "good_turing_mass", "ccnet_tertiles",
+    # seventh continuation batch: the edge corpus's tiny languages
+    # (one zh doc, one pt doc) BIND the UniMax epoch cap — the capped
+    # branch and the exact residue split must agree across engines —
+    # and the short/empty docs must fall out of the Heaps k-gram
+    # growth curve identically (norm < WIN_K excluded in both)
+    "unimax_quota", "heaps_law_fit",
 ]
 
 
