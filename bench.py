@@ -404,6 +404,7 @@ def main() -> None:
     # mojibake fixer, its JVM audit twin, the soft-404 ledger, and
     # the PSL registered-domain map over the corpus's hosts
     from clara_ocr_spark.curate import (
+        corpus_health,
         encoding_damage_audit,
         repair_text_encoding,
     )
@@ -424,6 +425,10 @@ def main() -> None:
     for name, df in (
         ("curate_fix_encoding", repair_text_encoding(docs)),
         ("curate_encoding_audit", encoding_damage_audit(docs)),
+        # the pre-mix snapshot audit (--corpus-health): five pruned
+        # text scans composing the Zipf/Heaps/Good-Turing/quantile/KS
+        # catalog algebra into one sidecar
+        ("curate_corpus_health", corpus_health(docs)),
         ("crawl_soft404_audit", soft404_audit(docs)),
         ("psl_domain_map", registered_domain_map(with_host(docs), rules)),
         # the crawl-loop surface: harvest every out-link and build the

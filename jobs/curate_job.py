@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> None:
         "by REGISTERED DOMAIN (eTLD+1) instead of raw host",
     )
     ap.add_argument(
+        "--corpus-health",
+        default=None,
+        metavar="PATH",
+        help="also write the corpus-health report (long metric/value "
+        "table: Zipf head slope, Heaps vocabulary-growth exponent, "
+        "Good-Turing missing mass + Chao1 richness, exact length "
+        "per-milles, and the url-parity KS self-consistency probe) "
+        "over the CURATED table here — the pre-mix snapshot audit",
+    )
+    ap.add_argument(
         "--fix-encoding",
         action="store_true",
         help="repair UTF-8-as-cp1252 mojibake baked into the source "
@@ -239,6 +249,15 @@ def main(argv: list[str] | None = None) -> None:
         domain_mixture(
             spark.read.parquet(args.curated), reg_rules=reg_rules
         ).write.mode("overwrite").parquet(args.mix_weights)
+    if args.corpus_health:
+        from clara_ocr_spark.curate import corpus_health
+
+        # read-back shape like --mix-weights/--dsir-weights: the
+        # report needs only (url, text) from the published table,
+        # never the curation lineage
+        corpus_health(
+            spark.read.parquet(args.curated)
+        ).write.mode("overwrite").parquet(args.corpus_health)
     if args.dsir_weights:
         from clara_ocr_spark.curate import dsir_weights
 

@@ -506,3 +506,50 @@ def test_curate_fuzzy_tau_catches_what_exact_misses(spark):
     assert {r["url"] for r in cur.collect()} == {
         "https://clean.example/p"
     }
+
+
+def test_corpus_health_report(spark):
+    """The corpus-health sidecar emits the full metric set with exact
+    counters and exact length quantiles (checked against a direct
+    computation on the fixture), sane fit ranges for the Zipf head
+    and Heaps growth, and a KS self-consistency probe inside the
+    per-mille domain.  The report must be deterministic — two calls
+    on the same input collect identically."""
+    from clara_ocr_spark.curate import corpus_health
+
+    rows = []
+    for i in range(120):
+        body = " ".join(
+            ["alpha beta gamma delta epsilon"[: 5 + (i % 20)]]
+            + [f"w{j % 37}" for j in range(10 + i % 50)]
+        )
+        rows.append((f"https://h{i % 7}.example/p{i}", body))
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    got = {r["metric"]: r["value"] for r in corpus_health(df).collect()}
+    expected_metrics = {
+        "n_docs", "n_tokens", "zipf_slope", "zipf_r2", "heaps_beta",
+        "heaps_r2", "gt_p0_pm", "gt_chao1", "len_p50", "len_p90",
+        "len_p99", "ks_parity_d_pm",
+    }
+    assert set(got) == expected_metrics
+    assert got["n_docs"] == 120
+    assert got["n_tokens"] == sum(len(t.split()) for _, t in rows)
+
+    lens = sorted(len(t) for _, t in rows)
+
+    def q(pm):
+        # min value whose cumulative count reaches ceil(pm*N/1000)
+        return lens[(pm * len(lens) + 999) // 1000 - 1]
+
+    assert got["len_p50"] == q(500)
+    assert got["len_p90"] == q(900)
+    assert got["len_p99"] == q(990)
+
+    assert got["zipf_slope"] < 0  # frequency falls with rank
+    assert 0 < got["heaps_beta"] < 1  # sublinear vocabulary growth
+    assert 0 <= got["ks_parity_d_pm"] <= 1000
+    assert got["gt_chao1"] >= 0
+
+    again = {r["metric"]: r["value"] for r in corpus_health(df).collect()}
+    assert again == got

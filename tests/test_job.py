@@ -582,6 +582,7 @@ def test_curate_job_wet_input(tmp_path):
     wet = tmp_path / "crawl.wet.gz"
     write_warc(rows, str(wet), gzip_members=True)
     out_c, out_r = tmp_path / "curated", tmp_path / "rejects"
+    out_h = tmp_path / "health"
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     proc = subprocess.run(
         [
@@ -591,6 +592,7 @@ def test_curate_job_wet_input(tmp_path):
             "--input-format", "wet",
             "--curated", str(out_c),
             "--rejects", str(out_r),
+            "--corpus-health", str(out_h),
         ],
         capture_output=True, text=True, env=env, timeout=300,
     )
@@ -610,6 +612,20 @@ def test_curate_job_wet_input(tmp_path):
     dup_pair = {"https://wet.example/0", "https://wet.example/dup"}
     assert len(dup_pair - set(rej)) == 1
     assert any("dup" in (v or "") for k, v in rej.items() if k in dup_pair)
+    # --corpus-health sidecar: the full metric set over the CURATED
+    # table, with the doc counter agreeing with the published output
+    health = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select metric, value from '{out_h}/*.parquet'"
+        ).fetchall()
+    }
+    assert set(health) == {
+        "n_docs", "n_tokens", "zipf_slope", "zipf_r2", "heaps_beta",
+        "heaps_r2", "gt_p0_pm", "gt_chao1", "len_p50", "len_p90",
+        "len_p99", "ks_parity_d_pm",
+    }
+    assert health["n_docs"] == n_c
 
 
 def test_curate_job_lm_gate_and_dsir(tmp_path):
