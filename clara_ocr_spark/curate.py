@@ -78,6 +78,13 @@ class CurateConfig:
     # --set lm_nll_max=9.0, ref corpus via --lm-ref or the content-
     # hash %5 self-slice)
     lm_nll_max: float = 0.0
+    # 0 = off; N>0 ALSO pairs docs whose winnowing-fingerprint
+    # containment reaches N per-mille of the smaller set (the
+    # run-sensitive dup signal — catches a page embedded verbatim in
+    # a larger page, which token-Jaccard dilutes below tau) and lets
+    # clusters close transitively across both notions
+    # (--set winnow_dedup_pm=500)
+    winnow_dedup_pm: int = 0
 
     def __post_init__(self) -> None:
         # the per-host switch modifies line dedup; without min_df the
@@ -332,14 +339,76 @@ def dsir_weights(curated: DataFrame, target: DataFrame) -> DataFrame:
     return curated.select("url").join(perdoc, "url", "left")
 
 
-def near_dup_canonical(docs: DataFrame, tau: float) -> DataFrame:
+def winnow_dup_pairs(docs: DataFrame, min_pm: int) -> DataFrame:
+    """(url, text) → (i_id, j_id) pairs whose winnowing-fingerprint
+    containment reaches ``min_pm`` per-mille of the smaller selected
+    set — the RUN-sensitive dup signal (shared substrings of
+    ≥ 11 normalized chars are guaranteed a shared fingerprint), the
+    complement of the vocabulary-sensitive MinHash tier: a page that
+    embeds another page verbatim inside much more text has low token
+    Jaccard but high containment.  Same chain as the oracle-checked
+    ``winnow_near_dup`` catalog entry via the shared
+    ``winnow_select``; the df ≤ FP_MAX_DF hot-fingerprint cap bounds
+    every join bucket (boilerplate fingerprints are not dup signal
+    and an f-doc fingerprint contributes f² pairs)."""
+    from .queries import FP_MAX_DF, winnow_select
+
+    sel = winnow_select(docs, key="url")
+    hs = (
+        sel.select("url", "fp_hash")
+        .distinct()
+        # the corpus-side winnowing window runs once; df gate, pair
+        # join sides and per-doc sizes read the materialized relation
+        .localCheckpoint(eager=False)
+    )
+    dfq = hs.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("nd"))
+    kept = (
+        hs.join(dfq.filter(F.col("nd") <= FP_MAX_DF), "fp_hash")
+        .select("url", "fp_hash")
+        .localCheckpoint(eager=False)
+    )
+    m = kept.groupBy("url").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("url").alias("i_id"), "fp_hash")
+    b = kept.select(F.col("url").alias("j_id"), "fp_hash")
+    p = (
+        a.join(b, "fp_hash")
+        .filter(F.col("i_id") < F.col("j_id"))
+        .groupBy("i_id", "j_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        p.join(
+            m.select(F.col("url").alias("i_id"), F.col("n_fp").alias("na")),
+            "i_id",
+        )
+        .join(
+            m.select(F.col("url").alias("j_id"), F.col("n_fp").alias("nb")),
+            "j_id",
+        )
+        .filter(
+            F.expr("(1000 * shared) div least(na, nb)") >= F.lit(min_pm)
+        )
+        .select("i_id", "j_id")
+    )
+
+
+def near_dup_canonical(
+    docs: DataFrame, tau: float, winnow_pm: int = 0
+) -> DataFrame:
     """(url, text) → (url, canonical_url) for every url in a near-dup
     cluster (canonical = lexicographic-min url, deterministic).
     MinHash over word-2-gram shingles → 2 band buckets (equi-join
     candidates) → exact token-set Jaccard ≥ tau → min-label
     components — the SAME chain as the oracle-checked
     ``dedup_canonicalize`` catalog entry, via the shared helpers.
-    Docs in no cluster are absent from the result."""
+    Docs in no cluster are absent from the result.
+
+    With ``winnow_pm > 0`` the winnowing-containment pairs
+    (``winnow_dup_pairs``) are UNIONED with the Jaccard pairs before
+    the components pass, so clusters close transitively across BOTH
+    similarity notions (vocabulary overlap OR shared runs) and the
+    canonical election stays a single deterministic min-label step —
+    multi-signal dedup with one cluster id per family."""
     toks = _tokens(F.lower(F.col("text")))
     b = docs.select(
         "url", F.explode(_minhash_bands(toks)).alias("bucket")
@@ -349,6 +418,8 @@ def near_dup_canonical(docs: DataFrame, tau: float) -> DataFrame:
         "url", F.array_distinct(F.array_sort(toks)).alias("toks")
     ).localCheckpoint(eager=False)
     pairs = _jaccard_pairs(cand, ws, "url", tau)
+    if winnow_pm:
+        pairs = pairs.unionByName(winnow_dup_pairs(docs, winnow_pm))
     comp = _min_label_components(pairs)
     return comp.select(
         F.col("node").alias("url"), F.col("cluster").alias("canonical_url")
@@ -553,8 +624,13 @@ def curate(
         F.col("exact_canonical") == F.col("url")
     ).localCheckpoint(eager=False)
 
-    # tier 2: near-duplicates among the exact representatives
-    near = near_dup_canonical(reps.select("url", "text"), cfg.jaccard_tau)
+    # tier 2: near-duplicates among the exact representatives (with
+    # cfg.winnow_dedup_pm, the run-sensitive winnowing pairs join the
+    # Jaccard pairs before the components pass)
+    near = near_dup_canonical(
+        reps.select("url", "text"), cfg.jaccard_tau,
+        winnow_pm=cfg.winnow_dedup_pm,
+    )
     rep_final = reps.join(near, "url", "left").select(
         F.col("url").alias("rep_url"),
         F.coalesce("canonical_url", "url").alias("final_canonical"),

@@ -9464,28 +9464,29 @@ def winnow_fingerprints(spark, sf_dir):
     )
 
 
-def winnow_select(d: DataFrame) -> DataFrame:
-    """The winnowing selection itself: (doc_id, n_g, fp_hash, fp_pos)
-    — one row per selected fingerprint.  Exposed separately so the
-    guarantee property (any >= WIN_W+WIN_K-1-char shared normalized
-    substring shares a fingerprint HASH) is testable on the real
-    selected sets, and so downstream near-dup joins can bucket on
-    fp_hash directly."""
+def winnow_select(d: DataFrame, key: str = "doc_id") -> DataFrame:
+    """The winnowing selection itself: (key, n_g, fp_hash, fp_pos) —
+    one row per selected fingerprint, keyed by ``key`` (doc_id for
+    the catalog; url for the curation tier).  Exposed separately so
+    the guarantee property (any >= WIN_W+WIN_K-1-char shared
+    normalized substring shares a fingerprint HASH) is testable on
+    the real selected sets, and so downstream near-dup joins can
+    bucket on fp_hash directly."""
     nm = d.select(
-        "doc_id",
+        key,
         F.regexp_replace(
             F.trim(F.lower(F.col("text"))), r"\s+", " "
         ).alias("norm"),
     ).filter(F.length("norm") >= WIN_K)
     g = nm.select(
-        "doc_id",
+        key,
         (F.length("norm") - WIN_K + 1).alias("n_g"),
         F.explode(
             F.sequence(F.lit(1), F.length("norm") - WIN_K + 1)
         ).alias("i"),
         "norm",
     ).select(
-        "doc_id",
+        key,
         "n_g",
         "i",
         (
@@ -9494,7 +9495,7 @@ def winnow_select(d: DataFrame) -> DataFrame:
         ).alias("h30"),
     )
     c = g.select(
-        "doc_id",
+        key,
         "n_g",
         "i",
         (
@@ -9504,7 +9505,7 @@ def winnow_select(d: DataFrame) -> DataFrame:
     w = c.withColumn(
         "cmin",
         F.min("ck").over(
-            Window.partitionBy("doc_id")
+            Window.partitionBy(key)
             .orderBy("i")
             .rowsBetween(Window.currentRow, WIN_W - 1)
         ),
@@ -9514,7 +9515,7 @@ def winnow_select(d: DataFrame) -> DataFrame:
             F.col("i") <= F.greatest(F.lit(1), F.col("n_g") - WIN_W + 1)
         )
         .select(
-            "doc_id",
+            key,
             "n_g",
             F.expr(f"cmin div {_WIN_R}").alias("fp_hash"),
             (F.lit(_WIN_R - 1) - F.col("cmin") % _WIN_R).alias("fp_pos"),

@@ -553,3 +553,48 @@ def test_corpus_health_report(spark):
 
     again = {r["metric"]: r["value"] for r in corpus_health(df).collect()}
     assert again == got
+
+
+def test_winnow_dedup_tier_catches_embedded_run(spark):
+    """A page embedded VERBATIM inside a much larger page has low
+    token-set Jaccard (the extra text dilutes it below tau) but full
+    winnowing containment.  Default curation must keep both docs;
+    with --set winnow_dedup_pm=500 they collapse to one canonical,
+    the partition invariant still holds, and an unrelated doc is
+    untouched.  Also pins the pair primitive directly: containment
+    of the embedded page is ~1000 per-mille while its Jaccard is far
+    below the 0.9 tier tau."""
+    from clara_ocr_spark.curate import (
+        CurateConfig, curate, winnow_dup_pairs,
+    )
+
+    core = " ".join(f"shared{i:02d} run{i:02d}" for i in range(30))
+    extra = " ".join(f"filler{i:03d} pad{i:03d}" for i in range(120))
+    rows = [
+        ("https://a.example/embedded", core),
+        ("https://b.example/container", core + " " + extra),
+        ("https://c.example/unrelated",
+         " ".join(f"other{i:03d}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    pairs = winnow_dup_pairs(df, 500).collect()
+    assert {(r["i_id"], r["j_id"]) for r in pairs} == {
+        ("https://a.example/embedded", "https://b.example/container")
+    }
+    # token Jaccard is diluted far below the minhash tier's tau
+    a_toks = set(rows[0][1].split())
+    b_toks = set(rows[1][1].split())
+    assert len(a_toks & b_toks) / len(a_toks | b_toks) < 0.5
+
+    cur_off, rej_off = curate(df, CurateConfig())
+    assert cur_off.count() == 3 and rej_off.count() == 0
+
+    cur_on, rej_on = curate(df, CurateConfig(winnow_dedup_pm=500))
+    kept = {r["url"] for r in cur_on.collect()}
+    rej = {r["url"]: r["reason"] for r in rej_on.collect()}
+    assert kept == {
+        "https://a.example/embedded",  # lexicographic-min canonical
+        "https://c.example/unrelated",
+    }
+    assert rej == {"https://b.example/container": "duplicate"}
