@@ -154,6 +154,9 @@ HEADLINE = [
     "unimax_quota",  # added r5: UniMax water-filling quotas
     "heaps_law_fit",  # added r5: Heaps vocabulary-growth fit
     "kcore_peel",  # added r5: median-k core peeling
+    "hubness_audit",  # added r5: k-occurrence hubness audit
+    "ece_summary",  # added r5: expected/max calibration error
+    "confident_label_noise",  # added r5: confident-learning joint
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

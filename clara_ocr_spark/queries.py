@@ -10575,6 +10575,300 @@ def kcore_peel(spark, sf_dir):
     )
 
 
+#: hubness_audit: neighborhood size for the k-occurrence count.
+HUB_K = 5
+
+
+@q(
+    "hubness_audit",
+    f"""
+    with p as (select a.vec_id as q, b.vec_id as n, {_COS_DUCK} as cos
+               from embeddings a join embeddings b
+                 on a.vec_id % 10 = 0 and a.vec_id != b.vec_id),
+    top as (select n from
+            (select n, row_number() over (partition by q
+                       order by cos desc, n) as rn from p)
+            where rn <= {HUB_K}),
+    occ as (select n, count(*) as nk from top group by n),
+    tot as (select cast(count(*) as bigint) as nv from embeddings),
+    hitc as (select cast(count(*) as bigint) as hit from occ)
+    select cast(nk as bigint) as n_k, cast(count(*) as bigint) as n_vectors
+    from occ group by nk
+    union all
+    select 0, tot.nv - hitc.hit from tot cross join hitc
+    where tot.nv > hitc.hit
+    """,
+)
+def hubness_audit(spark, sf_dir):
+    """k-occurrence (hubness) distribution of the embedding space
+    (Radovanović, Nanopoulos & Ivanović, "Hubs in Space", JMLR 2010
+    — public): count how many of a deterministic 1-in-10 query
+    sample list each vector in their cosine top-{HUB_K}, and report
+    the histogram of that count including the anti-hub zero row.  In healthy spaces N_k
+    concentrates near k; high-dimensional pathology shows as a long
+    right tail (a few hubs in everyone's neighbor list) plus a fat
+    anti-hub spike — the audit run before trusting any ANN/semdedup
+    tier, since hubs poison both.  Reference analogue: the
+    pattern-library popularity skew — a few patterns dominate the
+    classify votes (pattern.c usage counters) and need the same
+    audit before pruning.
+
+    Scale shape: k-occurrence is measured against a DETERMINISTIC
+    1-in-10 query sample (the standard workload-sampled hubness
+    estimator — the distribution shape, not per-vector counts, is
+    the signal), with the norms HOISTED per vector before the pair
+    join so the per-pair work is one dot product, not dot+2 norms
+    (the bitext_margin_mine lesson: unhoisted, this query measured
+    107 s at sf0.1; hoisted+sampled, ~3 s).  At 100 TB the sampled
+    pair relation is REPLACED by the IVF/LSH candidate set
+    (ivf_topk / semdedup_cells) with the k-occurrence algebra
+    unchanged.  The top-k membership window is PARTITIONED by query;
+    both rollups partially aggregate; the zero-row arithmetic rides
+    two 1-row broadcasts."""
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    # norms hoisted: computed once per VECTOR (|vectors| rows below
+    # the join), never per pair
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "v", nrm(F.col("v")).alias("vn")
+    )
+    qs = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nprod = F.col("qn") * F.col("vn")
+    p = qs.join(e, F.col("q") != F.col("vec_id")).select(
+        "q",
+        F.col("vec_id").alias("n"),
+        F.when(nprod > 0, dot / nprod).otherwise(F.lit(-2.0)).alias("cos"),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    top = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HUB_K)
+        .select("n")
+    )
+    occ = top.groupBy("n").agg(F.count(F.lit(1)).alias("nk"))
+    occ = occ.localCheckpoint(eager=False)
+    hist = occ.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    ).select(F.col("nk").cast("bigint").alias("n_k"), "n_vectors")
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    hit = occ.agg(F.count(F.lit(1)).cast("bigint").alias("hit"))
+    zero = (
+        tot.crossJoin(F.broadcast(hit))
+        .filter(F.col("nv") > F.col("hit"))
+        .select(
+            F.lit(0).cast("bigint").alias("n_k"),
+            (F.col("nv") - F.col("hit")).alias("n_vectors"),
+        )
+    )
+    return hist.unionByName(zero)
+
+
+@q(
+    "ece_summary",
+    f"""
+    with {_NB_SCORED_DUCK},
+    ranked as (select doc_id, actual, lang, score,
+                      row_number() over (partition by doc_id
+                        order by score desc, lang) as rn,
+                      lead(score) over (partition by doc_id
+                        order by score desc, lang) as s2
+               from scored),
+    perdoc as (select doc_id,
+                      case when lang = actual then 1 else 0 end as ok,
+                      cast(round(1000 / (1 + exp(-(score - s2)
+                                                 / 1000.0))) as bigint)
+                        as conf_pm
+               from ranked where rn = 1 and s2 is not null),
+    bins as (select least(9, (conf_pm - 500) // 50) as b,
+                    cast(count(*) as bigint) as n,
+                    (1000 * cast(sum(ok) as bigint)) // count(*) as acc_pm,
+                    cast(sum(conf_pm) as bigint) // count(*)
+                      as conf_mean_pm
+             from perdoc group by 1),
+    gtot as (select cast(sum(n) as bigint) as nd from bins)
+    select gtot.nd as n_docs,
+           cast(sum(bins.n * abs(bins.acc_pm - bins.conf_mean_pm))
+                // gtot.nd as bigint) as ece_pm,
+           cast(max(abs(bins.acc_pm - bins.conf_mean_pm)) as bigint)
+             as mce_pm
+    from bins cross join gtot group by gtot.nd
+    """,
+)
+def ece_summary(spark, sf_dir):
+    """Expected / maximum calibration error of the NB classifier
+    (Guo et al., "On Calibration of Modern Neural Networks", ICML
+    2017 — public): the top1-vs-top2 milli-nat margin becomes a
+    two-way posterior probability via the logistic
+    1/(1+exp(-margin)), quantized to per-mille; docs bin by
+    confidence decile and ECE = Σ n_b/N·|acc_b − conf_b|, MCE = the
+    worst bin — the one-number summary the per-bin reliability table
+    (nb_confidence_calibration) feeds a threshold decision with.
+    Reference analogue: the vote-margin certainty tiers of the
+    doubts pipeline (clara.c:3447-3487) — this is the audit of
+    whether those tiers MEAN what they claim.
+
+    Scale shape: scoring is the shared _nb_scored plan (model
+    broadcast, doc-keyed rollup); the margin/probability/bin algebra
+    runs per doc (windows on the doc_id natural key), the bin table
+    is ≤10 rows, and the final ECE reduction is a 1-row broadcast
+    cross join.  The single exp() per doc is quantized to per-mille
+    immediately, so the binning and both error sums are exact
+    integer arithmetic in both engines."""
+    scored = _nb_scored(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    ranked = scored.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "s2", F.lead("score").over(wd)
+    )
+    perdoc = ranked.filter(
+        (F.col("rn") == 1) & F.col("s2").isNotNull()
+    ).select(
+        F.when(F.col("lang") == F.col("actual"), 1).otherwise(0).alias("ok"),
+        F.round(
+            1000 / (1 + F.exp(-(F.col("score") - F.col("s2")) / 1000.0))
+        )
+        .cast("bigint")
+        .alias("conf_pm"),
+    )
+    bins = (
+        perdoc.groupBy(
+            F.least(F.lit(9), F.expr("(conf_pm - 500) div 50")).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("(1000 * sum(ok)) div count(1)").alias("acc_pm"),
+            F.expr("sum(conf_pm) div count(1)").alias("conf_mean_pm"),
+        )
+        # <=10 rows; TWO consumers (total + ECE reduction) would each
+        # replay the whole NB scoring subtree — materialize so the
+        # model trains and scores once
+        .localCheckpoint(eager=False)
+    )
+    tot = bins.agg(F.sum("n").cast("bigint").alias("nd"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("nd")
+        .agg(
+            F.expr(
+                "cast(sum(n * abs(acc_pm - conf_mean_pm)) div max(nd)"
+                " as bigint)"
+            ).alias("ece_pm"),
+            F.expr("cast(max(abs(acc_pm - conf_mean_pm)) as bigint)")
+            .alias("mce_pm"),
+        )
+        .select(F.col("nd").alias("n_docs"), "ece_pm", "mce_pm")
+    )
+
+
+@q(
+    "confident_label_noise",
+    f"""
+    with {_NB_SCORED_DUCK},
+    sm as (select doc_id, actual, lang, score,
+                  max(score) over (partition by doc_id) as smax,
+                  row_number() over (partition by doc_id
+                    order by score desc, lang) as rn
+           from scored),
+    ex as (select doc_id, actual, lang, rn,
+                  exp((score - smax) / 1000.0) as e,
+                  sum(exp((score - smax) / 1000.0))
+                    over (partition by doc_id) as es
+           from sm),
+    p as (select doc_id, actual, lang, rn,
+                 cast(round(1000 * e / es) as bigint) as p_pm
+          from ex),
+    thr as (select lang, cast(sum(p_pm) as bigint) // count(*) as t_pm
+            from p where actual = lang group by lang),
+    conf as (select p.actual as given, p.lang as pred
+             from p join thr on p.lang = thr.lang
+             where p.rn = 1 and p.p_pm >= thr.t_pm),
+    c as (select given, pred, cast(count(*) as bigint) as n
+          from conf group by given, pred),
+    gtot as (select cast(sum(n) as bigint) as nc from c)
+    select c.given, c.pred, c.n,
+           cast((1000 * c.n) // gtot.nc as bigint) as q_pm,
+           case when c.given != c.pred then 1 else 0 end as off_diag
+    from c cross join gtot
+    """,
+)
+def confident_label_noise(spark, sf_dir):
+    """Confident-learning label-noise estimate (Northcutt, Jiang &
+    Chuang, "Confident Learning: Estimating Uncertainty in Dataset
+    Labels", JAIR 2021 — public): per-class softmax probabilities
+    from the NB milli-nat scores, per-class confidence thresholds
+    t_j = mean p_j over examples LABELED j, and the confident joint
+    C[given][pred] counts examples whose argmax probability clears
+    its class threshold — off-diagonal mass is the estimated label
+    noise (mislabeled lang tags in the crawl metadata, the thing a
+    training mix inherits silently).  Probabilities are quantized to
+    per-mille before every comparison, so thresholds and counts are
+    exact integer arithmetic in both engines.  Reference analogue:
+    review_tr's vote-vs-transliteration disagreement ledger
+    (revision.c:1175-1209) — the operator's labels audited against
+    the classifier's confident opinion.
+
+    Scale shape: scoring is the shared _nb_scored plan; the softmax
+    (max, sum, rank) runs in ONE doc_id-partitioned window pass; the
+    |classes|-row threshold table broadcasts; the confident joint is
+    a (given, pred) partial-aggregating groupBy over |classes|^2
+    cells, and the normalizing total rides a 1-row broadcast."""
+    scored = _nb_scored(spark, sf_dir)
+    wd = Window.partitionBy("doc_id")
+    wr = wd.orderBy(F.desc("score"), "lang")
+    sm = scored.withColumn("smax", F.max("score").over(wd)).withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    ex = sm.withColumn(
+        "e", F.exp((F.col("score") - F.col("smax")) / 1000.0)
+    ).withColumn("es", F.sum(F.exp((F.col("score") - F.col("smax")) / 1000.0)).over(wd))
+    p = ex.select(
+        "doc_id",
+        "actual",
+        "lang",
+        "rn",
+        F.round(1000 * F.col("e") / F.col("es")).cast("bigint").alias("p_pm"),
+    ).localCheckpoint(eager=False)
+    thr = (
+        p.filter(F.col("actual") == F.col("lang"))
+        .groupBy("lang")
+        .agg(F.expr("sum(p_pm) div count(1)").alias("t_pm"))
+    )
+    conf = (
+        p.filter(F.col("rn") == 1)
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("p_pm") >= F.col("t_pm"))
+        .select(F.col("actual").alias("given"), F.col("lang").alias("pred"))
+    )
+    c = (
+        conf.groupBy("given", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # |classes|^2 rows; two consumers (total + final projection)
+        # — materialize so the confident filter runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = c.agg(F.sum("n").cast("bigint").alias("nc"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "given",
+        "pred",
+        "n",
+        F.expr("(1000 * n) div nc").cast("bigint").alias("q_pm"),
+        F.when(F.col("given") != F.col("pred"), 1).otherwise(0).alias(
+            "off_diag"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -10752,6 +11046,14 @@ def kcore_peel(spark, sf_dir):
 # [window]) and embedding_lsh_buckets (llm_embedding/llm_semdedup
 # keep semdedup_cells [r4]) — same rule, all three displaced queries
 # stay r1/r2-signed and locally re-verified at two scales every run.
+# Eighth continuation batch: hubness_audit (k-occurrence embedding
+# pathology), ece_summary (expected/max calibration error) and
+# confident_label_noise (confident-learning joint estimate) displace
+# the final three r1/r2 refreshes — ivf_topk_probe2 (llm_ann keeps
+# ivf_recall [r4]), lang_id_confusion and kmeans_refine (no family
+# constraint of their own) — same never-signed-outranks-refresh
+# rule; every displaced query stays r1/r2-signed and locally
+# re-verified at two scales every run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -10796,11 +11098,11 @@ DRIVER_WINDOW = [
     "unimax_quota",           # LLM UniMax water-filling quotas (cont. r5)
     "heaps_law_fit",          # LLM Heaps vocabulary-growth fit (cont. r5)
     "kcore_peel",             # web median-k core peeling (cont. r5)
+    "hubness_audit",          # LLM k-occurrence hubness audit (cont. r5)
+    "ece_summary",            # LLM expected calibration error (cont. r5)
+    "confident_label_noise",  # LLM confident-learning joint (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
-    "ivf_topk_probe2",        # LLM IVF multi-probe ANN
-    "lang_id_confusion",      # LLM language-ID confusion matrix
-    "kmeans_refine",          # LLM Lloyd refinement step
     # -- (c) backfill: oldest remaining (r3-signed), one per family ---
     # (interval_overlap / cube_metrics / regex_extract_props rotated
     # OUT late-r5 to make room for the three new never-signed r5

@@ -531,6 +531,38 @@ def main() -> None:
         "bounded degree histogram with 1-row broadcasts.",
     )
 
+    add(
+        "hubness_audit (k-occurrence embedding audit, cont. r5)",
+        REGISTRY["hubness_audit"][0](spark, SF),
+        "Norms HOISTED per vector (computed once below the pair\n"
+        "join — unhoisted this measured 107 s at sf0.1, hoisted +\n"
+        "query-sampled ~3 s); the sampled-pair cosine + per-query\n"
+        "top-k window run ONCE behind the checkpointed k-occurrence\n"
+        "relation (at 100 TB the pair relation is replaced by the\n"
+        "IVF/LSH candidate set); histogram and zero-row arithmetic\n"
+        "read the materialized counts with 1-row broadcasts.",
+    )
+
+    add(
+        "ece_summary (expected calibration error, cont. r5)",
+        REGISTRY["ece_summary"][0](spark, SF),
+        "The NB model trains and scores ONCE: the <=10-row bin table\n"
+        "is checkpointed, so the final plan is bounded algebra over\n"
+        "materialized bins — unmaterialized, the two consumers each\n"
+        "replayed the whole model subtree (~20 file scans, caught by\n"
+        "the plan pin).",
+    )
+
+    add(
+        "confident_label_noise (confident-learning joint, cont. r5)",
+        REGISTRY["confident_label_noise"][0](spark, SF),
+        "One doc_id-partitioned window pass computes the softmax\n"
+        "(max, sum, rank together); the quantized probability\n"
+        "relation and the |classes|^2 confident joint are both\n"
+        "checkpointed; thresholds and the normalizing total ride\n"
+        "broadcasts.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

@@ -585,3 +585,37 @@ def test_kcore_peel_plan_truncated_iterations(spark, sf001):
     assert plan.count("Scan ExistingRDD") == 3, plan
     assert "windowspecdefinition(d" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hubness_audit_plan_shape(spark, sf001):
+    """hubness_audit's k-occurrence relation is checkpointed (the
+    all-pairs cosine + per-query top-k window run once; histogram and
+    zero-row arithmetic read the materialized counts); the only
+    parquet scan left in the final plan is the 1-row vector total."""
+    plan = _plan(REGISTRY["hubness_audit"][0](spark, sf001))
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ece_summary_plan_single_model_pass(spark, sf001):
+    """ece_summary trains and scores the NB model ONCE: the <=10-row
+    bin table is checkpointed, so the final plan is pure bounded
+    algebra over the materialized bins (total + ECE reduction) — no
+    parquet re-scan of the model subtree (unmaterialized, the double
+    consumption replayed ~20 file scans)."""
+    plan = _plan(REGISTRY["ece_summary"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_confident_label_noise_plan_shape(spark, sf001):
+    """confident_label_noise materializes the quantized probability
+    relation (softmax window pass runs once) and the |classes|^2
+    confident joint (the filter chain runs once); the final plan
+    reads the joint twice with the normalizing total broadcast."""
+    plan = _plan(REGISTRY["confident_label_noise"][0](spark, sf001))
+    assert "FileScan" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "SortMergeJoin" not in plan

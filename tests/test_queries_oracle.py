@@ -184,6 +184,9 @@ def test_driver_window_invariants():
         "llm_unimax": {"unimax_quota", "domain_mix_weights"},
         "llm_heaps": {"heaps_law_fit"},
         "web_kcore": {"kcore_peel", "pagerank_bipartite"},
+        "llm_hubness": {"hubness_audit"},
+        "llm_ece": {"ece_summary", "nb_confidence_calibration"},
+        "llm_label_noise": {"confident_label_noise", "lang_id_confusion"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -307,6 +310,12 @@ EDGE_QUERIES = [
     # and the short/empty docs must fall out of the Heaps k-gram
     # growth curve identically (norm < WIN_K excluded in both)
     "unimax_quota", "heaps_law_fit",
+    # eighth continuation batch: the edge test slice (doc_id % 5 == 0)
+    # holds one scoreable doc (the empty doc contributes no tokens and
+    # must be absent in BOTH engines); the single-doc margin, its
+    # logistic probability quantization, and the per-class softmax
+    # thresholds must agree exactly
+    "ece_summary", "confident_label_noise",
 ]
 
 
