@@ -646,3 +646,313 @@ def test_pca_power_iter_matches_numpy(spark, sf001):
     r0 = float(v0 @ C @ v0)
     r1 = float(v1 @ C @ v1)
     assert r1 >= r0, (r1, r0)
+
+
+def test_winnow_near_dup_hot_fingerprint_cap(spark, tmp_path):
+    """Adversarial boilerplate: every doc shares one long prefix run
+    (the site template), and only two docs share their REMAINDER.
+    The df <= FP_MAX_DF cap must (a) drop the template fingerprints
+    BEFORE the self-join so the shared prefix creates NO pairs — an
+    f-doc fingerprint contributes f^2 candidate rows, the quadratic
+    blowup the cap exists to stop — and (b) still pair the two docs
+    whose unique remainders genuinely match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import FP_MAX_DF, REGISTRY
+
+    n_docs = FP_MAX_DF * 4  # template df = 64 >> cap
+    template = " ".join(f"boiler{i:02d} plate{i:02d}" for i in range(40))
+    twin = " ".join(f"twin{i:02d} copy{i:02d}" for i in range(30))
+    docs = []
+    for i in range(n_docs):
+        uniq = " ".join(f"u{i:02d}x{j:02d}" for j in range(25))
+        body = twin if i in (3, 7) else uniq
+        docs.append((i, template + " " + body))
+    d = tmp_path / "hotfp_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": ["en"] * n_docs,
+                "source": ["src0"] * n_docs,
+                "n_chars": pa.array(
+                    [len(r[1]) for r in docs], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = REGISTRY["winnow_near_dup"][0](spark, str(d)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert pairs == {(3, 7)}, pairs  # template created no pair
+
+
+def test_unimax_quota_waterfilling_properties(spark):
+    """The closed-form water-fill must satisfy the UniMax invariants
+    on an adversarial mix (one giant language, several bound tiny
+    ones, one mid): (1) quotas sum EXACTLY to min(budget, sum of
+    caps); (2) no quota exceeds its cap; (3) capped languages get
+    exactly their cap; (4) uncapped languages' quotas differ by at
+    most 1 (the equal-share residue with deterministic remainder)."""
+    from clara_ocr_spark.queries import UNIMAX_EPOCHS, REGISTRY
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    sizes = {"aa": 2, "bb": 3, "cc": 5, "dd": 400, "ee": 4000}
+    docs, did = [], 0
+    for lang, n_tok in sizes.items():
+        # one doc per language with exactly n_tok tokens
+        text = " ".join(f"{lang}{j}" for j in range(n_tok))
+        docs.append((did, text, lang, "src0", len(text)))
+        did += 1
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                    "text": [r[1] for r in docs],
+                    "lang": [r[2] for r in docs],
+                    "source": [r[3] for r in docs],
+                    "n_chars": pa.array(
+                        [r[4] for r in docs], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        rows = {r["lang"]: r for r in
+                REGISTRY["unimax_quota"][0](spark, td).collect()}
+    budget = sum(sizes.values())
+    caps = {k: UNIMAX_EPOCHS * v for k, v in sizes.items()}
+    assert sum(r["quota"] for r in rows.values()) == min(
+        budget, sum(caps.values())
+    )
+    for lang, r in rows.items():
+        assert r["cap"] == caps[lang]
+        assert r["quota"] <= r["cap"]
+    capped = {k for k, r in rows.items() if r["quota"] == r["cap"]}
+    # tiny languages bind at their 4-epoch cap; the giant cannot
+    assert {"aa", "bb", "cc"} <= capped and "ee" not in capped
+    uncapped_q = [r["quota"] for k, r in rows.items() if k not in capped]
+    assert max(uncapped_q) - min(uncapped_q) <= 1
+
+
+def test_kcore_peel_matches_bruteforce(spark, sf001):
+    """The 3-round Spark peel must equal a plain-Python peel of the
+    same graph (same median k, same 3 rounds, distinct-neighbor
+    degrees) — node set AND final degrees."""
+    import duckdb
+
+    from clara_ocr_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    edges = con.sql(f"""
+        select distinct 'C' || o.o_custkey as u, 'S' || l.l_suppkey as v
+        from read_parquet('{sf001}/lineitem.parquet') l
+        join read_parquet('{sf001}/orders.parquet') o
+          on l.l_orderkey = o.o_orderkey
+    """).fetchall()
+    con.close()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    degs = sorted(len(s) for s in adj.values())
+    n = len(degs)
+    # exact median of the counting-sort definition: min d with
+    # 2*cum >= n over the sorted degree histogram
+    cum = 0
+    seen = 0
+    k = None
+    for d in degs:
+        seen += 1
+        if 2 * seen >= n:
+            k = d
+            break
+    live = set(adj)
+    for _ in range(3):
+        live = {u for u in live
+                if len(adj[u] & live) >= k and (adj[u] & live)}
+        # drop isolated survivors exactly like the groupBy does
+        live = {u for u in live if adj[u] & live}
+    exp = {u: len(adj[u] & live) for u in live}
+
+    got = {
+        r["node"]: (r["deg"], r["k"])
+        for r in REGISTRY["kcore_peel"][0](spark, sf001).collect()
+    }
+    assert all(kk == k for _, kk in got.values())
+    assert {u: d for u, (d, _) in got.items()} == exp
+
+
+def test_ks_drift_identical_slices_zero(spark, tmp_path):
+    """Two snapshot slices with IDENTICAL length distributions must
+    produce D = 0 exactly (the self-consistency property the
+    corpus-health parity probe relies on): every even doc has an odd
+    twin of the same n_chars."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import REGISTRY
+
+    docs = []
+    for i in range(50):
+        ln = 20 + 7 * (i % 9)
+        for par in (0, 1):  # doc_id 2i (slice a) and 2i+1 (slice b)
+            docs.append((2 * i + par, "x" * ln, "en", "src0", ln))
+    d = tmp_path / "ks_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = REGISTRY["ks_drift"][0](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_a"], r["n_b"], r["d_pm"]) == (50, 50, 0)
+
+
+def test_burst_detect_planted_spike(spark, tmp_path):
+    """A planted 10x single-day spike on one event type must be
+    flagged with the exact integer burst score, and the steady type
+    must produce NO flags (constant daily counts never clear the
+    1.5x gate)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import REGISTRY
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    for day in range(10):
+        n_spiky = 40 if day == 7 else 4
+        for etype, n in (("steady", 4), ("spiky", n_spiky)):
+            for j in range(n):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day, seconds=j),
+                     j % 5, etype, 1.0, "{}")
+                )
+                eid += 1
+    d = tmp_path / "burst_ev"
+    d.mkdir()
+    import os
+    from clara_ocr_spark.oracle import TABLES
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       str(d / f"{t}.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows],
+                               pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": [r[5] for r in rows],
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = REGISTRY["burst_detect"][0](spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # trailing 3 days carry 4 each; 3000*40 // 12 = 10000 per-mille
+    assert (r["event_type"], r["day"], r["n"], r["trail_n"],
+            r["burst_pm"]) == ("spiky", "2024-03-08", 40, 12, 10000)
+
+
+def test_hubness_planted_hub(spark, tmp_path):
+    """A planted centroid-like vector (the average direction of every
+    other vector) must dominate the k-occurrence counts: its N_k is
+    the maximum, and the histogram's mass sums to HUB_K * |query
+    sample| selections exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import HUB_K, REGISTRY, winnow_select  # noqa: F401
+
+    rng = np.random.default_rng(7)
+    hub = rng.normal(size=64)
+    hub /= np.linalg.norm(hub)
+    noise = rng.normal(size=(60, 64))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    # every vector leans 0.6 along the hub direction: cos(x, hub)
+    # ~ 0.51 while pairwise cos(x_i, x_j) ~ 0.26 — the hub is
+    # (nearly) everyone's nearest neighbor, nobody else is
+    base = noise + 0.6 * hub
+    base[0] = hub  # the planted hub itself
+    d = tmp_path / "hub_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype("float32").tolist() for row in base],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 5 for i in range(60)],
+                                  pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = {r["n_k"]: r["n_vectors"] for r in
+           REGISTRY["hubness_audit"][0](spark, str(d)).collect()}
+    n_queries = len([i for i in range(60) if i % 10 == 0])
+    assert sum(k * v for k, v in got.items()) == HUB_K * n_queries
+    # the planted hub sits in (nearly) every sampled query's top-k:
+    # the histogram's max occupied N_k is at least n_queries - 1
+    assert max(got) >= n_queries - 1
+
+
+def test_good_turing_saturated_corpus(spark, tmp_path):
+    """A corpus where every bigram type occurs exactly twice has
+    N1 = 0: missing mass p0 = 0 and Chao1 = V exactly (the
+    bias-corrected branch with N1 = 0) — the 'crawl exhausted'
+    reading the estimator exists to detect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import REGISTRY
+
+    # two identical docs -> every bigram type has count exactly 2
+    text = " ".join(f"w{i:02d}" for i in range(40))
+    docs = [(0, text, "en", "src0", len(text)),
+            (1, text, "en", "src0", len(text))]
+    d = tmp_path / "gt_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = REGISTRY["good_turing_mass"][0](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["v"], r["n_tokens"], r["n1"], r["n2"]) == (39, 78, 0, 39)
+    assert r["p0_pm"] == 0 and r["chao1"] == 39
