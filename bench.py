@@ -157,6 +157,9 @@ HEADLINE = [
     "hubness_audit",  # added r5: k-occurrence hubness audit
     "ece_summary",  # added r5: expected/max calibration error
     "confident_label_noise",  # added r5: confident-learning joint
+    "bm25_scores",  # added r5: Okapi BM25 lexical ranking
+    "ndcg_eval",  # added r5: nDCG@10 ranking quality
+    "rrf_fusion",  # added r5: reciprocal-rank fusion
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

@@ -10869,6 +10869,341 @@ def confident_label_noise(spark, sf_dir):
     )
 
 
+#: Retrieval mini-stack: the fixed evaluation query (terms from the
+#: synthetic vocabulary), BM25 constants (Robertson's defaults), the
+#: query-likelihood Dirichlet prior, and the RRF fusion constant
+#: (Cormack et al. 2009's 60).
+RET_QUERY = ("spark", "query", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+QL_MU = 10
+RRF_K = 60
+
+_RET_Q_DUCK = "('" + "', '".join(RET_QUERY) + "')"
+
+#: BM25 scoring as a DuckDB CTE chain ending in bm25(doc_id, bm25_m)
+#: — each per-term partial score is quantized to integer milli-units
+#: BEFORE the per-doc sum (the milli-nat discipline), so the total is
+#: partition-order- and engine-exact.
+_BM25_DUCK = f"""
+    tok as (select doc_id, {_TOK_DUCK.format(x='lower(text)')} as ws
+            from documents),
+    tl as (select doc_id, cast(len(ws) as bigint) as dl from tok),
+    st as (select cast(count(*) as bigint) as n,
+                  cast(sum(dl) as bigint) as tot_dl from tl),
+    tf as (select tok.doc_id, u.w as t, count(*) as f
+           from tok, unnest(tok.ws) as u(w)
+           where u.w in {_RET_Q_DUCK}
+           group by tok.doc_id, u.w),
+    dfr as (select t, cast(count(*) as bigint) as dft from tf group by t),
+    sc as (select tf.doc_id,
+                  cast(round(1000
+                       * ln((st.n - dfr.dft + 0.5) / (dfr.dft + 0.5) + 1)
+                       * (tf.f * {BM25_K1 + 1})
+                       / (tf.f + {BM25_K1} * ({1 - BM25_B}
+                          + {BM25_B} * tl.dl * st.n * 1.0 / st.tot_dl)))
+                       as bigint) as s_m
+           from tf join dfr using (t)
+                join tl on tf.doc_id = tl.doc_id
+           cross join st),
+    bm25 as (select doc_id, cast(sum(s_m) as bigint) as bm25_m
+             from sc group by doc_id)"""
+
+#: Query-likelihood with Dirichlet smoothing ending in
+#: ql(doc_id, ql_m) — same quantize-per-term discipline.  Only docs
+#: containing at least one query term are scored (the candidate set
+#: an inverted index would produce); missing terms contribute the
+#: smoothed background for THOSE docs.
+_QL_DUCK = f"""
+    cf as (select u.w as t, cast(count(*) as bigint) as cft
+           from tok, unnest(tok.ws) as u(w)
+           where u.w in {_RET_Q_DUCK}
+           group by u.w),
+    cand as (select distinct doc_id from tf),
+    qexp as (select cand.doc_id, q.t
+             from cand cross join
+                  (select unnest(['{"', '".join(RET_QUERY)}']) as t) q),
+    qtf as (select qexp.doc_id, qexp.t, coalesce(tf.f, 0) as f
+            from qexp left join tf
+              on qexp.doc_id = tf.doc_id and qexp.t = tf.t),
+    qsc as (select qtf.doc_id,
+                   cast(round(1000 * ln((qtf.f + {QL_MU} * cf.cft * 1.0
+                                         / st.tot_dl)
+                                        / (tl.dl + {QL_MU})))
+                        as bigint) as s_m
+            from qtf join cf on qtf.t = cf.t
+                 join tl on qtf.doc_id = tl.doc_id
+            cross join st),
+    ql as (select doc_id, cast(sum(s_m) as bigint) as ql_m
+           from qsc group by doc_id)"""
+
+
+def _bm25(spark, sf_dir) -> DataFrame:
+    """(doc_id, bm25_m, dl, tf rows piggybacked) — the Spark twin of
+    _BM25_DUCK; returns the per-doc integer milli-unit BM25 total
+    over RET_QUERY.  Shared by the three retrieval queries."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    tl = d.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
+    st = tl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tot_dl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("t"))
+        .filter(F.col("t").isin(*RET_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("f"))
+        # query-term postings: tiny; consumers: df, score join (and
+        # the QL candidate set) — materialize so the corpus explode
+        # runs once
+        .localCheckpoint(eager=False)
+    )
+    dfr = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("dft"))
+    s_m = F.round(
+        1000
+        * F.log(
+            (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1
+        )
+        * (F.col("f") * (BM25_K1 + 1))
+        / (
+            F.col("f")
+            + BM25_K1
+            * (
+                (1 - BM25_B)
+                + BM25_B * F.col("dl") * F.col("n") / F.col("tot_dl")
+            )
+        )
+    ).cast("bigint")
+    sc = (
+        tf.join(F.broadcast(dfr), "t")
+        .join(tl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s_m.alias("s_m"))
+    )
+    return sc.groupBy("doc_id").agg(
+        F.sum("s_m").cast("bigint").alias("bm25_m")
+    )
+
+
+@q(
+    "bm25_scores",
+    f"""
+    with {_BM25_DUCK}
+    select doc_id, bm25_m from bm25
+    order by bm25_m desc, doc_id limit 20
+    """,
+)
+def bm25_scores(spark, sf_dir):
+    """BM25 top-20 for the fixed evaluation query (Robertson &
+    Zaragoza's Okapi BM25, k1={BM25_K1}, b={BM25_B} — public): the
+    ranking function behind every lexical retrieval tier a curation
+    stack uses to FIND data (targeted subset extraction, "pull the
+    docs about X into the mix").  Every per-term partial score is
+    quantized to integer milli-units BEFORE the per-doc sum — the
+    milli-nat discipline — so totals and therefore ranks are
+    partition-order- and engine-exact.  Reference analogue: the
+    classifier's per-candidate match scores elect a best pattern
+    (pattern.c vote tallies) — same score-then-rank shape.
+
+    Scale shape: the token explode filters to the QUERY TERMS before
+    any aggregation (at 100 TB this is the inverted-index probe —
+    postings for |q| terms, never the corpus vocabulary); the df and
+    corpus-stat sides are broadcast 1-row/|q|-row relations; the
+    per-doc sum partially aggregates; the top-20 is
+    TakeOrderedAndProject."""
+    return (
+        _bm25(spark, sf_dir)
+        .orderBy(F.desc("bm25_m"), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "ndcg_eval",
+    f"""
+    with {_BM25_DUCK},
+    rel as (select doc_id, cast(count(*) as bigint) as r
+            from tf group by doc_id),
+    ranked as (select bm25.doc_id,
+                      row_number() over (order by bm25.bm25_m desc,
+                                         bm25.doc_id) as rn
+               from bm25),
+    dcg as (select sum((pow(2, rel.r) - 1) / log2(ranked.rn + 1)) as g
+            from ranked join rel on ranked.doc_id = rel.doc_id
+            where ranked.rn <= 10),
+    ideal as (select row_number() over (order by r desc, doc_id) as rn,
+                     r from rel),
+    idcg as (select sum((pow(2, r) - 1) / log2(rn + 1)) as g
+             from ideal where rn <= 10)
+    select cast(round(1000 * dcg.g / idcg.g) as bigint) as ndcg_m,
+           (select cast(count(*) as bigint) from rel) as n_scored
+    from dcg cross join idcg
+    where idcg.g > 0
+    """,
+)
+def ndcg_eval(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking (Järvelin & Kekäläinen 2002 —
+    public) against deterministic graded relevance (the number of
+    distinct query terms a document contains, 1..|q| — the standard
+    synthetic-relevance protocol when no judgments exist): DCG over
+    the top-10 with 2^rel−1 gains, normalized by the ideal ordering,
+    quantized to milli-units.  The retrieval-quality twin of
+    `ivf_recall`/`extraction_eval`: measure what the ranker does,
+    don't assert it.  Reference analogue: the OCR accuracy table
+    acc_f (clara.c per-class hit ratios) — a graded quality rollup
+    of a ranking decision.
+
+    Scale shape: relevance and ranking both derive from the SAME
+    checkpointed query-term postings (the corpus explodes once);
+    the two top-10 windows run over the CANDIDATE relation (docs
+    containing ≥1 query term — inverted-index-bounded, never the
+    corpus); the final ratio is a 1-row cross join.  The only floats
+    are ten (2^r−1)/log2(rn+1) terms per side, summed then
+    quantized — identical in both engines."""
+    bm = _bm25(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    rel = (
+        d.select("doc_id", F.explode("ws").alias("t"))
+        .filter(F.col("t").isin(*RET_QUERY))
+        .select("doc_id", "t")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = bm.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("bm25_m"), "doc_id")),
+    ).filter(F.col("rn") <= 10)
+    gain = (F.pow(F.lit(2.0), F.col("r")) - 1) / F.log2(F.col("rn") + 1)
+    dcg = ranked.join(rel, "doc_id").agg(F.sum(gain).alias("g"))
+    ideal = rel.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("r"), "doc_id"))
+    ).filter(F.col("rn") <= 10)
+    idcg = ideal.agg(F.sum(gain).alias("ig"))
+    n_scored = rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_scored"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .filter(F.col("ig") > 0)
+        .crossJoin(F.broadcast(n_scored))
+        .select(
+            F.round(1000 * F.col("g") / F.col("ig"))
+            .cast("bigint")
+            .alias("ndcg_m"),
+            "n_scored",
+        )
+    )
+
+
+@q(
+    "rrf_fusion",
+    f"""
+    with {_BM25_DUCK},
+    {_QL_DUCK},
+    rb as (select doc_id, row_number() over
+             (order by bm25_m desc, doc_id) as rn from bm25),
+    rq as (select doc_id, row_number() over
+             (order by ql_m desc, doc_id) as rn from ql),
+    contrib as (select doc_id, 1000000 // ({RRF_K} + rn) as c
+                from rb where rn <= 20
+                union all
+                select doc_id, 1000000 // ({RRF_K} + rn)
+                from rq where rn <= 20),
+    fused as (select doc_id, cast(sum(c) as bigint) as rrf_ppm,
+                     cast(count(*) as bigint) as n_systems
+              from contrib group by doc_id)
+    select doc_id, rrf_ppm, n_systems from fused
+    order by rrf_ppm desc, doc_id limit 10
+    """,
+)
+def rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval systems (Cormack,
+    Clarke & Buettcher, SIGIR 2009 — public; the hybrid-search
+    default): BM25 and Dirichlet-smoothed query likelihood
+    (mu={QL_MU}) each rank their top-20, every appearance contributes
+    floor(10^6/({RRF_K}+rank)) — INTEGER division, so fusion scores
+    and the fused order are exact in both engines with no float
+    anywhere past the per-system score quantization.  Reference
+    analogue: the classify meta-driver fusing the four engines'
+    verdicts (stages/engines.py's common contract) — independent
+    rankers, one fused decision.
+
+    Scale shape: both rankers reuse the SAME checkpointed query-term
+    postings (one corpus explode feeds tf for BM25, the candidate
+    set and collection frequencies for QL); per-system top-20s are
+    bounded windows over the candidate relation; fusion is a
+    partial-aggregating groupBy over ≤40 rows and the final top-10
+    is TakeOrderedAndProject."""
+    bm = _bm25(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    toks = d.select("doc_id", F.explode("ws").alias("t"))
+    tl = d.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
+    st = tl.agg(F.sum("dl").cast("bigint").alias("tot_dl"))
+    qtoks = toks.filter(F.col("t").isin(*RET_QUERY))
+    cf = qtoks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cft")
+    )
+    tf = (
+        qtoks.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    cand = tf.select("doc_id").distinct()
+    qterms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in RET_QUERY])).alias("t")
+    )
+    qtf = (
+        cand.crossJoin(F.broadcast(qterms))
+        .join(tf, ["doc_id", "t"], "left")
+        .select("doc_id", "t", F.coalesce("f", F.lit(0)).alias("f"))
+    )
+    s_m = F.round(
+        1000
+        * F.log(
+            (F.col("f") + QL_MU * F.col("cft") / F.col("tot_dl"))
+            / (F.col("dl") + QL_MU)
+        )
+    ).cast("bigint")
+    ql = (
+        qtf.join(F.broadcast(cf), "t")
+        .join(tl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s_m.alias("s_m"))
+        .groupBy("doc_id")
+        .agg(F.sum("s_m").cast("bigint").alias("ql_m"))
+    )
+    rb = bm.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("bm25_m"), "doc_id")),
+    ).filter(F.col("rn") <= 20)
+    rq = ql.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("ql_m"), "doc_id")),
+    ).filter(F.col("rn") <= 20)
+    contrib = rb.select(
+        "doc_id", F.expr(f"1000000 div ({RRF_K} + rn)").alias("c")
+    ).unionByName(
+        rq.select(
+            "doc_id", F.expr(f"1000000 div ({RRF_K} + rn)").alias("c")
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("rrf_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+        )
+        .orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -11054,6 +11389,13 @@ def confident_label_noise(spark, sf_dir):
 # constraint of their own) — same never-signed-outranks-refresh
 # rule; every displaced query stays r1/r2-signed and locally
 # re-verified at two scales every run.
+# Ninth continuation batch (retrieval mini-stack): bm25_scores,
+# ndcg_eval and rrf_fusion displace three r3-signed backfills whose
+# families keep r4-fresh reps (neighbor_gap -> asof_attach [r4];
+# dedup_exact -> dedup_keep_first [r4]; minhash_signatures ->
+# lsh_band_buckets [r4]) — the same never-signed-outranks-refresh
+# rule, displaced queries locally re-verified at two scales every
+# run.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -11101,6 +11443,9 @@ DRIVER_WINDOW = [
     "hubness_audit",          # LLM k-occurrence hubness audit (cont. r5)
     "ece_summary",            # LLM expected calibration error (cont. r5)
     "confident_label_noise",  # LLM confident-learning joint (cont. r5)
+    "bm25_scores",            # LLM Okapi BM25 lexical ranking (cont. r5)
+    "ndcg_eval",              # LLM nDCG@10 ranking quality (cont. r5)
+    "rrf_fusion",             # LLM reciprocal-rank fusion (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     # -- (c) backfill: oldest remaining (r3-signed), one per family ---
@@ -11113,9 +11458,6 @@ DRIVER_WINDOW = [
     # pricing_summary r4 + value_percentiles below),
     # agg_grouping_sets via grouping_sets_metrics, and the regex
     # scalar family has no freshness constraint.)
-    "neighbor_gap",           # §2.3 rsymb/lsymb nearest neighbor
-    "dedup_exact",            # §2.6/LLM exact dedup
-    "minhash_signatures",     # LLM MinHash signatures
     "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
     "stream_windowed_counts", # streaming watermark windows
 ]

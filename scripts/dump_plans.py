@@ -563,6 +563,36 @@ def main() -> None:
         "broadcasts.",
     )
 
+    add(
+        "bm25_scores (Okapi BM25 lexical ranking, cont. r5)",
+        REGISTRY["bm25_scores"][0](spark, SF),
+        "The token explode filters to the QUERY TERMS before any\n"
+        "aggregation (the inverted-index probe shape — postings for\n"
+        "|q| terms, never the vocabulary); df and corpus stats ride\n"
+        "broadcasts; per-term partials quantize to milli-units\n"
+        "BEFORE the per-doc sum so ranks are engine-exact; top-20 is\n"
+        "TakeOrderedAndProject.",
+    )
+
+    add(
+        "ndcg_eval (nDCG@10 ranking quality, cont. r5)",
+        REGISTRY["ndcg_eval"][0](spark, SF),
+        "Relevance and ranking derive from the SAME checkpointed\n"
+        "query-term postings; both top-10 windows run over the\n"
+        "candidate relation (docs with >=1 query term), never the\n"
+        "corpus; the final ratio is a broadcast 1-row cross join.",
+    )
+
+    add(
+        "rrf_fusion (reciprocal-rank fusion, cont. r5)",
+        REGISTRY["rrf_fusion"][0](spark, SF),
+        "Two rankers (BM25, Dirichlet QL) over the same candidate\n"
+        "relation; fusion contributions are INTEGER divisions\n"
+        "(10^6 div (60+rank)) summed in a partial-aggregating\n"
+        "groupBy over <=40 rows; fused top-10 is\n"
+        "TakeOrderedAndProject.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

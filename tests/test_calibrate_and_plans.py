@@ -619,3 +619,39 @@ def test_confident_label_noise_plan_shape(spark, sf001):
     assert "FileScan" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_scores_plan_shape(spark, sf001):
+    """bm25_scores filters the token explode to the query terms
+    BEFORE any aggregation (the inverted-index probe shape), keeps
+    the df/corpus-stat sides broadcast, sums per doc with map-side
+    partials, and takes the top-20 via TakeOrderedAndProject — no
+    window, no sort-merge join anywhere."""
+    plan = _plan(REGISTRY["bm25_scores"][0](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_ndcg_eval_plan_bounded_windows(spark, sf001):
+    """ndcg_eval's two row_number windows (system ranking + ideal
+    ranking) run over the CANDIDATE relation — docs containing at
+    least one query term — never the corpus; relevance comes from
+    the checkpointed postings, and the final ratio rides broadcast
+    1-row joins."""
+    plan = _plan(REGISTRY["ndcg_eval"][0](spark, sf001))
+    assert plan.count("Window") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") <= 2, plan
+
+
+def test_rrf_fusion_plan_shape(spark, sf001):
+    """rrf_fusion ranks two systems over the same query-term
+    candidate relation, fuses with integer-division contributions in
+    a partial-aggregating groupBy, and takes the fused top-10 via
+    TakeOrderedAndProject — no sort-merge join."""
+    plan = _plan(REGISTRY["rrf_fusion"][0](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan

@@ -187,6 +187,9 @@ def test_driver_window_invariants():
         "llm_hubness": {"hubness_audit"},
         "llm_ece": {"ece_summary", "nb_confidence_calibration"},
         "llm_label_noise": {"confident_label_noise", "lang_id_confusion"},
+        "llm_bm25": {"bm25_scores"},
+        "llm_rank_eval": {"ndcg_eval"},
+        "llm_fusion": {"rrf_fusion"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -316,6 +319,11 @@ EDGE_QUERIES = [
     # logistic probability quantization, and the per-class softmax
     # thresholds must agree exactly
     "ece_summary", "confident_label_noise",
+    # ninth continuation batch: the edge corpus contains NONE of the
+    # retrieval query terms, so the postings, candidate set, both
+    # rankings, the nDCG ratio (idcg > 0 filter) and the fused list
+    # must all be EMPTY in both engines — the no-hits path
+    "bm25_scores", "ndcg_eval", "rrf_fusion",
 ]
 
 
