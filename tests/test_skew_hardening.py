@@ -956,3 +956,52 @@ def test_good_turing_saturated_corpus(spark, tmp_path):
     r = rows[0]
     assert (r["v"], r["n_tokens"], r["n1"], r["n2"]) == (39, 78, 0, 39)
     assert r["p0_pm"] == 0 and r["chao1"] == 39
+
+
+def test_retrieval_stack_planted_relevance(spark, tmp_path):
+    """A planted document saturated with all three query terms must
+    rank #1 under BM25, under the fused RRF order, and carry the top
+    relevance grade in the nDCG fixture; term-free documents must be
+    absent from every ranking.  (The ranking property test behind
+    the oracle parity: the scores don't just match DuckDB, they
+    point at the right document.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clara_ocr_spark.queries import REGISTRY, RET_QUERY
+
+    docs = []
+    sat = " ".join(" ".join(RET_QUERY) for _ in range(20))
+    docs.append((0, sat))                       # all terms, high tf
+    docs.append((1, "spark only here " + "pad " * 40))   # one term
+    docs.append((2, "query stream mixed " + "pad " * 40))  # two terms
+    for i in range(3, 30):
+        docs.append((i, " ".join(f"noise{i}x{j}" for j in range(30))))
+    d = tmp_path / "ret_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["src0"] * len(docs),
+                "n_chars": pa.array([len(r[1]) for r in docs],
+                                    pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    bm = REGISTRY["bm25_scores"][0](spark, str(d)).collect()
+    assert bm[0]["doc_id"] == 0  # saturated doc wins
+    assert {r["doc_id"] for r in bm} == {0, 1, 2}  # term-free absent
+
+    fused = REGISTRY["rrf_fusion"][0](spark, str(d)).collect()
+    assert fused[0]["doc_id"] == 0
+    assert fused[0]["n_systems"] == 2  # top doc ranked by BOTH systems
+
+    ndcg = REGISTRY["ndcg_eval"][0](spark, str(d)).collect()
+    assert len(ndcg) == 1 and ndcg[0]["n_scored"] == 3
+    # the BM25 order (0: rel 3, 2: rel 2, 1: rel 1) IS the ideal
+    # order here, so nDCG@10 must be exactly 1000 milli-units
+    assert ndcg[0]["ndcg_m"] == 1000
