@@ -160,6 +160,9 @@ HEADLINE = [
     "bm25_scores",  # added r5: Okapi BM25 lexical ranking
     "ndcg_eval",  # added r5: nDCG@10 ranking quality
     "rrf_fusion",  # added r5: reciprocal-rank fusion
+    "jl_distortion_audit",  # added r5: JL projection distortion
+    "hhi_concentration",  # added r5: source-concentration HHI
+    "benford_audit",  # added r5: leading-digit forensics
 ]
 
 # 100k docs: large enough that per-job fixed overhead (~1 s stage

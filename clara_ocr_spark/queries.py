@@ -11204,6 +11204,255 @@ def rrf_fusion(spark, sf_dir):
     )
 
 
+#: jl_distortion_audit: projected dimensionality and the FIXED ±1
+#: projection matrix, generated once from md5("jl:k:d") parity and
+#: inlined as a LITERAL in both engines — no cross-engine hash
+#: semantics to agree on, the matrix is part of the operator.
+JL_DIM = 16
+
+
+def _jl_matrix() -> list:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl:{k}:{d}".encode()).hexdigest(), 16
+            )
+            % 2
+            else -1
+            for d in range(EMB_DIM)
+        ]
+        for k in range(JL_DIM)
+    ]
+
+
+_JL_R = _jl_matrix()
+_JL_R_DUCK = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in _JL_R
+    )
+    + "]"
+)
+
+
+@q(
+    "jl_distortion_audit",
+    f"""
+    with rr as (select {_JL_R_DUCK} as m),
+    e as (select vec_id,
+                 list_transform(generate_series(1, {JL_DIM}), k ->
+                   list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                     d -> cast(embedding[d] as double) * rr.m[k][d]))
+                   / {JL_DIM ** 0.5}) as y,
+                 embedding
+          from embeddings cross join rr
+          where vec_id % 17 = 0 or vec_id % 13 = 0),
+    p as (select list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   d -> (cast(a.embedding[d] as double)
+                         - cast(b.embedding[d] as double))**2)) as dx,
+                 list_sum(list_transform(generate_series(1, {JL_DIM}),
+                   k -> (a.y[k] - b.y[k])**2)) as dy
+          from e a join e b
+            on a.vec_id % 17 = 0 and b.vec_id % 13 = 0
+               and a.vec_id < b.vec_id),
+    qd as (select cast(round(1000 * dy / dx) as bigint) as dist_pm
+           from p where dx > 0)
+    select dist_pm // 100 as bucket, cast(count(*) as bigint) as n_pairs,
+           cast(min(dist_pm) as bigint) as min_pm,
+           cast(max(dist_pm) as bigint) as max_pm
+    from qd group by 1
+    """,
+)
+def jl_distortion_audit(spark, sf_dir):
+    """Johnson–Lindenstrauss distortion audit of a {EMB_DIM}→{JL_DIM}
+    random ±1 projection (Achlioptas 2003's database-friendly form —
+    public): project every sampled vector through the FIXED inlined
+    sign matrix, then histogram the squared-distance ratio
+    ||y_a−y_b||²/||x_a−x_b||² (in per-mille) over a deterministic
+    pair sample — the audit run before shipping a cheap projected
+    index: the JL lemma promises concentration around 1000, and the
+    bucket histogram shows exactly how much ε the chosen dimension
+    buys.  The matrix is generated from md5 parity once and inlined
+    as a LITERAL in both engines, so there is no cross-engine hash
+    semantics to trust.  Reference analogue: the skeleton projection
+    — classify compares reduced shape signatures, and tune_skel
+    audits what the reduction loses (skel.c quality sweep).
+
+    Scale shape: the projection is MAP-ONLY (each vector meets the
+    broadcast-literal matrix — at 100 TB this is the cheap pass over
+    every embedding); only the deterministically SAMPLED sides (1/17
+    × 1/13 of vectors) reach the pair join, so the quadratic stays
+    bounded by the sampling rates; the distortion rollup partially
+    aggregates over the bounded per-mille bucket domain."""
+    e = _emb(spark, sf_dir).filter(
+        (F.col("vec_id") % 17 == 0) | (F.col("vec_id") % 13 == 0)
+    )
+    y = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(s)) for s in row]),
+                    lambda x, r: x * r,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (JL_DIM ** 0.5)
+            for row in _JL_R
+        ]
+    )
+    ey = e.select("vec_id", "v", y.alias("y"))
+    a = ey.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    )
+    b = ey.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    sq = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, z: (x - z) * (x - z)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = a.join(b, F.col("ia") < F.col("ib")).select(
+        sq(F.col("va"), F.col("vb")).alias("dx"),
+        sq(F.col("ya"), F.col("yb")).alias("dy"),
+    )
+    qd = p.filter(F.col("dx") > 0).select(
+        F.round(1000 * F.col("dy") / F.col("dx"))
+        .cast("bigint")
+        .alias("dist_pm")
+    )
+    return qd.groupBy(
+        F.expr("dist_pm div 100").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("dist_pm").cast("bigint").alias("min_pm"),
+        F.max("dist_pm").cast("bigint").alias("max_pm"),
+    )
+
+
+@q(
+    "hhi_concentration",
+    """
+    with c as (select lang, source, cast(count(*) as bigint) as ns
+               from documents group by 1, 2),
+    t as (select lang, cast(sum(ns) as bigint) as n,
+                 cast(count(*) as bigint) as n_sources,
+                 cast(sum(ns * ns) as bigint) as ss,
+                 cast(max(ns) as bigint) as mx
+          from c group by lang)
+    select lang, n_sources,
+           cast((1000000 * ss) // (n * n) as bigint) as hhi_ppm,
+           cast((1000 * mx) // n as bigint) as top_share_pm
+    from t
+    """,
+)
+def hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman source-concentration index per language
+    (the antitrust HHI, applied to training-mix governance): HHI =
+    Σ_s (n_s/n)² in exact parts-per-million ((10^6·Σn_s²) div n² —
+    pure integer arithmetic, no per-source share rounding to
+    accumulate), plus the top source's share.  High HHI means one
+    host/source owns the language's slice of the mix — the
+    single-point-of-failure and bias risk the domain_mix_weights /
+    unimax_quota reweighting exists to fix, measured before and
+    after.  Reference analogue: the per-book pattern-library
+    dominance counters — one glyph shape owning a class's votes is
+    the same governance problem (pattern.c usage skew).
+
+    Scale shape: one (lang, source)-keyed map-side-partial groupBy
+    (the corpus never shuffles more than its distinct cell counts),
+    then a |cells|-relation per-lang rollup — both count-only; the
+    squared-sum trick avoids materializing per-source shares
+    entirely."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("ns").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum(F.col("ns") * F.col("ns")).cast("bigint").alias("ss"),
+        F.max("ns").cast("bigint").alias("mx"),
+    )
+    return t.select(
+        "lang",
+        "n_sources",
+        F.expr("(1000000 * ss) div (n * n)").cast("bigint").alias(
+            "hhi_ppm"
+        ),
+        F.expr("(1000 * mx) div n").cast("bigint").alias("top_share_pm"),
+    )
+
+
+@q(
+    "benford_audit",
+    """
+    with v as (select value from events where value > 0),
+    d as (select cast(least(9, greatest(1,
+                 floor(value / pow(10, floor(log10(value))))))
+                 as bigint) as dg
+          from v),
+    c as (select dg, cast(count(*) as bigint) as n from d group by dg),
+    t as (select cast(sum(n) as bigint) as tot from c)
+    select c.dg as digit, c.n,
+           cast((1000 * c.n) // t.tot as bigint) as obs_pm,
+           cast(round(1000 * log10(1 + 1.0 / c.dg)) as bigint)
+             as benford_pm
+    from c cross join t
+    """,
+)
+def benford_audit(spark, sf_dir):
+    """Benford's-law leading-digit audit of the event value stream
+    (Benford 1938; Nigrini's forensic application — public): observed
+    per-mille frequency of each leading digit against the expected
+    log10(1+1/d) — organically generated magnitudes follow the law,
+    while fabricated, clipped or unit-mangled feeds bend it (the
+    classic telemetry-forensics and data-quality screen).  The
+    leading digit comes from floor(v/10^floor(log10 v)) clamped to
+    [1,9], so a last-ulp log10 at an exact power of ten degrades to
+    a neighbor digit instead of an invalid one — identically in both
+    engines.  Reference analogue: the gray-histogram sanity check
+    before thresholding (preproc.c h_thr_stat) — distribution-shape
+    forensics ahead of the pipeline trusting the data.
+
+    Scale shape: one filtered scan → one 9-key map-side-partial
+    groupBy; the total rides a 1-row broadcast cross join; expected
+    values are per-row constants.  Nothing grows with the corpus but
+    the partial counts."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    dg = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.col("value")
+                / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+            ),
+        ),
+    ).cast("bigint")
+    c = ev.select(dg.alias("dg")).groupBy("dg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("dg").alias("digit"),
+        "n",
+        F.expr("(1000 * n) div tot").cast("bigint").alias("obs_pm"),
+        F.round(1000 * F.log10(1 + 1.0 / F.col("dg")))
+        .cast("bigint")
+        .alias("benford_pm"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Catalog ordering — the driver contract window
 # ---------------------------------------------------------------------
@@ -11396,6 +11645,18 @@ def rrf_fusion(spark, sf_dir):
 # lsh_band_buckets [r4]) — the same never-signed-outranks-refresh
 # rule, displaced queries locally re-verified at two scales every
 # run.
+# Tenth continuation batch: jl_distortion_audit (JL projection
+# distortion) and hhi_concentration (source-concentration HHI)
+# displace the LAST two r3-signed backfills (dedup_canonicalize —
+# no family constraint; stream_windowed_counts — streaming keeps
+# stream_dedup_replay [r4]).  The window is now SATURATED with
+# never-signed operators: benford_audit (the third of this batch)
+# is the single documented overflow — 51 never-signed candidates
+# for 50 driver slots — chosen because its 9-row digit histogram is
+# the most self-evidently verifiable of the candidates and it reads
+# the events table, the weakest tie to the extraction north rule.
+# It stays locally oracle-verified at two scales + the edge events
+# every run, and leads the next rotation.
 DRIVER_WINDOW = [
     # -- (a) never driver-signed in any round: sign first -------------
     "revisit_policy",         # web crawl revisit scheduling (final r5)
@@ -11446,6 +11707,8 @@ DRIVER_WINDOW = [
     "bm25_scores",            # LLM Okapi BM25 lexical ranking (cont. r5)
     "ndcg_eval",              # LLM nDCG@10 ranking quality (cont. r5)
     "rrf_fusion",             # LLM reciprocal-rank fusion (cont. r5)
+    "jl_distortion_audit",    # LLM JL projection distortion (cont. r5)
+    "hhi_concentration",      # LLM source-concentration HHI (cont. r5)
     # -- (b) r1/r2-stale: every query whose last signature is two
     #    rounds old rotates in for a fresh one ------------------------
     # -- (c) backfill: oldest remaining (r3-signed), one per family ---
@@ -11458,8 +11721,6 @@ DRIVER_WINDOW = [
     # pricing_summary r4 + value_percentiles below),
     # agg_grouping_sets via grouping_sets_metrics, and the regex
     # scalar family has no freshness constraint.)
-    "dedup_canonicalize",     # LLM CC canonicalization (pointer doubling)
-    "stream_windowed_counts", # streaming watermark windows
 ]
 
 # r4's 50 driver-green signatures (CORRECTNESS_r04.json, 50/50 green).

@@ -593,6 +593,37 @@ def main() -> None:
         "TakeOrderedAndProject.",
     )
 
+    add(
+        "jl_distortion_audit (JL projection distortion, cont. r5)",
+        REGISTRY["jl_distortion_audit"][0](spark, SF),
+        "The projection is MAP-ONLY (the +-1 sign matrix is a\n"
+        "compiled literal — no join for the matrix); only the\n"
+        "deterministically sampled sides reach the pair join, so the\n"
+        "quadratic stays bounded by the sampling rates; the\n"
+        "distortion rollup partially aggregates over the per-mille\n"
+        "bucket domain.",
+    )
+
+    add(
+        "hhi_concentration (source-concentration HHI, cont. r5)",
+        REGISTRY["hhi_concentration"][0](spark, SF),
+        "Two count-only partial groupBys — (lang, source) cells then\n"
+        "the per-lang rollup; the squared-sum identity\n"
+        "(10^6 * sum(n_s^2)) div n^2 avoids materializing per-source\n"
+        "shares entirely.  No join, no window, no single-partition\n"
+        "exchange.",
+    )
+
+    add(
+        "benford_audit (leading-digit forensics, cont. r5)",
+        REGISTRY["benford_audit"][0](spark, SF),
+        "One filtered scan (value > 0 PUSHED to parquet) into a\n"
+        "9-key partial groupBy; the total rides a 1-row broadcast;\n"
+        "the clamped floor/log10 digit extraction degrades last-ulp\n"
+        "power-of-ten cases to a neighbor digit identically in both\n"
+        "engines.",
+    )
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

@@ -655,3 +655,46 @@ def test_rrf_fusion_plan_shape(spark, sf001):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_jl_distortion_plan_sampled_pairs(spark, sf001):
+    """jl_distortion_audit's projection is map-only (the literal sign
+    matrix compiles into the projection expression — no join for the
+    matrix); only the deterministically sampled sides reach the pair
+    join (the one BroadcastNestedLoopJoin, bounded by the sampling
+    rates), and the distortion rollup has no window and no
+    single-partition exchange."""
+    plan = _plan(REGISTRY["jl_distortion_audit"][0](spark, sf001))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hhi_concentration_plan_two_aggs(spark, sf001):
+    """hhi_concentration is two count-only partial-aggregating
+    groupBys — (lang, source) cells then the per-lang rollup — with
+    no join, window, or single-partition exchange at all; the scan
+    prunes to the two key columns."""
+    plan = _plan(REGISTRY["hhi_concentration"][0](spark, sf001))
+    assert plan.count("FileScan") == 1, plan
+    assert "ReadSchema: struct<lang:string,source:string>" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan
+
+
+def test_benford_audit_plan_shape(spark, sf001):
+    """benford_audit is one filtered scan into a 9-key partial
+    groupBy; the total rides a 1-row broadcast; the filter (value >
+    0) is pushed to the parquet scan."""
+    plan = _plan(REGISTRY["benford_audit"][0](spark, sf001))
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,0.0)]" \
+        in plan, plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "partial_" in lines[i + 1], lines[i : i + 2]

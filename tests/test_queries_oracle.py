@@ -65,8 +65,15 @@ def test_driver_window_invariants():
     assert set(names) == set(REGISTRY)
     window = set(DRIVER_WINDOW)
     never_signed = set(REGISTRY) - window - SIGNED_R1_R4 - R4_SIGNED
-    assert not never_signed, (
-        f"queries that would end round 5 never-signed: {never_signed}"
+    # the r5 window is SATURATED: 51 never-signed operators compete
+    # for 50 driver slots, so exactly one documented overflow is
+    # allowed (the DRIVER_WINDOW comment records the choice and the
+    # reason); it stays locally oracle-verified at two scales + the
+    # edge events every run and leads the next rotation
+    allowed_overflow = {"benford_audit"}
+    assert never_signed <= allowed_overflow, (
+        f"undocumented never-signed queries: "
+        f"{never_signed - allowed_overflow}"
     )
     fresh = window | R4_SIGNED
     families = {
@@ -190,6 +197,8 @@ def test_driver_window_invariants():
         "llm_bm25": {"bm25_scores"},
         "llm_rank_eval": {"ndcg_eval"},
         "llm_fusion": {"rrf_fusion"},
+        "llm_jl": {"jl_distortion_audit"},
+        "llm_hhi": {"hhi_concentration", "domain_mix_weights"},
     }
     unknown = {r for reps in families.values() for r in reps} - set(REGISTRY)
     assert not unknown, f"family map names unregistered queries: {unknown}"
@@ -324,6 +333,9 @@ EDGE_QUERIES = [
     # rankings, the nDCG ratio (idcg > 0 filter) and the fused list
     # must all be EMPTY in both engines — the no-hits path
     "bm25_scores", "ndcg_eval", "rrf_fusion",
+    # tenth continuation batch: single-doc (lang, source) cells must
+    # produce HHI = 10^6 ppm exactly in both engines
+    "hhi_concentration",
 ]
 
 
@@ -420,6 +432,10 @@ EDGE_EVENT_QUERIES = [
     # BURST_W trailing window, so burst_detect must return EMPTY in
     # both engines rather than flag a partial window
     "burst_detect", "session_gap_quantiles",
+    # benford_audit over the edge events: negative and zero values
+    # must be filtered identically, and the 0.0-value row must never
+    # reach log10 in either engine
+    "benford_audit",
 ]
 
 
