@@ -35,6 +35,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a small-file scan across every core before CPU-heavy
+    per-row work (the `_near_dup_pairs` repartition discipline,
+    generalized): the sf corpora are single-row-group parquet files,
+    so every scan is ONE task no matter how small
+    spark.sql.files.maxPartitionBytes is set — and any expensive
+    map-side compute (per-gram hashing, minhash folds, pair dot
+    products) before the first Exchange serializes on one core.
+
+    Hash-partitions on ``cols`` when given (deterministic, skips the
+    keyless round-robin's sortBeforeRepartition pass, and lets every
+    downstream aggregate/window keyed on a superset of ``cols`` reuse
+    the exchange instead of adding its own); the explicit partition
+    count stops AQE coalescing the small-bytes exchange below the
+    core count.  At 100 TB the scan already has thousands of splits
+    and this exchange carries only the pruned columns — the same
+    scale-invariant cost the repartitions inside `_near_dup_pairs` /
+    `semdedup_cells` / `bitext_margin_mine` already pay.
+
+    NOT applied upstream of float aggregations (centroid avgs, pca
+    sums): a partitioning change reorders partial aggregation, which
+    would perturb low-order float bits the driver's value hash pins."""
+    n = spark.sparkContext.defaultParallelism
+    if cols:
+        return df.repartition(n, *[F.col(c) for c in cols])
+    return df.repartition(n)
+
+
 def spark_hash60(col: F.Column) -> F.Column:
     """Portable 60-bit hash (== DuckDB ('0x'||substring(md5,1,15))::BIGINT)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
@@ -1391,20 +1419,23 @@ def cosine_topk(spark, sf_dir):
     e = _emb(spark, sf_dir).select("vec_id", "v")
     qs = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            # query norm hoisted: once per query row, not per pair
+            # (operation-for-operation the _cos_arrays norm, so the
+            # rounded cosine stays bit-identical)
+            _nrm64(F.col("v")).alias("qn"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # corpus side fanned out (single-row-group scan → 1 task) and its
+    # norm hoisted to once per vector before the pair stage
+    corp = _fanout(spark, e, "vec_id").select(
+        "vec_id", "v", _nrm64(F.col("v")).alias("vn")
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    nprod = nrm(F.col("qv")) * nrm(F.col("v"))
+    dot = _dot64(F.col("qv"), F.col("v"))
+    nprod = F.col("qn") * F.col("vn")
     p = (
-        qs.join(e, F.col("q_id") != F.col("vec_id"))
+        qs.join(corp, F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
@@ -1439,6 +1470,9 @@ def embedding_lsh_buckets(spark, sf_dir):
     deterministic hash-derived hyperplanes → sign bits → 2^N_PLANES
     buckets. At 100 TB, neighbor search only probes matching (or
     near) buckets."""
+    # NOT fanned out: the 8 plane dots over the corpus are cheap
+    # relative to an extra exchange+stage here (measured 0.63 s as a
+    # plain scan vs 0.83 s fanned at sf0.1)
     e = _emb(spark, sf_dir).select("vec_id", "v")
     bits = _lsh_bits(F.col("v"))
     bucket = F.lit(0)
@@ -1451,15 +1485,39 @@ def embedding_lsh_buckets(spark, sf_dir):
     )
 
 
+def _dot64(a: F.Column, b: F.Column) -> F.Column:
+    """Elementwise-fold dot product, left-to-right (bitwise-parity
+    with the DuckDB list_sum form) — THE shared pair-dot for every
+    vector query.
+
+    Measured on Spark 4.1 (sf0.1, 400k materialized pairs, exec-only
+    min-of-3): this zip_with/aggregate form runs the Project in
+    0.13 s vs 1.17 s for an explicit 64-term unrolled multiply-add —
+    the unrolled chain is ONE unsplittable expression whose generated
+    method defeats the JIT, while the higher-order fold is a tight
+    loop.  (The r4 `_near_dup_pairs` comment claiming the opposite
+    predates this measurement; both forms fold in the same IEEE order,
+    so they are interchangeable bit-for-bit.)"""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def _nrm64(c: F.Column) -> F.Column:
+    """sqrt of the elementwise-fold sum of squares — same fold order
+    as the DuckDB twin; see _dot64 for the form choice."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+
+
 def _cos_arrays(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity of two array<double> columns, fold order fixed
     elementwise (bitwise-parity with the DuckDB list_sum form)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-
-    def nrm(c):
-        return F.sqrt(
-            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-        )
+    dot = _dot64(a, b)
+    nrm = _nrm64
 
     # zero-norm vectors (real at corpus scale: dead rows, padding) make
     # this 0/0 — an ANSI divide-by-zero error in Spark, NULL in DuckDB,
@@ -1608,13 +1666,7 @@ def bitext_margin_mine(spark, sf_dir):
     # inline _cos_arrays would re-run both 64-term norm folds on every
     # PAIR — 2/3 of the cross-product stage's work for values that only
     # depend on one side (measured ~2× on this query at sf0.1)
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: x * x),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-    )
+    nrm = _nrm64(F.col("v"))
     src = (
         e.filter(F.col("vec_id") % 2 == 0)
         .select(
@@ -1629,11 +1681,7 @@ def bitext_margin_mine(spark, sf_dir):
         F.col("v").alias("tv"),
         nrm.alias("t_nrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("tv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    dot = _dot64(F.col("sv"), F.col("tv"))
     # same -2.0 zero-norm sentinel and operation order as _cos_arrays
     # (nrm(a)*nrm(b) then one divide), so oracle parity is bitwise
     nprod = F.col("s_nrm") * F.col("t_nrm")
@@ -1693,23 +1741,21 @@ def _near_dup_pairs(
     e = _emb(spark, sf_dir).select("vec_id", "v")
     bits = _lsh_bits(F.col("v"), n_planes)
     half = n_planes // 2
-    nrm = F.sqrt(
-        F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    # norms computed once per vector, not once per candidate pair
-    banded = e.select(
+    nrm = _nrm64(F.col("v"))
+    # norms computed once per vector, not once per candidate pair.
+    # Fan-out happens BEFORE the plane-dot/norm projection (the
+    # single-row-group scan is one task, and the 8 plane dots + norm
+    # are the heavy map work); the hash partitioning on vec_id is the
+    # same layout the old post-projection repartition produced, so the
+    # checkpoint and every downstream join see an identical shape.
+    n_parts = spark.sparkContext.defaultParallelism
+    banded = _fanout(spark, e, "vec_id").select(
         "vec_id",
         "v",
         nrm.alias("nrm"),
         F.concat_ws("", *[b.cast("string") for b in bits[:half]]).alias("band0"),
         F.concat_ws("", *[b.cast("string") for b in bits[half:]]).alias("band1"),
-    )
-    # spread the probe side across the cluster — the source is a few
-    # parquet splits, which would cap the band-join fan-out parallelism
-    # (explicit count: AQE would coalesce a small-bytes shuffle even
-    # though each row fans out to ~300 candidate pairs)
-    n_parts = spark.sparkContext.defaultParallelism
-    banded = banded.repartition(n_parts, "vec_id").localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
     # band joins and pair dedup carry ONLY ids — the 64-dim vectors
     # (the wide payload) never enter the pair shuffle; they re-attach
     # afterwards by id (early column pruning, the same discipline as
@@ -1740,13 +1786,10 @@ def _near_dup_pairs(
         vecs.select(F.col("vec_id").alias("j_id"), F.col("v").alias("jv"), F.col("nrm").alias("nj")),
         "j_id",
     )
-    # explicit EMB_DIM-term multiply-add: whole-stage-codegen-friendly
-    # and left-to-right like the elementwise fold, so bitwise-identical
-    # to the oracle's list_sum; HOF aggregate here would be interpreted
-    # per element across every candidate pair
-    dot = F.lit(0.0)
-    for k in range(EMB_DIM):
-        dot = dot + F.col("iv")[k] * F.col("jv")[k]
+    # shared elementwise fold (_dot64) — left-to-right like the
+    # oracle's list_sum, so bitwise-identical; measured FASTER than
+    # the unrolled 64-term chain it replaces (see _dot64 docstring)
+    dot = _dot64(F.col("iv"), F.col("jv"))
     nprod = F.col("ni") * F.col("nj")
     # zero-norm pairs: -2.0 sentinel (matches the coalesce in the
     # DuckDB twins), dropped by the tau filter below
@@ -2020,8 +2063,13 @@ def ivf_topk(spark, sf_dir):
             s,
         ).otherwise(acc),
     )
+    # vector side fanned out BEFORE the broadcast argmax (the scan is
+    # one task; the K-centroid scoring is the heavy map work) — the
+    # centroid aggregate keeps reading the UNFANNED scan so its float
+    # avg fold order is untouched
     assigned = (
-        e.crossJoin(F.broadcast(cent))
+        _fanout(spark, e, "vec_id")
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "v", best["cell"].alias("cell"))
         # both probe sides (query broadcast + corpus scan) read the
         # assignment; materialize so the 64-centroid argmax runs once
@@ -2158,7 +2206,15 @@ def kmeans_refine(spark, sf_dir):
             best["ccos"].alias("cos"),
         )
 
-    assigned = e
+    # round 1 fans the vector side out of the single-row-group scan
+    # before the broadcast argmax (the heavy map work); the checkpoint
+    # then carries the core-count partitioning into round 2, so the
+    # fan-out happens once.  build_cents(e) still reads the raw scan;
+    # round-2 centroids aggregate the checkpointed assignment, whose
+    # round-6-quantized cosines and round-9-quantized averages absorb
+    # partial-agg order (the docstring's cross-engine discipline —
+    # DuckDB's own avg order already differs).
+    assigned = _fanout(spark, e, "vec_id")
     for _ in range(2):
         cents = build_cents(assigned)
         assigned = assign(
@@ -2232,8 +2288,11 @@ def ivf_topk_probe2(spark, sf_dir):
         ),
     )
     top2 = F.slice(F.sort_array(scored), 1, 2)
+    # fanned like ivf_topk: the broadcast cell-ranking is the heavy
+    # map work; the centroid aggregate reads the unfanned scan
     all_cells = (
-        e.crossJoin(F.broadcast(cent))
+        _fanout(spark, e, "vec_id")
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "v", top2.alias("cells"))
         .localCheckpoint(eager=False)
     )
@@ -6427,20 +6486,20 @@ def semdedup_cells(spark, sf_dir):
     # normalize-before-join step of every production ANN/dedup system.
     # sqrt(Σx²) here is operation-for-operation the _cos_arrays norm,
     # so the rounded cosine (and the oracle match) is bit-identical.
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
-        )
-    )
-    n_parts = spark.sparkContext.defaultParallelism
+    nrm = _nrm64(F.col("v"))
+    # fan the vector side out BEFORE the broadcast argmax (the
+    # single-row-group scan is 1 task, and the per-vector K-centroid
+    # scoring is the expensive map work) — the checkpoint then also
+    # inherits the core-count partitioning the downstream self-join
+    # needs; the centroid aggregate keeps reading the UNFANNED scan so
+    # its float avg fold order (and the driver value hash) is
+    # untouched
     assigned = (
-        e.crossJoin(F.broadcast(cent))
+        _fanout(spark, e, "vec_id")
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "v", nrm.alias("nrm"), home.alias("cell"))
         # both the self-join sides and the per-cell count read the
-        # assignment; materialize so the centroid argmax runs once —
-        # and repartition first, or the checkpointed RDD inherits the
-        # parquet split count and serializes every downstream stage
-        .repartition(n_parts, "vec_id")
+        # assignment; materialize so the centroid argmax runs once
         .localCheckpoint(eager=False)
     )
     # the _near_dup_pairs discipline: candidate generation carries
@@ -6448,6 +6507,7 @@ def semdedup_cells(spark, sf_dir):
     # an explicit round-robin repartition before the dot stage — the
     # id-pair bytes are small, so AQE would coalesce the exchange to
     # ~1 task even though each row owes a 64-term dot product
+    n_parts = spark.sparkContext.defaultParallelism
     ids = (
         assigned.select("cell", F.col("vec_id").alias("i_id"))
         .join(
@@ -6471,11 +6531,7 @@ def semdedup_cells(spark, sf_dir):
             F.col("nrm").alias("jnrm"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with("iv", "jv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    dot = _dot64(F.col("iv"), F.col("jv"))
     prod = F.col("inrm") * F.col("jnrm")
     cos = F.when(prod > 0, dot / prod).otherwise(F.lit(-2.0))
     dup = (
@@ -10625,26 +10681,21 @@ def hubness_audit(spark, sf_dir):
     unchanged.  The top-k membership window is PARTITIONED by query;
     both rollups partially aggregate; the zero-row arithmetic rides
     two 1-row broadcasts."""
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    # norms hoisted: computed once per VECTOR (|vectors| rows below
+    # the join), never per pair; codegen'd dot/norm (_dot64/_nrm64)
+    # and the corpus side fanned out of its single-row-group scan so
+    # the pair stage runs on every core instead of one
+    e = _fanout(spark, _emb(spark, sf_dir), "vec_id").select(
+        "vec_id", "v", _nrm64(F.col("v")).alias("vn")
+    )
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("q"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
         )
     )
-    # norms hoisted: computed once per VECTOR (|vectors| rows below
-    # the join), never per pair
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "v", nrm(F.col("v")).alias("vn")
-    )
-    qs = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("q"),
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("qv"), F.col("v"))
     nprod = F.col("qn") * F.col("vn")
     p = qs.join(e, F.col("q") != F.col("vec_id")).select(
         "q",
@@ -11287,9 +11338,17 @@ def jl_distortion_audit(spark, sf_dir):
     × 1/13 of vectors) reach the pair join, so the quadratic stays
     bounded by the sampling rates; the distortion rollup partially
     aggregates over the bounded per-mille bucket domain."""
-    e = _emb(spark, sf_dir).filter(
-        (F.col("vec_id") % 17 == 0) | (F.col("vec_id") % 13 == 0)
+    # sampled scan fanned out (single-row-group file → 1 task); the
+    # projection fold is unrolled per literal matrix row — same
+    # left-to-right order as the zip_with/aggregate form (_dot64)
+    e = _fanout(
+        spark,
+        _emb(spark, sf_dir).filter(
+            (F.col("vec_id") % 17 == 0) | (F.col("vec_id") % 13 == 0)
+        ),
+        "vec_id",
     )
+
     y = F.array(
         *[
             F.aggregate(
@@ -11306,16 +11365,19 @@ def jl_distortion_audit(spark, sf_dir):
         ]
     )
     ey = e.select("vec_id", "v", y.alias("y"))
-    a = ey.filter(F.col("vec_id") % 17 == 0).select(
-        F.col("vec_id").alias("ia"),
-        F.col("v").alias("va"),
-        F.col("y").alias("ya"),
+    a = F.broadcast(
+        ey.filter(F.col("vec_id") % 17 == 0).select(
+            F.col("vec_id").alias("ia"),
+            F.col("v").alias("va"),
+            F.col("y").alias("ya"),
+        )
     )
     b = ey.filter(F.col("vec_id") % 13 == 0).select(
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
         F.col("y").alias("yb"),
     )
+
     sq = lambda u, w: F.aggregate(  # noqa: E731
         F.zip_with(u, w, lambda x, z: (x - z) * (x - z)),
         F.lit(0.0),
