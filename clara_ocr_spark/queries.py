@@ -961,7 +961,9 @@ def minhash_signatures(spark, sf_dir):
     engines). ≈ skeleton fingerprints as shape signatures.
     One fold computes all 4 minima; output is one joined string so
     the signature expression is evaluated exactly once per doc."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out: the md5-per-gram signature fold is the whole cost
+    # and ran on the single-row-group scan's one task
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     sig = _minhash_sig(_grams(_tokens(F.lower(F.col("text")))), 4)
     return d.select("doc_id", F.array_join(sig, "|").alias("sig"))
 
@@ -993,7 +995,8 @@ def lsh_band_buckets(spark, sf_dir):
 
     The signature fold is let-bound and exploded so it runs once per
     doc; posexplode gives (band index, bucket) rows directly."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out: one task otherwise pays every signature fold
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     sig = _minhash_sig(_grams(_tokens(F.lower(F.col("text")))), 4)
     bands = _let(
         sig,
@@ -1199,7 +1202,8 @@ def _simhash_col() -> F.Column:
 )
 def simhash(spark, sf_dir):
     """SimHash signatures (see _simhash_col)."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out: the per-token 32-bit vote fold is the whole cost
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", _simhash_col().alias("simhash"))
 
 
@@ -1327,7 +1331,9 @@ def dedup_canonicalize(spark, sf_dir):
     doc_id per cluster) → every document labeled with its canonical
     and a keep/drop flag. Oracle: same pipeline in SQL with a
     recursive-CTE transitive closure."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned by doc_id: the minhash fold and tokenize below otherwise
+    # run on the single-row-group scan's one task
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens(F.lower(F.col("text")))
     # materialize the signature bands and token sets ONCE — both join
     # sides read them, and Catalyst would otherwise re-tokenize and
@@ -3981,7 +3987,16 @@ def decontaminate(spark, sf_dir):
     array is built from a let-bound token array (one tokenize per
     doc, not per gram)."""
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", _gram5_hashes().alias("grams"))
+    # fanned by doc_id (single-row-group scan → 1 task for the 5-gram
+    # hashing) and materialized: ev, the probe explode and the final
+    # doc join all read ``t``, which would otherwise re-hash the
+    # corpus per consumer; the checkpointed rows are (doc_id, 8-byte
+    # hashes), a corpus-bounded relation
+    t = (
+        _fanout(spark, d, "doc_id")
+        .select("doc_id", _gram5_hashes().alias("grams"))
+        .localCheckpoint(eager=False)
+    )
     ev = (
         t.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("g"))
@@ -4738,7 +4753,11 @@ def line_dedup_corpus(spark, sf_dir):
     same way its per-book pattern library suppresses repeated
     headers (pattern.c's shared-pattern machinery)."""
     d = _t(spark, sf_dir, "documents")
-    t = d.select(
+    # fanned by doc_id before the tokenize/line-build/explode (the
+    # single-row-group scan is one task); the per-doc reassembly
+    # aggregate and the final doc join then reuse this exchange, so
+    # the exploded line rows (and their text) never shuffle
+    t = _fanout(spark, d, "doc_id").select(
         "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
     )
     n_lines = F.ceil(F.size("ws") / F.lit(8.0)).cast("bigint")
@@ -4915,7 +4934,10 @@ def dup_span_detect(spark, sf_dir):
     cross-doc duplicated runs of >= 5 tokens, span count, covered
     tokens, coverage fraction."""
     d = _t(spark, sf_dir, "documents")
-    t = d.select(
+    # fanned by doc_id before the window build/explode/hash (the
+    # single-row-group scan is one task); the island windows and
+    # per-doc rollups downstream reuse the same exchange
+    t = _fanout(spark, d, "doc_id").select(
         "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
     )
     n_tok = F.size("ws")
@@ -4933,7 +4955,9 @@ def dup_span_detect(spark, sf_dir):
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         spark_hash60(F.col("win")).alias("h"),
-    )
+        # consumed by the df rollup AND the span path — materialize so
+        # the window build + 60-bit hashing runs once over the corpus
+    ).localCheckpoint(eager=False)
     dup_h = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -5041,7 +5065,11 @@ def pagerank_bipartite(spark, sf_dir):
     dangling mass is dropped (documented).  Reference analogue: the
     reference's pattern-preference voting converges the same way
     (vote mass redistributed along match edges, revision.c)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # probe side fanned out: the 10 MB lineitem file scans as ~3
+    # tasks, capping the join-probe + partial-agg parallelism; the
+    # graph algebra downstream is all-integer, so the partitioning
+    # change cannot perturb any result bit
+    li = _fanout(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = _t(spark, sf_dir, "orders")
     cs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -5050,16 +5078,17 @@ def pagerank_bipartite(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    fwd = cs.select(
-        F.concat(F.lit("C"), F.col("c").cast("string")).alias("src"),
-        F.concat(F.lit("S"), F.col("s").cast("string")).alias("dst"),
-        "w",
-    )
-    rev = cs.select(
-        F.concat(F.lit("S"), F.col("s").cast("string")).alias("src"),
-        F.concat(F.lit("C"), F.col("c").cast("string")).alias("dst"),
-        "w",
-    )
+    # nodes ride as 8-byte ints through every shuffle/iteration
+    # (2c for customers, 2s+1 for suppliers — the encoding is a
+    # bijection, so degrees/out-weights/inflows and every integer-div
+    # rank are IDENTICAL to the string-keyed form); the "C…"/"S…"
+    # strings materialize only on the final |nodes|-row projection,
+    # halving the edge-shuffle bytes and dropping 2.3M string concats
+    # from the hot path
+    enc_c = (2 * F.col("c")).cast("bigint")
+    enc_s = (2 * F.col("s") + 1).cast("bigint")
+    fwd = cs.select(enc_c.alias("src"), enc_s.alias("dst"), "w")
+    rev = cs.select(enc_s.alias("src"), enc_c.alias("dst"), "w")
     e = fwd.unionAll(rev)
     ow = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     ew = e.join(ow, "src")
@@ -5111,8 +5140,17 @@ def pagerank_bipartite(spark, sf_dir):
     # per-partition top-k, no single-task global sort of the full
     # |nodes| rank table); the (rank desc, node asc) total order makes
     # the limit deterministic.  Same plan as doubts() (feedback.py).
+    # The string node id is decoded here, BEFORE the orderBy, so the
+    # tie-break is the same lexicographic (rank desc, node asc) order
+    # the oracle uses.
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("C"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("S"), F.expr("node div 2").cast("string"))
+    )
     return (
-        ranks.select("node", "rank")
+        ranks.select(node_str.alias("node"), "rank")
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
@@ -5544,7 +5582,9 @@ def hits_scores(spark, sf_dir):
     TakeOrderedAndProject, never a global window.  The edge list is
     localCheckpointed once so round i never re-executes the
     lineitem × orders join."""
-    li = _t(spark, sf_dir, "lineitem")
+    # probe side fanned out (the pagerank_bipartite discipline): the
+    # lineitem scan is ~3 tasks, capping probe/partial-agg parallelism
+    li = _fanout(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = _t(spark, sf_dir, "orders")
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -6092,11 +6132,21 @@ def bloom_decontaminate(spark, sf_dir):
     audit column a pipeline uses to size m before a 100 TB run. Only
     shuffle: the per-doc candidate count, on pre-filtered rows."""
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", _gram5_hashes().alias("grams"))
+    # same fan-out + materialize discipline as `decontaminate`: the
+    # three bloom-slice builds, the probe explode and the final doc
+    # join all read ``t``
+    t = (
+        _fanout(spark, d, "doc_id")
+        .select("doc_id", _gram5_hashes().alias("grams"))
+        .localCheckpoint(eager=False)
+    )
     ev = (
         t.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("g"))
         .distinct()
+        # three bit-slice position sets AND the truth labeling read the
+        # eval shingle set — materialize it once (eval-set-bounded)
+        .localCheckpoint(eager=False)
     )
     g = F.col("g")
     slices = [
@@ -7093,8 +7143,14 @@ def shingle_containment(spark, sf_dir):
     (ubiquitous shingles carry no dup signal).  Pair counts partially
     aggregate map-side; sizes re-attach by a doc-level join."""
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", _gram5_hashes().alias("grams")).filter(
-        F.size("grams") >= 5
+    # fanned + materialized (the decontaminate discipline): the df
+    # gate explode, the pair-join explode and the size relation all
+    # read ``t``, which would otherwise re-hash the corpus per use
+    t = (
+        _fanout(spark, d, "doc_id")
+        .select("doc_id", _gram5_hashes().alias("grams"))
+        .filter(F.size("grams") >= 5)
+        .localCheckpoint(eager=False)
     )
     x = t.select("doc_id", F.explode("grams").alias("g"))
     keep = (
@@ -8918,7 +8974,9 @@ def fuzzy_decontaminate(spark, sf_dir):
     final distinct over (doc_id, eval_id, jaccard) id-pairs.  Token
     arrays never shuffle.  Band keys reuse `_minhash_sig`'s
     single-fold 4-permutation signature (one md5 per gram)."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned by doc_id: the per-gram md5 banding of the train side is
+    # the dominant map work and ran on the one-task scan
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     t = d.select("doc_id", _tokens(F.lower(F.col("text"))).alias("ws"))
     ev = t.filter(F.col("doc_id") % 37 == 0).select(
         F.col("doc_id").alias("eval_id"),
@@ -9528,12 +9586,25 @@ def winnow_select(d: DataFrame, key: str = "doc_id") -> DataFrame:
     normalized substring shares a fingerprint HASH) is testable on
     the real selected sets, and so downstream near-dup joins can
     bucket on fp_hash directly."""
-    nm = d.select(
+    # fan the doc scan out BY KEY before the per-character explode
+    # (guide §3.3: explode after the shuffle): the single-row-group
+    # scan is one task, so the k-gram hashing — the dominant cost —
+    # serialized on one core, and the window/distinct/rollup exchanges
+    # each re-shuffled the EXPLODED relation (~chars-per-doc rows).
+    # Hash-partitioned on the key, the window, the distinct and every
+    # doc-keyed rollup downstream all reuse this one pre-explode
+    # exchange (their keys are supersets of ``key``), so the exploded
+    # rows never hit the wire at all.
+    nm = _fanout(
+        d.sparkSession,
+        d.select(
+            key,
+            F.regexp_replace(
+                F.trim(F.lower(F.col("text"))), r"\s+", " "
+            ).alias("norm"),
+        ).filter(F.length("norm") >= WIN_K),
         key,
-        F.regexp_replace(
-            F.trim(F.lower(F.col("text"))), r"\s+", " "
-        ).alias("norm"),
-    ).filter(F.length("norm") >= WIN_K)
+    )
     g = nm.select(
         key,
         (F.length("norm") - WIN_K + 1).alias("n_g"),
@@ -10471,34 +10542,39 @@ def heaps_law_fit(spark, sf_dir):
             F.lit(1), F.expr(f"(max(doc_id) + 1) div {HEAPS_BATCHES}")
         ).alias("width")
     )
-    nm = d.select(
+    # fanned by doc_id (single-row-group scan → the k-gram hashing,
+    # the dominant cost, ran on one task)
+    nm = _fanout(
+        spark,
+        d.select(
+            "doc_id",
+            F.regexp_replace(
+                F.trim(F.lower(F.col("text"))), r"\s+", " "
+            ).alias("norm"),
+        ).filter(F.length("norm") >= WIN_K),
         "doc_id",
-        F.regexp_replace(
-            F.trim(F.lower(F.col("text"))), r"\s+", " "
-        ).alias("norm"),
-    ).filter(F.length("norm") >= WIN_K)
-    g = (
-        nm.crossJoin(F.broadcast(mx))
-        .select(
-            F.expr("doc_id div width").alias("b"),
-            F.explode(
-                F.sequence(F.lit(1), F.length("norm") - WIN_K + 1)
-            ).alias("i"),
-            "norm",
-        )
-        .select(
-            "b",
-            (
-                spark_hash60(F.expr(f"substring(norm, i, {WIN_K})"))
-                % 1073741824
-            ).alias("h30"),
-        )
-        # consumed by BOTH groupBys (type first-batch + grams per
-        # batch) — materialize so the k-gram explode runs once
-        .localCheckpoint(eager=False)
+    ).crossJoin(F.broadcast(mx))
+    g = nm.select(
+        F.expr("doc_id div width").alias("b"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("norm") - WIN_K + 1)
+        ).alias("i"),
+        "norm",
+    ).select(
+        "b",
+        (
+            spark_hash60(F.expr(f"substring(norm, i, {WIN_K})"))
+            % 1073741824
+        ).alias("h30"),
     )
+    # the type relation is the only consumer of the explode; grams
+    # per batch is just Σ(n_positions) per doc, computable map-only
+    # from the normalized lengths — the old shape checkpointed the
+    # exploded relation and scanned it twice for exactly this count
     ft = g.groupBy("h30").agg(F.min("b").alias("fb"))
-    nb = g.groupBy("b").agg(F.count(F.lit(1)).alias("ng"))
+    nb = nm.groupBy(F.expr("doc_id div width").alias("b")).agg(
+        F.sum(F.length("norm") - WIN_K + 1).alias("ng")
+    )
     vb = ft.groupBy(F.col("fb").alias("b")).agg(
         F.count(F.lit(1)).alias("nv")
     )
@@ -10577,21 +10653,27 @@ def kcore_peel(spark, sf_dir):
     pagerank_bipartite / dup_clusters iteration discipline); the
     median-k machinery runs on the bounded degree histogram with
     1-row broadcasts."""
-    li = _t(spark, sf_dir, "lineitem")
+    # probe side fanned out: the 10 MB lineitem file scans as ~3
+    # tasks, capping the join-probe + partial-agg parallelism; the
+    # graph algebra downstream is all-integer, so the partitioning
+    # change cannot perturb any result bit
+    li = _fanout(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = _t(spark, sf_dir, "orders")
     cs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    fwd = cs.select(
-        F.concat(F.lit("C"), F.col("c").cast("string")).alias("u"),
-        F.concat(F.lit("S"), F.col("s").cast("string")).alias("v"),
-    )
-    rev = cs.select(
-        F.concat(F.lit("S"), F.col("s").cast("string")).alias("u"),
-        F.concat(F.lit("C"), F.col("c").cast("string")).alias("v"),
-    )
+    # integer node encoding through every peel round (2c / 2s+1, the
+    # pagerank_bipartite discipline): degrees, the median-k histogram
+    # and the semi joins are identical under the bijection, and the
+    # checkpointed edge list + three rounds of shuffles carry 8-byte
+    # ints instead of strings; "C…"/"S…" decode only on the final
+    # |survivors|-row projection
+    enc_c = (2 * F.col("c")).cast("bigint")
+    enc_s = (2 * F.col("s") + 1).cast("bigint")
+    fwd = cs.select(enc_c.alias("u"), enc_s.alias("v"))
+    rev = cs.select(enc_s.alias("u"), enc_c.alias("v"))
     e = fwd.unionAll(rev).localCheckpoint(eager=False)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     h = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
@@ -10624,8 +10706,12 @@ def kcore_peel(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    node_str = F.when(
+        F.col("u") % 2 == 0,
+        F.concat(F.lit("C"), F.expr("u div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("S"), F.expr("u div 2").cast("string")))
     return deg.crossJoin(F.broadcast(kk)).select(
-        F.col("u").alias("node"),
+        node_str.alias("node"),
         F.col("d").cast("bigint").alias("deg"),
         F.col("k").cast("bigint").alias("k"),
     )
