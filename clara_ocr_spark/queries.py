@@ -4400,6 +4400,21 @@ def spell_correct(spark, sf_dir):
     )
 
 
+def _ck_dir(prefix: str) -> str:
+    """Streaming checkpoint scratch dir, on tmpfs when available: the
+    per-micro-batch state-store/WAL/commit-log writes are pure
+    scratch (every dir is deleted in _finalize_stream), and this
+    sandbox VM's virtio disk has erratic write latency — the same
+    reasoning as bench.py's SPARK_LOCAL_DIRS tmpfs default.  A real
+    cluster keeps checkpoints on durable storage; this helper only
+    covers the throwaway drain-to-memory harness."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _stream_dir(sf_dir: str, table: str) -> str:
     """File-source streaming needs a DIRECTORY; expose the static
     table file through a temp dir (symlink — zero copy). At scale the
@@ -4471,7 +4486,7 @@ def stream_windowed_counts(spark, sf_dir):
     name = "stream_windowed_counts_sink"
     spark.catalog.dropTempView(name)  # False if absent, never raises
     src = _stream_dir(sf_dir, "events")
-    ck = tempfile.mkdtemp(prefix="ck_swc_")
+    ck = _ck_dir("ck_swc_")
     out = drain_to_memory(
         spark,
         windowed_event_counts(
@@ -4529,7 +4544,7 @@ def stream_dedup_replay(spark, sf_dir):
     os.symlink(src, os.path.join(d, "events_b.parquet"))  # the replay
     name = "stream_dedup_replay_sink"
     spark.catalog.dropTempView(name)  # False if absent, never raises
-    ck = tempfile.mkdtemp(prefix="ck_sdr_")
+    ck = _ck_dir("ck_sdr_")
     out = drain_to_memory(
         spark,
         dedup_events(read_events_stream(spark, d)),
@@ -4581,7 +4596,7 @@ def stream_sessionize(spark, sf_dir):
     name = "stream_sessionize_sink"
     spark.catalog.dropTempView(name)  # False if absent, never raises
     src = _stream_dir(sf_dir, "events")
-    ck = tempfile.mkdtemp(prefix="ck_ss_")
+    ck = _ck_dir("ck_ss_")
     out = drain_to_memory(
         spark,
         user_sessions_stateful(read_events_stream(spark, src)),
@@ -4644,7 +4659,7 @@ def stream_recrawl_delta(spark, sf_dir):
     name = "stream_recrawl_delta_sink"
     spark.catalog.dropTempView(name)
     src = _stream_dir(sf_dir, "events")
-    ck = tempfile.mkdtemp(prefix="ck_rcd_")
+    ck = _ck_dir("ck_rcd_")
     captures = read_events_stream(spark, src).select(
         "event_id",
         F.concat(
@@ -7208,7 +7223,7 @@ def stream_hll_registers(spark, sf_dir):
     name = "stream_hll_registers_sink"
     spark.catalog.dropTempView(name)
     src = _stream_dir(sf_dir, "events")
-    ck = tempfile.mkdtemp(prefix="ck_shll_")
+    ck = _ck_dir("ck_shll_")
     out = drain_to_memory(
         spark,
         _hll_reg_agg(read_events_stream(spark, src)),

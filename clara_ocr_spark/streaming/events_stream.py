@@ -115,15 +115,26 @@ def _session_update(
     drain of a static directory this is deterministic), counts gap >
     SESSION_GAP_S boundaries, carries (last_ts, n_events, n_sessions)
     across batches, emits the running totals each batch (update mode)."""
+    import numpy as np
+
     (user_id,) = key
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    ts = batch["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+    # per-group Python overhead is the whole cost of this operator at
+    # scale (one call per key per batch): avoid the pd.concat copy for
+    # the common single-chunk case and sort the bare int64 array
+    # instead of a DataFrame column round-trip
+    chunks = list(pdfs)
+    if len(chunks) == 1:
+        ts = chunks[0]["ts"].to_numpy("datetime64[ns]").astype("int64")
+    else:
+        ts = np.concatenate(
+            [c["ts"].to_numpy("datetime64[ns]").astype("int64") for c in chunks]
+        )
+    ts = ts / 1e9  # epoch seconds
     ts.sort()
     if state.exists:
         last_ts, n_events, n_sessions = state.get
     else:
         last_ts, n_events, n_sessions = float("-inf"), 0, 0
-    import numpy as np
 
     prev = np.concatenate(([last_ts], ts[:-1]))
     n_sessions += int((ts - prev > SESSION_GAP_S).sum())
@@ -175,13 +186,26 @@ def _recrawl_update(
     (unchanged/changed; the very first capture of a url is neither).
     Within a batch rows sort by event_id — the same ordering contract
     as `_session_update`."""
+    import numpy as np
+
     (url,) = key
-    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("event_id")
+    # same ordering contract as before (ascending event_id; ids are
+    # unique, so any sort gives the identical digest sequence) — but
+    # per-group Python overhead dominates this operator, so sort the
+    # bare arrays instead of a DataFrame and skip the concat copy for
+    # the common single-chunk case
+    chunks = list(pdfs)
+    if len(chunks) == 1:
+        eid = chunks[0]["event_id"].to_numpy()
+        dig = chunks[0]["digest"].to_numpy()
+    else:
+        eid = np.concatenate([c["event_id"].to_numpy() for c in chunks])
+        dig = np.concatenate([c["digest"].to_numpy() for c in chunks])
     if state.exists:
         last, n_cap, n_unch, n_chg = state.get
     else:
         last, n_cap, n_unch, n_chg = None, 0, 0, 0
-    for d in batch["digest"].tolist():
+    for d in dig[np.argsort(eid)].tolist():
         if last is not None:
             if d == last:
                 n_unch += 1
