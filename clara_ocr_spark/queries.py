@@ -3496,7 +3496,9 @@ def repetition_filter(spark, sf_dir):
     flagged above thresholds. All higher-order array expressions —
     per-doc work, zero shuffle; token/gram arrays are let-bound so
     Catalyst evaluates them once (see _let)."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens(F.lower(F.col("text")))
     top_frac = _top_word_frac(toks)
     dup_frac = _dup_2gram_frac(toks)
@@ -3571,7 +3573,9 @@ def lm_quality_scores(spark, sf_dir):
     the gram count aggregate and the score join (count table joined on
     gram hash — at 100 TB the LM table is hash-partitioned, never
     collected); docs with no grams score -1."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     # materialize the exploded grams once — both the LM-count agg and
     # the score join read them (the dedup_canonicalize discipline)
     g = d.select(
@@ -3837,7 +3841,9 @@ def tfidf_top_terms(spark, sf_dir):
     pairs otherwise; the corpus-count scalar joins as a literal-sized
     side. The final top-k window partitions by doc_id —
     WindowGroupLimit prunes map-side."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
     )
@@ -3903,7 +3909,9 @@ def inverted_index(spark, sf_dir):
     the head-slice here keep the sf contract check exact while the
     stopword-scale terms (the skew risk) are exactly the ones a real
     index stoplists away (see `df_stopwords`)."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
     )
@@ -4345,7 +4353,9 @@ def spell_correct(spark, sf_dir):
     verify split as minhash/simhash). The stage twin
     (stages/spell.py:correct_spelling) applies elected corrections to
     block text behind an off-by-default config gate."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok").rlike("^[a-z]{4,16}$"))
@@ -4860,7 +4870,9 @@ def boiler_scope_audit(spark, sf_dir):
     both probe joins carry 8-byte hashes plus the short source key,
     never line text; the (source, hash) key is spread by line
     diversity, so the Zipf source skew needs no salt."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     t = d.select(
         "doc_id", "source", _tokens(F.lower(F.col("text"))).alias("ws")
     )
@@ -5794,6 +5806,9 @@ def _nb_scored(spark, sf_dir) -> DataFrame:
     doc_id % 5 == 0 test slice, trained on the other 80%.  Shared by
     nb_lang_classifier and nb_confidence_calibration — the Spark twin
     of ``_NB_SCORED_DUCK``."""
+    # left on the plain scan: a fanout+checkpoint variant measured
+    # neutral-to-slower in a same-session A/B (the family's cost is
+    # the scoring join + windows, not the tokenize)
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", _tokens(F.lower(F.col("text"))).alias("ws")
     )
@@ -6452,7 +6467,9 @@ def token_entropy(spark, sf_dir):
     with zero tokens have no term rows and are absent in both engines.
     Scale shape: two map-side-partial aggregations keyed (doc_id,
     token) then doc_id; only 8-byte counts shuffle with the keys."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     w = d.select(
         "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
     )
@@ -7383,8 +7400,13 @@ def ngram_lm_score(spark, sf_dir):
     are built JVM-side by a SQL lambda (`_BIGRAMS`) — no Python, no
     extra shuffle; per-doc reduction keys on doc_id (the natural
     partition), source rides along functionally."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", _tokens(F.lower(F.col("text"))).alias("ws")
+    # fanned + materialized (the ccnet_tertiles discipline)
+    d = (
+        _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id", "source", _tokens(F.lower(F.col("text"))).alias("ws")
+        )
+        .localCheckpoint(eager=False)
     )
     ref = d.filter(F.col("doc_id") % 5 == 0)
     ev = d.filter(F.col("doc_id") % 5 != 0)
@@ -7548,7 +7570,9 @@ def dsir_importance(spark, sf_dir):
     the vocabulary, unlike the trained-LM gate.  That O(1)-size model
     is exactly why DSIR scales to importance-sampling trillions of
     tokens."""
-    tk = _t(spark, sf_dir, "documents").select(
+    # fanned out of the single-row-group documents scan (the
+    # tokenize+explode map work otherwise runs on one task)
+    tk = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         "source",
         "lang",
@@ -7611,7 +7635,9 @@ def host_mirror_jaccard(spark, sf_dir):
     guard: a boilerplate prefix on 10⁴ hosts would emit 10⁸ pair rows
     from one key, while carrying zero mirror signal — the same
     inverted-index hot-key argument as `shingle_containment`."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     fp = (
         d.filter(F.length(F.trim(F.col("text"))) > 0)
         .select(
@@ -8065,9 +8091,16 @@ def cdc_chunk_dedup(spark, sf_dir):
     (`df`) shuffles 8-byte digests only and joins back by EQUI digest
     — text never shuffles after the per-doc chunk build.  Integer
     per-mille keeps the value hash exact."""
+    # fanned by doc_id before the explode: the per-doc chunk-id
+    # window downstream reuses the same exchange
     d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.length(F.trim(F.col("text"))) > 0)
+        _fanout(
+            spark,
+            _t(spark, sf_dir, "documents").filter(
+                F.length(F.trim(F.col("text"))) > 0
+            ),
+            "doc_id",
+        )
         .select(
             "doc_id",
             "source",
@@ -9257,7 +9290,9 @@ def heavy_hitters(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
 
     def mg_partition(batches):
@@ -9466,7 +9501,9 @@ def pmi_collocations(spark, sf_dir):
     ln() per pair sees a ratio of exactly-representable products
     (< 2^53 up to ~10^15 bigrams), milli-nat rounding matches both
     engines."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     ws = _tokens(F.lower(F.col("text")))
     n1 = F.greatest(F.size(ws) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -9909,7 +9946,9 @@ def good_turing_mass(spark, sf_dir):
     (vocab^~1.4-bounded, tiny next to the corpus), also map-side
     partial.  Two shuffles total, both count-only.  Integer
     arithmetic end to end — p0 in per-mille, Chao1 floored."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (one task
+    # otherwise does all the tokenize/hash map work)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     ws = _tokens(F.lower(F.col("text")))
     n1 = F.greatest(F.size(ws) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -10021,8 +10060,14 @@ def ccnet_tertiles(spark, sf_dir):
     window PARTITIONED by lang, per-lang totals and thresholds riding
     broadcast joins (each |langs|-row), and the final rollup map-side
     partial.  No corpus-sized sort or unpartitioned window anywhere."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _tokens(F.lower(F.col("text"))).alias("ws")
+    # fanned + materialized: both the reference slice (model train)
+    # and the eval slice re-read the tokenized relation
+    d = (
+        _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id", "lang", _tokens(F.lower(F.col("text"))).alias("ws")
+        )
+        .localCheckpoint(eager=False)
     )
     ref = d.filter(F.col("doc_id") % 5 == 0)
     ev = d.filter(F.col("doc_id") % 5 != 0)
@@ -11090,13 +11135,28 @@ _QL_DUCK = f"""
            from qsc group by doc_id)"""
 
 
-def _bm25(spark, sf_dir) -> DataFrame:
+def _ret_docs(spark, sf_dir) -> DataFrame:
+    """The retrieval tier's ONE tokenized-corpus relation (doc_id,
+    ws), fanned out of the single-row-group scan and materialized:
+    _bm25's length/postings passes AND the relevance/QL sides of
+    ndcg_eval / rrf_fusion all read it, so the corpus tokenizes once
+    per query invocation (ADVICE r5: each retrieval query rebuilt its
+    own explode and re-tokenized the corpus 2-3x)."""
+    return (
+        _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", _tokens(F.lower(F.col("text"))).alias("ws"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bm25(spark, sf_dir, d: DataFrame | None = None) -> DataFrame:
     """(doc_id, bm25_m, dl, tf rows piggybacked) — the Spark twin of
     _BM25_DUCK; returns the per-doc integer milli-unit BM25 total
-    over RET_QUERY.  Shared by the three retrieval queries."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
-    )
+    over RET_QUERY.  Shared by the three retrieval queries; pass the
+    shared ``_ret_docs`` relation so composed queries tokenize the
+    corpus once."""
+    if d is None:
+        d = _ret_docs(spark, sf_dir)
     tl = d.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
     st = tl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -11214,10 +11274,8 @@ def ndcg_eval(spark, sf_dir):
     corpus); the final ratio is a 1-row cross join.  The only floats
     are ten (2^r−1)/log2(rn+1) terms per side, summed then
     quantized — identical in both engines."""
-    bm = _bm25(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
-    )
+    d = _ret_docs(spark, sf_dir)
+    bm = _bm25(spark, sf_dir, d)
     rel = (
         d.select("doc_id", F.explode("ws").alias("t"))
         .filter(F.col("t").isin(*RET_QUERY))
@@ -11290,10 +11348,8 @@ def rrf_fusion(spark, sf_dir):
     bounded windows over the candidate relation; fusion is a
     partial-aggregating groupBy over ≤40 rows and the final top-10
     is TakeOrderedAndProject."""
-    bm = _bm25(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.lower(F.col("text"))).alias("ws")
-    )
+    d = _ret_docs(spark, sf_dir)
+    bm = _bm25(spark, sf_dir, d)
     toks = d.select("doc_id", F.explode("ws").alias("t"))
     tl = d.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
     st = tl.agg(F.sum("dl").cast("bigint").alias("tot_dl"))
