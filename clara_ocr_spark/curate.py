@@ -830,10 +830,16 @@ def corpus_health(extracted: DataFrame) -> DataFrame:
                 " 1073741824)"
             ).alias("h30"),
         )
-        .localCheckpoint(eager=False)
     )
     ft = kg.groupBy("h30").agg(F.min("b").alias("fb"))
-    nb = kg.groupBy("b").agg(F.count(F.lit(1)).alias("ng"))
+    # grams per batch = Σ per-doc block counts, map-only from the
+    # normalized lengths (the heaps_law_fit discipline): the k-gram
+    # explode then has a single consumer and needs no checkpoint
+    nb = nm.groupBy("b").agg(
+        F.sum(
+            F.expr(f"(length(norm) - {WIN_K}) div {WIN_K}") + 1
+        ).alias("ng")
+    )
     vb = ft.groupBy(F.col("fb").alias("b")).agg(
         F.count(F.lit(1)).alias("nv")
     )

@@ -2045,15 +2045,36 @@ def ivf_topk(spark, sf_dir):
             ).alias("cents")
         )
     )
+    # centroid norms hoisted to once PER CENTROID (computed on the
+    # 1-row broadcast relation), vector norms to once PER VECTOR: the
+    # argmax and probe below then pay one dot per comparison instead
+    # of dot+2 norm folds — operation-for-operation the _cos_arrays
+    # norms, so every rounded cosine is bit-identical
+    cent = cent.select(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                c["cell"].alias("cell"),
+                c["cv"].alias("cv"),
+                _nrm64(c["cv"]).alias("cn"),
+            ),
+        ).alias("cents")
+    )
     # nearest-centroid assignment as a higher-order argmax: score each
     # centroid once (transform), fold to the best (aggregate) — zero
     # shuffle, the 64-dim vectors never leave their input partition.
     # At 100 TB this is the design point: quantizer broadcast, the
     # inverted-list build is embarrassingly parallel.
+    prod = lambda c: F.col("vn") * c["cn"]  # noqa: E731
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            F.round(_cos_arrays(F.col("v"), c["cv"]), 6).alias("ccos"),
+            F.round(
+                F.when(
+                    prod(c) > 0, _dot64(F.col("v"), c["cv"]) / prod(c)
+                ).otherwise(F.lit(-2.0)),
+                6,
+            ).alias("ccos"),
             c["cell"].alias("cell"),
         ),
     )
@@ -2075,27 +2096,37 @@ def ivf_topk(spark, sf_dir):
     # avg fold order is untouched
     assigned = (
         _fanout(spark, e, "vec_id")
+        .withColumn("vn", _nrm64(F.col("v")))
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", best["cell"].alias("cell"))
+        .select("vec_id", "v", "vn", best["cell"].alias("cell"))
         # both probe sides (query broadcast + corpus scan) read the
         # assignment; materialize so the 64-centroid argmax runs once
         .localCheckpoint(eager=False)
     )
     qs = F.broadcast(
         assigned.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+            "cell",
         )
     )
     # queries broadcast to the partitioned corpus — each probe scans
     # only its own cell's inverted list, never a pair shuffle
     probe = assigned.join(qs, ["cell"]).filter(F.col("q_id") != F.col("vec_id"))
+    nprod = F.col("qn") * F.col("vn")
     w_top = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         probe.select(
             "q_id",
             F.col("vec_id").alias("n_id"),
             "cell",
-            F.round(_cos_arrays(F.col("qv"), F.col("v")), 4).alias("cos"),
+            F.round(
+                F.when(
+                    nprod > 0, _dot64(F.col("qv"), F.col("v")) / nprod
+                ).otherwise(F.lit(-2.0)),
+                4,
+            ).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 3)
@@ -5232,7 +5263,9 @@ def anchor_election(spark, sf_dir):
     scale.)"""
     from .stages.links import top_anchor_text
 
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (the
+    # regex/synthesis map work otherwise runs on one task)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     ws = _tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     links = d.select(
         F.concat(
@@ -7722,7 +7755,7 @@ def bpe_merge_candidates(spark, sf_dir):
     re-segmenting with the merged symbol each round — each iteration
     stays this same one-shuffle shape."""
     toks = (
-        _t(spark, sf_dir, "documents")
+        _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
         .filter(F.length(F.trim(F.col("text"))) > 0)
         .select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
     )
@@ -7985,7 +8018,9 @@ def robots_wildcards(spark, sf_dir):
     and the regex predicate runs JVM-side (`rlike` inside the join
     condition).  Same shuffle budget as the prefix gate: one
     (host, path) aggregate."""
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (the
+    # regex/synthesis map work otherwise runs on one task)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id").cast("string")
     u = d.select(
         F.concat(F.lit("w"), (F.col("doc_id") % 5).cast("string")).alias(
@@ -8215,7 +8250,7 @@ def c4_gopher_rules(spark, sf_dir):
     chain is an ordered CASE exactly like `curate.quality_reason`, so
     promoting a rule into the job gate is a one-line config move."""
     stops = [s.strip("'") for s in _GOPHER_STOPS.strip("()").split(",")]
-    d = _t(spark, sf_dir, "documents").select(
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id").select(
         "source",
         F.lower(F.col("text")).alias("lt"),
         _tokens(F.lower(F.col("text"))).alias("ws"),
@@ -8289,7 +8324,7 @@ def blocklist_term_filter(spark, sf_dir):
     shuffles with text, per-doc and per-source reductions partially
     aggregate; the integer per-mille gate keeps the hash exact."""
     tok = (
-        _t(spark, sf_dir, "documents")
+        _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
         .filter(F.length(F.trim(F.col("text"))) > 0)
         .select(
             "doc_id",
@@ -8388,7 +8423,9 @@ def soft404_ledger(spark, sf_dir):
     partial host rollup — at 10^12 docs the ledger is |hosts|-sized."""
     from .stages.crawl_audit import soft404_audit
 
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (the
+    # regex/synthesis map work otherwise runs on one task)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id").cast("string")
     pages = d.select(
         F.concat(
@@ -8495,7 +8532,9 @@ def registered_domain(spark, sf_dir):
     election groupBy reuses the distinct's partitioning."""
     from .stages.domains import registered_domain_map, rules_df
 
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (the
+    # regex/synthesis map work otherwise runs on one task)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     # (doc_id div 8) % 4, NOT doc_id % 4: within each doc_id % 8 host
     # class the latter is constant, so every rule kind would see
     # exactly one host (review finding r5) — div 8 gives each class
@@ -8747,7 +8786,9 @@ def paced_frontier(spark, sf_dir):
     against the |hosts|-sized ledger."""
     from .stages.robots import crawl_delays, paced_schedule
 
-    d = _t(spark, sf_dir, "documents")
+    # fanned out of the single-row-group documents scan (the
+    # regex/synthesis map work otherwise runs on one task)
+    d = _fanout(spark, _t(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id").cast("string")
     rules = spark.createDataFrame(
         _PACE_RULES,

@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9: SHJ skips both
+        # sorts), and let AQE rewrite SMJ->SHJ at runtime when every
+        # post-shuffle partition is small. Join-strategy only — results
+        # are identical; scale-safe because both knobs stay size-gated
+        # by the planner/AQE rather than forcing a strategy.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(64 * 1024 * 1024)),
+        )
         # Local corpora are tiny vs the 128 MB default split size; size
         # splits so small-file scans still fan out across all cores (on
         # a real cluster the default is right — override via env).
