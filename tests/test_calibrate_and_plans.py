@@ -469,15 +469,18 @@ def test_winnow_near_dup_plan_shape(spark, sf001):
 
 
 def test_good_turing_plan_two_count_shuffles(spark, sf001):
-    """good_turing_mass is two count-only shuffles: the (lang, type)
-    partial-aggregating groupBy and the per-lang count-of-counts
-    rollup — no window, no single-partition exchange, and the scan
-    prunes to (lang, text)."""
+    """good_turing_mass is the r6 fan-out (pre-explode repartition of
+    the single-row-group scan, carrying doc_id as the partition key)
+    plus two count-only shuffles: the (lang, type) partial-aggregating
+    groupBy and the per-lang count-of-counts rollup — no window, no
+    single-partition exchange."""
     plan = _plan(REGISTRY["good_turing_mass"][0](spark, sf001))
     assert plan.count("FileScan") == 1, plan
-    assert "ReadSchema: struct<text:string,lang:string>" in plan or \
-        "ReadSchema: struct<lang:string,text:string>" in plan, plan
-    assert plan.count("Exchange") == 2, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan, plan
+    # 3 Exchanges total: the explicit REPARTITION_BY_NUM fan-out and
+    # the two count shuffles (both fed by partial aggregates)
+    assert plan.count("Exchange") == 3, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
@@ -552,14 +555,18 @@ def test_unimax_quota_plan_single_scan(spark, sf001):
 
 
 def test_heaps_law_fit_plan_single_explode(spark, sf001):
-    """heaps_law_fit explodes the k-gram relation once (checkpointed;
-    both the type-first-batch and grams-per-batch groupBys read the
-    materialized RDD); the cumulative window runs over the bounded
-    batch relation; the final regression's single-partition exchange
-    is fed by a partial aggregate."""
+    """heaps_law_fit (r6 shape) explodes the k-gram relation once and
+    feeds ONLY the type-first-batch groupBy — grams-per-batch derives
+    map-only from the normalized lengths, so the explode needs no
+    checkpoint and the corpus scans without a second pass over the
+    exploded rows; the fan-out repartition precedes the explode; the
+    cumulative window runs over the bounded batch relation; the final
+    regression's single-partition exchange is fed by a partial
+    aggregate."""
     plan = _plan(REGISTRY["heaps_law_fit"][0](spark, sf001))
-    assert "FileScan" not in plan, plan
-    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Scan ExistingRDD" not in plan, plan  # no checkpoint left
+    assert plan.count("Generate explode") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert "windowspecdefinition(b" in plan
     assert "partial_regr_slope" in plan
     # single-partition exchanges are allowed only for (a) partial-fed
